@@ -1,0 +1,102 @@
+"""Public library API.
+
+Mirrors the reference's embeddable two-phase interface
+(agrep.c:3017-3313: memagrep_init/search, fileagrep_init/search) with a
+pythonic Query object on top.
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+
+import numpy as np
+
+from .compile.query import CompiledQuery, compile_query
+from .options import AgrepError, Options, compat_check, parse_args
+from .runtime.engine import Executor
+from .runtime.output import (OutputOverflow, Sink, make_buffer_sink,
+                             make_stream_sink)
+
+
+class Query:
+    """A compiled search: pattern + options, reusable across inputs.
+
+    The reference caches pattern compilation across calls
+    (agrep_saved_pattern, agrep.c:3063-3087); here the compiled query
+    object simply persists.
+    """
+
+    def __init__(self, pattern: str | None = None,
+                 argv: list[str] | None = None, **kwargs):
+        if argv is not None:
+            self.opts, self.pattern, self.files = parse_args(argv)
+        else:
+            self.opts = Options(**kwargs)
+            self.pattern = pattern
+            self.files = []
+        compat_check(self.opts, self.opts.pat_file is not None
+                     or self.opts.pat_buffer is not None)
+        self.compiled: CompiledQuery = compile_query(self.pattern, self.opts)
+
+    def search_files(self, files: list[str], output=None) -> int:
+        """Search files; returns total number of matched records."""
+        sink = make_stream_sink(self.opts, output)
+        ex = Executor(self.compiled, sink)
+        return ex.run_files(files)
+
+    def search_buffer(self, data: bytes, output=None) -> int:
+        """Search an in-memory buffer (memagrep semantics: the buffer
+        should start with a newline)."""
+        sink = make_stream_sink(self.opts, output)
+        ex = Executor(self.compiled, sink)
+        arr = np.frombuffer(data, dtype=np.uint8)
+        return ex.run_buffer(arr)
+
+
+def fileagrep(argv: list[str], output=None, verbose_total=True) -> int:
+    """CLI-equivalent entry: parse argv (without argv[0]), search files,
+    print the Grand Total, return the match count (= exit code)."""
+    import os
+    q = Query(argv=argv)
+    if not q.files:
+        # agrep.c:2928 + fileagrep:3310: no files -> error return -1
+        print("agrep: no target files found.", file=sys.stderr)
+        return -1
+    kept = []
+    for f in q.files:
+        if os.path.exists(f) or q.opts.recursive:
+            kept.append(f)
+        else:
+            # check_file vetting (agrep.c:2952-2957)
+            print("agrep: '%s' no such file or directory" % f,
+                  file=sys.stderr)
+    q.files = kept
+    if not kept:
+        return -1
+    if q.opts.recursive:
+        from .runtime.walker import run_recursive
+        ret = run_recursive(q, q.files, output)
+    else:
+        ret = q.search_files(q.files, output)
+    if q.opts.verbose > 0 and verbose_total:
+        out = output if output is not None else sys.stdout.buffer
+        out.write(b"Grand Total: %d match(es) found.\n" % ret)
+    return ret
+
+
+def memagrep(argv: list[str], data: bytes, output=None) -> int:
+    q = Query(argv=argv)
+    ret = q.search_buffer(data, output)
+    if q.opts.verbose > 0:
+        out = output if output is not None else sys.stdout.buffer
+        out.write(b"Grand Total: %d match(es) found.\n" % ret)
+    return ret
+
+
+def search_files(pattern: str, files: list[str], **kwargs) -> int:
+    return Query(pattern, **kwargs).search_files(files)
+
+
+def search_buffer(pattern: str, data: bytes, **kwargs) -> int:
+    return Query(pattern, **kwargs).search_buffer(data)

@@ -1,0 +1,45 @@
+"""The agrep command-line interface.
+
+Thin wrapper over the library API, like reference main.c:32-97:
+exit code = number of matches (-1 -> 255 on error, 2 on usage errors
+via EXITONERROR).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .api import fileagrep
+from .options import AgrepError
+from .runtime.output import OutputOverflow
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    try:
+        ret = fileagrep(argv)
+    except AgrepError as e:
+        # initial_value() zeroes EXITONERROR before any error can fire
+        # (agrep.c:347,2076), so the reference CLI reports -1 -> 255
+        msg = str(e)
+        if msg:
+            print(msg, file=sys.stderr)
+        if e.show_usage:
+            _usage()
+        return 255
+    except OutputOverflow:
+        return 255
+    except BrokenPipeError:
+        return 0
+    sys.stdout.flush()
+    return ret & 0xFF
+
+
+def _usage() -> None:
+    from .version import REFERENCE_VERSION
+    print("usage: agrep [-#cdehiklnpqrstvwxyBDGHIMSV] [-f patternfile] "
+          "pattern [files...]", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,283 @@
+"""Windowed-parallel shift-or scan (production path).
+
+The sequential bit-parallel automaton has a bounded dependence window:
+any state bit after byte i is determined by at most m+D preceding bytes
+(plus statically-on bits), and delimiter resets only shorten chains.
+So the stream is cut into T tiles of L bytes, each prefixed with a halo
+of W >= m+D+1 real preceding bytes, and all tiles are scanned in
+parallel from a cold state -- by the end of the halo every tile's state
+is exact.  This turns the reference's strictly sequential loops
+(bitap.c:169-283, asearch.c:94-232) into an embarrassingly parallel
+computation that maps onto TPU lanes; there is no cross-tile
+communication at all.
+
+Variants:
+  'bitap'  -- the mask machine: exact / k-error / non-uniform costs,
+              record resets at exact delimiter completion.
+  'sgrep'  -- the simple-pattern engine: k-error shift-or with newline
+              reset (sgrep.c agrep():1177-1237 semantics).
+
+Backends: 'jax' (CPU/TPU; the Pallas kernel lives in kernels.py) and
+'numpy' (vectorized host fallback, also the test oracle).
+
+Output: a uint32 event word per input byte; bit layout equals the mask
+machine's word (delimiter bit = d_endpos, part pulses = endposition
+bits).  For 'sgrep', bit 0 = match pulse.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+DEFAULT_TILE = 1024
+
+# Backend selection: 'jax' (default; TPU when available) or 'numpy'
+# (vectorized host fallback -- also the oracle for kernel tests).
+_BACKEND = os.environ.get("AGREP_TPU_BACKEND", "jax")
+
+
+def set_backend(name: str) -> None:
+    global _BACKEND
+    _BACKEND = name
+
+
+def _pad_and_window(text: np.ndarray, W: int, L: int):
+    """Return (windows u8[T, W+L], n_tiles) built on host."""
+    N = text.shape[0]
+    T = max(1, -(-N // L))
+    total = T * L
+    padded = np.zeros(W + total, dtype=np.uint8)
+    padded[W:W + N] = text
+    body = padded[W:].reshape(T, L)
+    halo = padded[:total].reshape(T, L)[:, :W]
+    return np.concatenate([halo, body], axis=1), T
+
+
+def scan_events(text: np.ndarray, mask_table: np.ndarray, consts: dict,
+                D: int, variant: str = "bitap",
+                costs: tuple | None = None,
+                tile: int = DEFAULT_TILE) -> np.ndarray:
+    """Scan a byte stream; returns a uint32 event word per byte.
+
+    text: uint8[N] (host); mask_table: uint32[256] (pre-folded);
+    consts: dict from bitword.machine_constants (bitap) or
+    {'endpos': final-bit, 'm': m} (sgrep).
+    """
+    N = int(text.shape[0])
+    if N == 0:
+        return np.zeros(0, dtype=np.uint32)
+    m = consts.get("m", 32)
+    W = min(max(m + D + 2, 48), tile)
+    L = tile
+    windows, T = _pad_and_window(text, W, L)
+    cvec = np.asarray([
+        consts.get("init0", 0), consts.get("init1_ns", 0),
+        consts.get("noerr", 0), consts.get("d_endpos", 0),
+        consts.get("endpos", 0), consts.get("d_mask", 0xFFFFFFFF),
+        0, 0], dtype=np.uint32)
+    if _BACKEND == "numpy":
+        ev = _scan_windows_np(windows, mask_table, cvec, D, W, variant,
+                              costs)
+    else:
+        ev = _scan_windows_jax(windows, mask_table, cvec, D, W, variant,
+                               costs)
+    return np.asarray(ev)[:, W:].reshape(-1)[:N]
+
+
+# ---------------------------------------------------------------------
+# numpy backend
+# ---------------------------------------------------------------------
+
+def _scan_windows_np(windows, mask_table, cvec, D, W, variant, costs):
+    T, S = windows.shape
+    init0, init1_ns, noerr, d_endpos, endpos, d_mask = (
+        np.uint32(cvec[i]) for i in range(6))
+    cmasks = mask_table[windows]                       # u32[T, S]
+    events = np.zeros((T, S), dtype=np.uint32)
+
+    if variant == "bitap":
+        states = np.broadcast_to(init0, (D + 1, T)).astype(np.uint32).copy()
+        init_states = states.copy()
+    else:
+        levels = [np.uint32(0)]
+        for _ in range(D):
+            prev = int(levels[-1])
+            levels.append(np.uint32(((prev >> 1) | prev | 0x80000000)
+                                    & 0xFFFFFFFF))
+        init_states = np.broadcast_to(
+            np.asarray(levels, dtype=np.uint32)[:, None], (D + 1, T)).copy()
+        states = init_states.copy()
+
+    def bitap_levels(sts, cm):
+        new0 = ((sts[0] >> 1) & cm) | (init1_ns & sts[0])
+        new = [new0]
+        if costs is None:
+            for k in range(1, D + 1):
+                r2 = sts[k - 1] | (((new[k - 1] | sts[k - 1]) >> 1) & noerr)
+                new.append(((sts[k] >> 1) & cm) | (init1_ns & sts[k]) | r2)
+        else:
+            ci, cs, cd = costs
+            new = []
+            for k in range(0, D + 1):
+                r = ((sts[k] >> 1) & cm) | (init1_ns & sts[k])
+                if k - ci >= 0:
+                    r = r | sts[k - ci]
+                err = np.uint32(0)
+                if k - cd >= 0:
+                    err = err | new[k - cd]
+                if k - cs >= 0:
+                    err = err | sts[k - cs]
+                r = r | ((err >> 1) & noerr)
+                new.append(r)
+        return new
+
+    top = np.uint32(0x80000000)
+    for j in range(S):
+        cm = cmasks[:, j]
+        if j == W:
+            states[:, 0] = init_states[:, 0]   # stream start: tile 0 only
+        if variant == "bitap":
+            new = bitap_levels(states, cm)
+            ev = (new[0] & d_endpos) | (new[D] & endpos)
+            trig = (new[0] & d_endpos) != 0
+            if trig.any():
+                b0 = np.broadcast_to(init0, cm.shape).astype(np.uint32)
+                rs = bitap_levels(np.stack([b0] * (D + 1)), cm)
+                rs[0] = rs[0] & d_mask
+                for k in range(D + 1):
+                    new[k] = np.where(trig, rs[k], new[k])
+            states = np.stack(new)
+        else:
+            nl = windows[:, j] == 0x0A
+            if nl.any():
+                states = np.where(nl[None, :], init_states, states)
+            new0 = ((states[0] >> 1) | top) & cm
+            new = [new0]
+            for k in range(1, D + 1):
+                new.append((((states[k] >> 1) | top) & cm)
+                           | states[k - 1]
+                           | (((new[k - 1] | states[k - 1]) >> 1) | top))
+            ev = np.where((new[D] & endpos) != 0, np.uint32(1),
+                          np.uint32(0))
+            states = np.stack(new)
+        events[:, j] = ev
+    return events
+
+
+# ---------------------------------------------------------------------
+# jax backend
+# ---------------------------------------------------------------------
+
+def _scan_windows_jax(windows, mask_table, cvec, D, W, variant, costs):
+    import jax
+    return np.asarray(jax.device_get(_scan_windows_jit(
+        windows, mask_table, cvec, D, W, variant, costs)))
+
+
+@functools.cache
+def _get_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit,
+                       static_argnames=("D", "W", "variant", "costs"))
+    def _scan(windows, mask_table, consts, D, W, variant, costs):
+        T, S = windows.shape
+        cmasks = mask_table[windows.astype(jnp.int32)]      # u32[T, S]
+        is_nl = windows == 0x0A
+
+        init0 = consts[0]
+        init1_ns = consts[1]
+        noerr = consts[2]
+        d_endpos = consts[3]
+        endpos = consts[4]
+        d_mask = consts[5]
+        zero = jnp.uint32(0)
+
+        if variant == "bitap":
+            init_states = jnp.broadcast_to(init0, (D + 1, T)) \
+                .astype(jnp.uint32)
+        else:
+            levels = [0]
+            for _ in range(D):
+                prev = levels[-1]
+                levels.append(((prev >> 1) | prev | 0x80000000) & 0xFFFFFFFF)
+            init_states = jnp.broadcast_to(
+                jnp.asarray(levels, dtype=jnp.uint32)[:, None], (D + 1, T))
+
+        first_tile = (jnp.arange(T) == 0)
+
+        def bitap_levels(states, cm):
+            new0 = ((states[0] >> 1) & cm) | (init1_ns & states[0])
+            new = [new0]
+            if costs is None:
+                for k in range(1, D + 1):
+                    r2 = states[k - 1] | (((new[k - 1] | states[k - 1]) >> 1)
+                                         & noerr)
+                    new.append(((states[k] >> 1) & cm)
+                               | (init1_ns & states[k]) | r2)
+            else:
+                ci, cs, cd = costs
+                new = []
+                for k in range(0, D + 1):
+                    r = ((states[k] >> 1) & cm) | (init1_ns & states[k])
+                    if k - ci >= 0:
+                        r = r | states[k - ci]
+                    err = zero
+                    if k - cd >= 0:
+                        err = err | new[k - cd]
+                    if k - cs >= 0:
+                        err = err | states[k - cs]
+                    r = r | ((err >> 1) & noerr)
+                    new.append(r)
+            return new
+
+        def step_bitap(states, xs):
+            cm, col_idx = xs
+            states = jnp.where(
+                (col_idx == W) & first_tile[None, :], init_states, states)
+            new = bitap_levels(states, cm)
+            ev = (new[0] & d_endpos) | (new[D] & endpos)
+            trigger = (new[0] & d_endpos) != 0
+            b0 = jnp.broadcast_to(init0, cm.shape).astype(jnp.uint32)
+            rs = bitap_levels(jnp.stack([b0] * (D + 1)), cm)
+            rs[0] = rs[0] & d_mask
+            new = [jnp.where(trigger, rs[k], new[k]) for k in range(D + 1)]
+            return jnp.stack(new), ev
+
+        def step_sgrep(states, xs):
+            cm, col_idx, nl = xs
+            states = jnp.where(
+                (col_idx == W) & first_tile[None, :], init_states, states)
+            states = jnp.where(nl[None, :], init_states, states)
+            top = jnp.uint32(0x80000000)
+            new0 = ((states[0] >> 1) | top) & cm
+            new = [new0]
+            for k in range(1, D + 1):
+                new.append((((states[k] >> 1) | top) & cm)
+                           | states[k - 1]
+                           | (((new[k - 1] | states[k - 1]) >> 1) | top))
+            ev = jnp.where((new[D] & endpos) != 0, jnp.uint32(1),
+                           jnp.uint32(0))
+            return jnp.stack(new), ev
+
+        cols = jnp.arange(S, dtype=jnp.int32)
+        if variant == "bitap":
+            _, events = jax.lax.scan(step_bitap, init_states,
+                                     (cmasks.T, cols))
+        else:
+            _, events = jax.lax.scan(step_sgrep, init_states,
+                                     (cmasks.T, cols, is_nl.T))
+        return events.T
+
+    return _scan
+
+
+def _scan_windows_jit(windows, mask_table, cvec, D, W, variant, costs):
+    import jax.numpy as jnp
+    fn = _get_jit()
+    return fn(jnp.asarray(windows), jnp.asarray(mask_table),
+              jnp.asarray(cvec), D, W, variant, costs)

@@ -1,0 +1,453 @@
+"""Per-stream search engines and the multi-file executor.
+
+Engines consume the event stream produced by agrep_tpu.ops.scan and
+reproduce the reference's record/output semantics:
+
+  BitapEngine -- mask-machine record search (bitap.c / asearch.c /
+                 asearch1.c record handling and output()).
+  SgrepEngine -- simple-pattern search (sgrep.c bm()/agrep() record
+                 handling, s_output()).
+
+The Executor mirrors exec() (agrep.c:3332-3752): per-file loop, -c
+count lines, -l, -G, limits, best-match escalation.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from ..options import Options
+from ..ops import scan as scan_ops
+from .output import Sink, output_bitap_record, output_sgrep_record
+
+MAX_RECORD = 49152  # agrep.h:49
+
+
+def _isalnum(b: int) -> bool:
+    return (48 <= b <= 57) or (65 <= b <= 90) or (97 <= b <= 122)
+
+
+def _find_delims(stream: np.ndarray, delim: bytes) -> np.ndarray:
+    """Positions of the LAST byte of every delimiter occurrence."""
+    if len(delim) == 1:
+        return np.flatnonzero(stream == delim[0])
+    hit = np.ones(len(stream) - len(delim) + 1, dtype=bool) \
+        if len(stream) >= len(delim) else np.zeros(0, dtype=bool)
+    for k, b in enumerate(delim):
+        hit &= stream[k:len(stream) - len(delim) + 1 + k] == b
+    return np.flatnonzero(hit) + len(delim) - 1
+
+
+class BitapEngine:
+    def __init__(self, q):
+        self.q = q
+
+    def search_stream(self, data: np.ndarray, sink: Sink, D: int,
+                      memory_mode: bool = False) -> None:
+        q = self.q
+        o = q.opts
+        dl = len(q.delim)
+        if memory_mode:
+            stream = data  # caller guarantees leading '\n' (agrep.chronicle)
+        else:
+            stream = np.concatenate([
+                np.frombuffer(b"\n", dtype=np.uint8), data,
+                np.frombuffer(q.delim, dtype=np.uint8)])
+        events = scan_ops.scan_events(
+            stream, q.folded_mask, q.consts, D, "bitap", q.costs)
+        c = q.consts
+        pos = np.flatnonzero(events)
+        ev = events[pos]
+        delim_sel = (ev & np.uint32(c["d_endpos"])) != 0
+        P = pos[delim_sel]                       # record-end positions
+        hit_pos = pos[(ev & np.uint32(c["endpos"])) != 0]
+        hit_ev = ev[(ev & np.uint32(c["endpos"])) != 0]
+
+        j0 = 0
+        if q.delimiter_opt and not memory_mode and \
+                bytes(bytearray(data[:dl])) == q.delim:
+            j0 = -1
+        dl_off = dl if q.delimiter_opt else 1
+
+        limit_hit = False
+        # iterate records
+        prev_end = None
+        lasti0 = 0 if memory_mode else 1     # initial lasti (stream coords)
+        idx_lo = 0
+        for k in range(len(P)):
+            pk = int(P[k])
+            lasti = (int(P[k - 1]) + 1 - dl) if k > 0 else lasti0
+            print_end = pk - dl
+            j = k + 1 + j0
+            # part hits within (prev event, this event]
+            idx_hi = int(np.searchsorted(hit_pos, pk, side="right"))
+            seg = hit_ev[idx_lo:idx_hi]
+            idx_lo = idx_hi
+            if q.and_flag:
+                acc = 0
+                for w in seg:
+                    acc |= int(w)
+                all_hit = (acc & c["endpos"]) == c["endpos"]
+                verdict = all_hit or (False ^ o.invert)
+            else:
+                any_hit = len(seg) > 0
+                verdict = any_hit ^ o.invert
+            if not verdict:
+                continue
+            if o.filename_only and (sink.new_file or not o.post_filter):
+                sink.num_matched += 1
+                sink.write_str("%s\n" % sink.current_filename)
+                sink.new_file = False
+                return
+            byte_offset = pk + 1 - dl_off
+            if not memory_mode and print_end - lasti > MAX_RECORD:
+                sink.truncate = True
+                lasti = print_end - MAX_RECORD
+            output_bitap_record(
+                sink, stream, lasti, print_end, j, byte_offset, dl,
+                q.delimiter_opt, q.delim, q.outtail)
+            if _limits_reached(o, sink):
+                limit_hit = True
+                break
+        _ = prev_end, limit_hit
+
+
+class SgrepEngine:
+    def __init__(self, q):
+        self.q = q
+
+    def search_stream(self, data: np.ndarray, sink: Sink, D: int,
+                      memory_mode: bool = False) -> None:
+        q = self.q
+        o = q.opts
+        if memory_mode:
+            stream = data
+            base = 0
+        elif q.delimiter_opt:
+            # with -d the driver writes the delimiter, not a newline,
+            # around the data (sgrep.c:400,483-484)
+            stream = np.concatenate(
+                [data, np.frombuffer(q.delim, dtype=np.uint8)])
+            base = 0
+        else:
+            stream = np.concatenate(
+                [np.frombuffer(b"\n", dtype=np.uint8), data])
+            base = 1
+        N = len(stream)
+        events = scan_ops.scan_events(
+            stream, q.sg_mask, q.sg_consts, D, "sgrep")
+        pos = np.flatnonzero(events)
+        m = q.sg_m
+
+        if o.wordbound and D == 0:
+            keep = []
+            last_char = q.sg_pattern[-1] if q.sg_pattern else 0
+            for p in pos:
+                p = int(p)
+                after = int(stream[p + 1]) if p + 1 < N else last_char
+                before = int(stream[p - m]) if p - m >= 0 else 0x0A
+                if not _isalnum(after) and not _isalnum(before):
+                    keep.append(p)
+            pos = np.asarray(keep, dtype=np.int64)
+
+        nl = np.flatnonzero(stream == 0x0A)
+        delim_ends = None
+        if q.delimiter_opt:
+            delim_ends = _find_delims(stream, q.delim)
+
+        # bm()'s INVERSE tail print depends on skip-loop alignment
+        # (early return on a stop-region pseudo-match); emulate the
+        # reference's block loop for that mode.
+        if (o.invert and not o.count and D == 0 and not memory_mode
+                and not q.delimiter_opt and q.sg_sub == "bm"):
+            self._bm_inverse_blocks(data, stream, base, pos, nl, sink)
+            return
+
+        # agrep() (D>0 partition engine) overcounts events that a fresh
+        # candidate round re-scans inside an already-output record;
+        # reproduce its count exactly.
+        c_count = None
+        if D > 0 and q.sg_sub == "agrep" and not memory_mode:
+            from . import sgrep_sim
+            c_count = sgrep_sim.agrep_c_count(
+                data, pos - base, nl - base, q.sg_pattern, D,
+                q.delimiter_opt, q.delim)
+
+        lastend = 0
+        lastout = base
+        # CurrentByteOffset at a match: bm tracks the match's last char
+        # relative to the data start; agrep() (D>0) is one past it
+        # (sgrep.c:738 vs :1178).  WHOLELINE's start--/CBO-- cancel out.
+        cbo_adj = -base + (1 if D > 0 else 0)
+        appended_newline = False
+        records_counted = 0
+        for p in pos:
+            p = int(p)
+            if p < lastend:
+                continue
+            begin, end = self._record_span(stream, nl, delim_ends, p, D)
+            if end > N:
+                end = N
+                appended_newline = stream[N - 1] != 0x0A
+            sink.num_matched += 1
+            records_counted += 1
+            if o.filename_only:
+                sink.write_str("%s\n" % sink.current_filename)
+                return
+            lastend = end
+            if not o.count:
+                if o.invert:
+                    sink.write(bytes(bytearray(stream[lastout:begin])))
+                    lastout = end
+                else:
+                    byte_offset = p + cbo_adj
+                    output_sgrep_record(
+                        sink, stream, begin, end, byte_offset, p)
+                    if appended_newline:
+                        sink.write_str("\n")
+            if _limits_reached(o, sink):
+                return
+        if o.invert and not o.count and lastout <= N - 1:
+            sink.write(bytes(bytearray(stream[lastout:N])))
+        if c_count is not None:
+            sink.num_matched += c_count - records_counted
+
+    def _bm_inverse_blocks(self, data, stream, base, pos, nl, sink):
+        """Per-block INVERSE output with bm()'s early-return emulation
+        (sgrep.c:746-748, 987-1013)."""
+        from . import sgrep_sim
+        q, o = self.q, self.q.opts
+        tr = np.arange(256, dtype=np.uint8)
+        for c in range(ord("A"), ord("Z") + 1):
+            tr[c] = c + 32
+        shift_tab, shift_1 = sgrep_sim.build_bm_tables(q.sg_pattern, tr)
+        vb = sgrep_sim.VirtualSgrepBuffer(data, q.sg_pattern, False)
+        ev_g = pos - base        # match-end events in data coords
+        nl_g = nl - base
+        N = len(data)
+        for (start, end, gstart) in vb.blocks():
+            g_end = gstart + (end - start)
+            sel = ev_g[(ev_g >= gstart) & (ev_g <= g_end)]
+            # record walk within block
+            lastout_g = gstart
+            lastend_g = gstart
+            resume_buf = []
+            for e in sel:
+                e = int(e)
+                if e < lastend_g:
+                    continue
+                j = int(np.searchsorted(nl_g, e - 1, side="right")) - 1
+                rbeg = int(nl_g[j]) + 1 if j >= 0 else 0
+                jj = int(np.searchsorted(nl_g, e + 1, side="left"))
+                rend = int(nl_g[jj]) + 1 if jj < len(nl_g) else N + 1
+                rend = min(rend, g_end + 1)
+                sink.num_matched += 1
+                if o.filename_only:
+                    sink.write_str("%s\n" % sink.current_filename)
+                    return
+                sink.write(bytes(bytearray(data[lastout_g:max(rbeg, lastout_g)])))
+                lastout_g = rend
+                lastend_g = rend
+                resume_buf.append(start + (rend - gstart))
+            survives = sgrep_sim.bm_inverse_survives(
+                vb.buf, start, end, q.sg_pattern, tr, shift_tab, shift_1,
+                resume_buf)
+            if survives and lastout_g <= g_end:
+                sink.write(bytes(bytearray(data[lastout_g:g_end + 1])))
+
+    def _record_span(self, stream, nl, delim_ends, p, D):
+        """Record boundaries around a match ending at p (sgrep.c
+        bm:775-789 for D==0, s_output:1304-1313 for D>0)."""
+        q = self.q
+        if not q.delimiter_opt:
+            back_from = p - 1 if D == 0 else p
+            i = int(np.searchsorted(nl, back_from, side="right")) - 1
+            begin = int(nl[i]) + 1 if i >= 0 else 0
+            jdx = int(np.searchsorted(nl, p + 1, side="left"))
+            end = int(nl[jdx]) + 1 if jdx < len(nl) else len(stream) + 1
+            return begin, end
+        # -d: nearest delimiter before/after (delim.c semantics)
+        dl = len(q.delim)
+        i = int(np.searchsorted(delim_ends, p, side="left")) - 1
+        if i >= 0:
+            dstart = int(delim_ends[i]) - dl + 1
+            begin = dstart + dl if q.outtail else dstart
+        else:
+            begin = 0
+        jdx = int(np.searchsorted(delim_ends, p + 1 + dl - 1, side="left"))
+        if jdx < len(delim_ends):
+            dstart = int(delim_ends[jdx]) - dl + 1
+            end = dstart + dl if q.outtail else dstart
+        else:
+            end = len(stream) + 1
+        return begin, end
+
+
+def _limits_reached(o: Options, sink: Sink) -> bool:
+    if o.limit_output > 0 and sink.num_matched >= o.limit_output:
+        return True
+    if o.limit_per_file > 0 and \
+            (sink.num_matched - sink.prev_num_matched) >= o.limit_per_file:
+        return True
+    return False
+
+
+class Executor:
+    """exec() equivalent: drives engines over files/buffers and emits
+    per-file count lines, -G dumps, limits and the best-match loop."""
+
+    def __init__(self, q, sink: Sink):
+        self.q = q
+        self.sink = sink
+        if q.engine_class == "sgrep":
+            self.engine = SgrepEngine(q)
+        elif q.engine_class == "bitap":
+            self.engine = BitapEngine(q)
+        elif q.engine_class == "mgrep":
+            from .mgrep import MgrepEngine
+            self.engine = MgrepEngine(q)
+        else:
+            raise NotImplementedError(q.engine_class)
+
+    def run_files(self, files: list[str]) -> int:
+        q, o, sink = self.q, self.q.opts, self.sink
+        sink.fname = (len(files) > 1 and not o.no_filename) \
+            or o.always_filename
+        if o.no_filename:
+            sink.fname = False
+        nomatch = True
+        for i, path in enumerate(files):
+            sink.prev_num_matched = sink.num_matched
+            sink.current_filename = str(i) if o.printfilenumber else path
+            sink.new_file = True
+            try:
+                data = np.fromfile(path, dtype=np.uint8)
+            except (OSError, IOError):
+                print("agrep: can't open file for reading: %s" % path,
+                      file=sys.stderr)
+                continue
+            self.engine.search_stream(data, sink, q.D)
+            nfile = sink.num_matched - sink.prev_num_matched
+            if nfile > 0:
+                nomatch = False
+                sink.files_matched += 1
+            if o.count and not o.fileout:
+                self._emit_count_line(nfile)
+            if o.fileout and nfile:
+                self._file_out(path)
+            if (o.limit_output > 0 and sink.num_matched >= o.limit_output) \
+                    or (o.limit_total_file > 0
+                        and sink.files_matched >= o.limit_total_file):
+                break
+
+        if nomatch and o.bestmatch:
+            self._best_match(files)
+        sink.finish()
+        return sink.num_matched
+
+    def run_buffer(self, data: np.ndarray) -> int:
+        q, o, sink = self.q, self.q.opts, self.sink
+        sink.fname = o.always_filename
+        self.engine.search_stream(data, sink, q.D, memory_mode=True)
+        nfile = sink.num_matched - sink.prev_num_matched
+        if o.count:
+            self._emit_count_line(nfile)
+        sink.finish()
+        return sink.num_matched
+
+    def _emit_count_line(self, nfile: int) -> None:
+        o, sink = self.q.opts, self.sink
+        if nfile <= 0 and o.nooutputzero:
+            return
+        if sink.fname and (sink.new_file or not o.post_filter):
+            sink.write_str("%s: %d\n" % (sink.current_filename, nfile))
+            sink.new_file = False
+        elif not sink.fname:
+            sink.write_str("%d\n" % nfile)
+
+    def _file_out(self, path: str) -> None:
+        """-G: dump the whole matching file (file_out, agrep.c:3756)."""
+        sink = self.sink
+        if sink.fname:
+            bar = ":" * len(path)
+            sink.write_str("\n%s\n%s\n%s\n" % (bar, path, bar))
+        with open(path, "rb") as f:
+            sink.write(f.read())
+
+    def _best_match(self, files: list[str]) -> None:
+        """-B escalation loop (agrep.c:3582-3728)."""
+        import copy
+        q, o, sink = self.q, self.q.opts, self.sink
+        from ..compile.query import compile_query
+
+        q2 = q
+        o2 = o
+        if o.wordbound or o.wholeline or o.invert:
+            o2 = copy.deepcopy(o)
+            o2.bestmatch = False
+            q2 = compile_query(q.pattern, o2)
+            if q2.engine_class == "sgrep":
+                q2 = q2  # classify already handles this
+        M = len(q.pattern)
+        D = 1
+        found = 0
+        while D < M and D <= 8:
+            counter = Sink(lambda b: None, o2)
+            eng = Executor(q2_with_d(q2, D), counter)
+            for path in files:
+                counter.prev_num_matched = counter.num_matched
+                try:
+                    data = np.fromfile(path, dtype=np.uint8)
+                except OSError:
+                    continue
+                eng.engine.search_stream(data, counter, D)
+            if counter.num_matched > 0:
+                found = counter.num_matched
+                break
+            D += 1
+        if not found:
+            return
+        word = "word matches" if found == 1 else "words match"
+        errs = "1 error" if D == 1 else "%d errors" % D
+        sys.stderr.write("agrep: %d %s within %s" % (found, word, errs)
+                         if found != 1 else
+                         "agrep: 1 word matches within %s" % errs)
+        if o.noprompt:
+            sys.stderr.write("\n")
+        else:
+            q_ = "; search for it? (y/n)" if found == 1 \
+                else "; search for them? (y/n)"
+            sys.stderr.write(q_)
+            sys.stderr.flush()
+            try:
+                ans = input()
+            except EOFError:
+                return
+            if not ans.startswith("y"):
+                return
+        # final printing pass at the winning D
+        sink.num_matched = 0
+        eng = Executor(q2_with_d(q2, D), sink)
+        for i, path in enumerate(files):
+            sink.prev_num_matched = sink.num_matched
+            sink.current_filename = str(i) if o.printfilenumber else path
+            sink.new_file = True
+            try:
+                data = np.fromfile(path, dtype=np.uint8)
+            except OSError:
+                continue
+            eng.engine.search_stream(data, sink, D)
+
+
+def q2_with_d(q, D: int):
+    """Recompile a query for a different error budget (used by -B)."""
+    import copy
+    from ..compile.query import compile_query
+    o = copy.deepcopy(q.opts)
+    o.D = D
+    o.approx = False
+    o.bestmatch = False
+    return compile_query(q.pattern, o)

@@ -1,0 +1,265 @@
+"""Multi-pattern / boolean record engine (reference newmgrep.c).
+
+Semantics reproduced from monkey1()/m_short() (newmgrep.c:803-1506):
+exact multi-string matching (tr-folded under -i), record extraction
+around the *anchor* position (match start + shortest-pattern-length -
+1), one output per record for flat OR, full-record terminal accumulation
+for flat AND and complex boolean trees, MULTI_OUTPUT per-occurrence
+mode, and the -P pattern-index decoration.
+
+The occurrence finding itself is dense and vectorized (the reference's
+hashed Boyer-Moore skip loop is a scalar-CPU idiom; on TPU/SIMD dense
+scanning wins -- SURVEY.md section 7).  The device fast path scans all
+terms in packed bit-parallel words; the host fallback uses vectorized
+numpy compares.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..compile import boolean
+from ..options import AgrepError, PROGNAME
+from .output import Sink
+
+MAXLINE = 1024
+
+
+def _fold_tr(nocase: bool) -> np.ndarray:
+    tr = np.arange(256, dtype=np.uint8)
+    if nocase:
+        for i in range(ord("A"), ord("Z") + 1):
+            tr[i] = i + 32
+    return tr
+
+
+def _prep_terms(raw_terms: list[str], opts) -> list[bytes]:
+    """prepf pattern normalization (newmgrep.c:323-345)."""
+    out = []
+    for t in raw_terms:
+        b = bytearray(t.encode("latin-1"))
+        if b and b[0:1] in (b"^", b"$"):
+            b[0] = 0x0A
+        if len(b) > 1 and b[-1:] in (b"^", b"$") and b[-2:-1] != b"\\":
+            b[-1] = 0x0A
+        # strip escapes
+        res = bytearray()
+        i = 0
+        while i < len(b):
+            if b[i] == 0x5C:  # backslash
+                i += 1
+                if i < len(b):
+                    res.append(b[i])
+                    i += 1
+            else:
+                res.append(b[i])
+                i += 1
+        if opts.wholeline:
+            res = bytearray(b"\n") + res + bytearray(b"\n")
+        out.append(bytes(res))
+    return out
+
+
+def _find_occurrences(stream: np.ndarray, term: bytes,
+                      tr: np.ndarray) -> np.ndarray:
+    """Start positions of folded-exact occurrences of term."""
+    n, L = len(stream), len(term)
+    if L == 0 or n < L:
+        return np.zeros(0, dtype=np.int64)
+    folded = tr[stream]
+    tf = tr[np.frombuffer(term, dtype=np.uint8)]
+    hit = folded[:n - L + 1] == tf[0]
+    for k in range(1, L):
+        hit &= folded[k:n - L + 1 + k] == tf[k]
+    return np.flatnonzero(hit)
+
+
+class MgrepEngine:
+    def __init__(self, q):
+        self.q = q
+        o = q.opts
+        self.terms = _prep_terms(q.terminals, o)
+        if not any(self.terms):
+            raise AgrepError("%s: the pattern file is empty" % PROGNAME)
+        self.p_size = min(len(t) for t in self.terms if t)
+        self.tr = _fold_tr(o.nocase is not None)
+        self.total_line = 0
+
+    def search_stream(self, data: np.ndarray, sink: Sink, D: int,
+                      memory_mode: bool = False) -> None:
+        q, o = self.q, self.q.opts
+        dl = len(q.delim)
+        if memory_mode:
+            stream = data
+            base = 0
+        else:
+            if q.delimiter_opt:
+                stream = np.concatenate([
+                    np.frombuffer(q.delim, dtype=np.uint8), data,
+                    np.frombuffer(q.delim, dtype=np.uint8)])
+                base = dl
+            else:
+                stream = np.concatenate([
+                    np.frombuffer(b"\n", dtype=np.uint8), data,
+                    np.frombuffer(b"\n", dtype=np.uint8)])
+                base = 1
+        N = len(stream)
+        if o.invert and o.count:
+            self.total_line += int(np.count_nonzero(data == 0x0A))
+
+        m1 = self.p_size - 1
+        # gather (anchor, pat_index, start, length) for all terms
+        anchors = []
+        for idx, t in enumerate(self.terms):
+            if not t:
+                continue
+            starts = _find_occurrences(stream, t, self.tr)
+            if o.wordbound:
+                keep = []
+                for s in starts:
+                    s = int(s)
+                    after = int(stream[s + len(t)]) if s + len(t) < N else 0
+                    before = int(stream[s - 1]) if s - 1 >= 0 else 0
+                    if not _isalnum(after) and not _isalnum(before):
+                        keep.append(s)
+                starts = np.asarray(keep, dtype=np.int64)
+            for s in starts:
+                anchors.append((int(s) + m1, idx, int(s), len(t)))
+        anchors.sort()
+
+        nl = np.flatnonzero(stream == 0x0A)
+        delim_ends = _find_delims_arr(stream, q.delim) \
+            if q.delimiter_opt else None
+
+        n_terms = len(self.terms)
+        matched_terms = np.zeros(n_terms, dtype=bool)
+        in_record = False
+        cur_begin = cur_end = 0
+        lastout = base
+        resume_at = -1
+
+        def record_span(anchor: int):
+            return _mgrep_record_span(stream, nl, delim_ends, anchor,
+                                      q, base)
+
+        def do_output(pat_index: int, anchor: int, begin: int, end: int,
+                      change_text: bool) -> bool:
+            """DO_OUTPUT macro (newmgrep.c:911-971). Returns stop flag."""
+            sink.num_matched += 1
+            if o.filename_only or o.silent:
+                if o.filename_only:
+                    sink.write_str("%s\n" % sink.current_filename)
+                return True
+            if not o.count:
+                printed = sink.emit_fname_prefix()
+                if o.printpattern:
+                    sink.write_str("%d- " % (pat_index + 1))
+                    printed = True
+                if o.bytecount:
+                    sink.write_str("%d= " % (anchor - base - m1 + 1 + 1))
+                    printed = True
+                if o.printoffset:
+                    cbo = anchor - base - m1 + 1 + 1
+                    sink.write_str("@%d{%d} " % (cbo - (anchor - begin),
+                                                 end - begin))
+                    printed = True
+                if not o.invert:
+                    if o.printrecord:
+                        sink.write(bytes(bytearray(stream[begin:end])))
+                    elif printed:
+                        sink.write_str("\n")
+                else:
+                    nonlocal lastout
+                    sink.write(bytes(bytearray(stream[lastout:begin])))
+                    lastout = end
+            if (o.limit_output > 0 and sink.num_matched >= o.limit_output) \
+                or (o.limit_per_file > 0 and
+                    sink.num_matched - sink.prev_num_matched
+                    >= o.limit_per_file):
+                return True
+            return False
+
+        is_and = q.bool_op == "and" and q.bool_tree is None
+        is_complex = q.bool_tree is not None
+
+        stop = False
+        for (anchor, idx, s, tl) in anchors:
+            if stop:
+                break
+            if anchor < resume_at:
+                continue
+            if in_record and anchor >= cur_end - 1 + 1:
+                # crossed the record boundary: flush complex verdict
+                if is_complex:
+                    hits = matched_terms[None, :]
+                    if boolean.eval_tree_vec(q.bool_tree, "or", hits)[0]:
+                        stop = do_output(0, cur_anchor, cur_begin, cur_end,
+                                         False)
+                in_record = False
+                matched_terms[:] = False
+            if not in_record:
+                cur_begin, cur_end = record_span(anchor)
+                cur_anchor = anchor
+                in_record = True
+            matched_terms[idx] = True
+            if is_complex:
+                continue
+            if is_and and not matched_terms.all():
+                continue
+            stop = do_output(idx, anchor, cur_begin, cur_end, True)
+            if o.multi_output:
+                resume_at = s + tl - 1
+                continue
+            resume_at = cur_end
+            in_record = False
+            matched_terms[:] = False
+
+        if not stop and in_record and is_complex:
+            hits = matched_terms[None, :]
+            if boolean.eval_tree_vec(q.bool_tree, "or", hits)[0]:
+                do_output(0, cur_anchor, cur_begin, cur_end, False)
+
+        if o.invert and not o.count and lastout <= N - 1 and not stop:
+            sink.write(bytes(bytearray(stream[lastout:N])))
+
+
+def _isalnum(b: int) -> bool:
+    return (48 <= b <= 57) or (65 <= b <= 90) or (97 <= b <= 122)
+
+
+def _find_delims_arr(stream: np.ndarray, delim: bytes) -> np.ndarray:
+    if len(delim) == 1:
+        return np.flatnonzero(stream == delim[0])
+    if len(stream) < len(delim):
+        return np.zeros(0, dtype=np.int64)
+    hit = np.ones(len(stream) - len(delim) + 1, dtype=bool)
+    for k, b in enumerate(delim):
+        hit &= stream[k:len(stream) - len(delim) + 1 + k] == b
+    return np.flatnonzero(hit) + len(delim) - 1
+
+
+def _mgrep_record_span(stream, nl, delim_ends, anchor, q, base):
+    """Record boundaries around an anchor (newmgrep.c:878-887)."""
+    N = len(stream)
+    if not q.delimiter_opt:
+        i = int(np.searchsorted(nl, anchor - 1, side="right")) - 1
+        begin = int(nl[i]) + 1 if i >= 0 else 0
+        j = int(np.searchsorted(nl, anchor + 1, side="left"))
+        end = int(nl[j]) + 1 if j < len(nl) else N
+        return begin, end
+    dl = len(q.delim)
+    i = int(np.searchsorted(delim_ends, anchor, side="left")) - 1
+    if i >= 0:
+        dstart = int(delim_ends[i]) - dl + 1
+        begin = dstart + dl if q.outtail else dstart
+    else:
+        begin = 0
+    j = int(np.searchsorted(delim_ends, anchor + dl, side="left"))
+    if j < len(delim_ends):
+        dstart = int(delim_ends[j]) - dl + 1
+        end = dstart + dl if q.outtail else dstart
+    else:
+        end = N
+    return begin, end
