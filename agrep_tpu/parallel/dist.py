@@ -59,7 +59,10 @@ def distributed_scan_count(shards: np.ndarray, mask_table: np.ndarray,
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     if mesh is None:
         mesh = make_mesh()
@@ -80,11 +83,14 @@ def distributed_scan_count(shards: np.ndarray, mask_table: np.ndarray,
         windows_list.append(w)
     windows = np.stack(windows_list)     # [n, T, S]
 
-    cvec = jnp.asarray([
+    cvec = np.asarray([
         consts.get("init0", 0), consts.get("init1_ns", 0),
         consts.get("noerr", 0), consts.get("d_endpos", 0),
         consts.get("endpos", 0), consts.get("d_mask", 0xFFFFFFFF),
-        0, 0], dtype=jnp.uint32)
+        0, 0], dtype=np.uint32)
+    # replicate per shard so machine constants are device-varying inside
+    # shard_map (keeps the scan's carry manual-axis types consistent)
+    cvec_sh = np.broadcast_to(cvec, (n, 8)).copy()
 
     from ..ops.scan import _get_jit
     scan_fn = _get_jit()
@@ -93,7 +99,7 @@ def distributed_scan_count(shards: np.ndarray, mask_table: np.ndarray,
 
     def per_shard(wnd, mt, cv):
         # wnd: [1, T, S] on this device
-        ev = scan_fn(wnd[0], mt, cv, D, W, "bitap", costs)   # [T, S]
+        ev = scan_fn(wnd[0], mt, cv[0], D, W, "bitap", costs)   # [T, S]
         body = ev[:, W:]
         flat = body.reshape(-1)[halo:]
         local = jnp.sum((flat & endpos) != 0).astype(jnp.int32)
@@ -102,9 +108,9 @@ def distributed_scan_count(shards: np.ndarray, mask_table: np.ndarray,
 
     fn = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P("shards"), P(), P()),
+        in_specs=(P("shards"), P(), P("shards")),
         out_specs=(P("shards"), P("shards")))
     total, locals_ = fn(jnp.asarray(windows), jnp.asarray(mask_table),
-                        cvec)
+                        jnp.asarray(cvec_sh))
     _ = overlap
     return int(np.asarray(total)[0]), np.asarray(locals_)
