@@ -102,6 +102,11 @@ class BitapEngine:
                 sink.write_str("%s\n" % sink.current_filename)
                 sink.new_file = False
                 return
+            # bitap.c:213/268 guard: no output when the record starts at
+            # or past the end of the real data (the appended delimiter)
+            data_end = len(data) if memory_mode else 1 + len(data) - 1
+            if lasti >= data_end:
+                continue
             byte_offset = pk + 1 - dl_off
             if not memory_mode and print_end - lasti > MAX_RECORD:
                 sink.truncate = True
@@ -127,19 +132,31 @@ class SgrepEngine:
             stream = data
             base = 0
         elif q.delimiter_opt:
-            # with -d the driver writes the delimiter, not a newline,
-            # around the data (sgrep.c:400,483-484)
-            stream = np.concatenate(
-                [data, np.frombuffer(q.delim, dtype=np.uint8)])
+            # with -d the scan buffer is the bare data: the delimiter is
+            # written *before* the scan start (sgrep.c:400) and record
+            # searches that find no delimiter stop at the buffer edges
+            stream = data
             base = 0
         else:
             stream = np.concatenate(
                 [np.frombuffer(b"\n", dtype=np.uint8), data])
             base = 1
         N = len(stream)
-        events = scan_ops.scan_events(
-            stream, q.sg_mask, q.sg_consts, D, "sgrep")
-        pos = np.flatnonzero(events)
+        if q.sg_sub == "a_monkey" and not memory_mode:
+            # the long-approx filter can miss real matches; emulate its
+            # control flow instead of dense scanning (sgrep_sim)
+            from . import sgrep_sim
+            mpb, blocks, _ = sgrep_sim.a_monkey_scan(
+                data, q.sg_pattern, D, q.delimiter_opt, q.delim)
+            plist = []
+            for bm_list, (bstart, _bend, gstart) in zip(mpb, blocks):
+                for bp in bm_list:
+                    plist.append(gstart + (bp - bstart) + base)
+            pos = np.asarray(sorted(plist), dtype=np.int64)
+        else:
+            events = scan_ops.scan_events(
+                stream, q.sg_mask, q.sg_consts, D, "sgrep")
+            pos = np.flatnonzero(events)
         m = q.sg_m
 
         if o.wordbound and D == 0:
@@ -165,6 +182,13 @@ class SgrepEngine:
                 and not q.delimiter_opt and q.sg_sub == "bm"):
             self._bm_inverse_blocks(data, stream, base, pos, nl, sink)
             return
+        # with -d each engine call restarts its complement pointer at
+        # the block start, so spans between a block's last delimiter and
+        # the next match are never printed (sgrep.c:396-403 + lastout)
+        if (o.invert and not o.count and not memory_mode
+                and q.delimiter_opt):
+            self._inverse_blocks_delim(data, pos, sink, D)
+            return
 
         # agrep() (D>0 partition engine) overcounts events that a fresh
         # candidate round re-scans inside an already-output record;
@@ -181,7 +205,7 @@ class SgrepEngine:
         # CurrentByteOffset at a match: bm tracks the match's last char
         # relative to the data start; agrep() (D>0) is one past it
         # (sgrep.c:738 vs :1178).  WHOLELINE's start--/CBO-- cancel out.
-        cbo_adj = -base + (1 if D > 0 else 0)
+        cbo_adj = -base + (1 if (D > 0 and q.sg_sub == 'agrep') else 0)
         appended_newline = False
         records_counted = 0
         for p in pos:
@@ -191,7 +215,10 @@ class SgrepEngine:
             begin, end = self._record_span(stream, nl, delim_ends, p, D)
             if end > N:
                 end = N
-                appended_newline = stream[N - 1] != 0x0A
+                # bm appends an artificial newline for hits on a last
+                # line without one (sgrep.c:786-789); not with -d
+                appended_newline = (not q.delimiter_opt
+                                    and stream[N - 1] != 0x0A)
             sink.num_matched += 1
             records_counted += 1
             if o.filename_only:
@@ -214,6 +241,63 @@ class SgrepEngine:
             sink.write(bytes(bytearray(stream[lastout:N])))
         if c_count is not None:
             sink.num_matched += c_count - records_counted
+
+    def _inverse_blocks_delim(self, data, pos, sink, D):
+        """INVERSE with -d: per-engine-call complement printing with
+        the delimiter-trimmed block spans (sgrep.c:395-403,934-966)."""
+        from . import sgrep_sim
+        q, o = self.q, self.q.opts
+        dl = len(q.delim)
+        vb = sgrep_sim.VirtualSgrepBuffer(
+            data, q.sg_pattern, True, q.delim, q.outtail)
+        ev_g = pos  # stream == data for -d (base 0)
+        for (start, end, gstart) in vb.blocks():
+            g_end = gstart + (end - start)
+            sel = ev_g[(ev_g >= gstart) & (ev_g <= g_end)]
+            # delimiter ends within this block's data range
+            seg = data[gstart:g_end + 1]
+            dends = _find_delims(seg, q.delim)
+            lastout = gstart
+            lastend = gstart
+            resume_buf = []
+            for e in sel:
+                e = int(e)
+                if e < lastend:
+                    continue
+                # record span around e in data coords
+                i = int(np.searchsorted(dends + gstart, e, "left")) - 1
+                if i >= 0:
+                    dstart = int(dends[i]) + gstart - dl + 1
+                    rbeg = dstart + dl if q.outtail else dstart
+                else:
+                    rbeg = gstart
+                jdx = int(np.searchsorted(dends + gstart, e + dl, "left"))
+                if jdx < len(dends):
+                    dstart = int(dends[jdx]) + gstart - dl + 1
+                    rend = dstart + dl if q.outtail else dstart
+                else:
+                    rend = g_end + 2
+                sink.num_matched += 1
+                if o.filename_only:
+                    sink.write_str("%s\n" % sink.current_filename)
+                    return
+                sink.write(bytes(bytearray(
+                    data[lastout:max(rbeg, lastout)])))
+                lastout = rend
+                lastend = rend
+                resume_buf.append(start + (rend - gstart))
+            survives = True
+            if D == 0 and q.sg_sub == "bm":
+                tr = np.arange(256, dtype=np.uint8)
+                for cch in range(ord("A"), ord("Z") + 1):
+                    tr[cch] = cch + 32
+                shift_tab, shift_1 = sgrep_sim.build_bm_tables(
+                    q.sg_pattern, tr)
+                survives = sgrep_sim.bm_inverse_survives(
+                    vb.buf, start, end, q.sg_pattern, tr, shift_tab,
+                    shift_1, resume_buf)
+            if survives and lastout <= g_end:
+                sink.write(bytes(bytearray(data[lastout:g_end + 1])))
 
     def _bm_inverse_blocks(self, data, stream, base, pos, nl, sink):
         """Per-block INVERSE output with bm()'s early-return emulation
@@ -309,6 +393,9 @@ class Executor:
         elif q.engine_class == "mgrep":
             from .mgrep import MgrepEngine
             self.engine = MgrepEngine(q)
+        elif q.engine_class == "regex":
+            from .regex_engine import RegexEngine
+            self.engine = RegexEngine(q)
         else:
             raise NotImplementedError(q.engine_class)
 
@@ -443,11 +530,14 @@ class Executor:
 
 
 def q2_with_d(q, D: int):
-    """Recompile a query for a different error budget (used by -B)."""
+    """Recompile a query for a different error budget (used by -B).
+
+    BESTMATCH stays on: checksg kept SGREP off for the original compile
+    (checksg.c:127), so the -B rescans run on the mask machine, never
+    the simple fast path (agrep.c:3607-3608 uses the stale SGREP)."""
     import copy
     from ..compile.query import compile_query
     o = copy.deepcopy(q.opts)
     o.D = D
     o.approx = False
-    o.bestmatch = False
     return compile_query(q.pattern, o)

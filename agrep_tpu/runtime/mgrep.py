@@ -96,10 +96,14 @@ class MgrepEngine:
             base = 0
         else:
             if q.delimiter_opt:
+                # mgrep() overwrites the first D_length data bytes with
+                # the delimiter on the first block (newmgrep.c:511-512
+                # runs with residue==0) and appends one at EOF
+                # (newmgrep.c:574) -- observable, pinned behaviour.
                 stream = np.concatenate([
-                    np.frombuffer(q.delim, dtype=np.uint8), data,
-                    np.frombuffer(q.delim, dtype=np.uint8)])
-                base = dl
+                    data, np.frombuffer(q.delim, dtype=np.uint8)])
+                stream[:dl] = np.frombuffer(q.delim, dtype=np.uint8)
+                base = 0
             else:
                 stream = np.concatenate([
                     np.frombuffer(b"\n", dtype=np.uint8), data,
@@ -158,10 +162,10 @@ class MgrepEngine:
                     sink.write_str("%d- " % (pat_index + 1))
                     printed = True
                 if o.bytecount:
-                    sink.write_str("%d= " % (anchor - base - m1 + 1 + 1))
+                    sink.write_str("%d= " % (anchor - base - m1 + 1))
                     printed = True
                 if o.printoffset:
-                    cbo = anchor - base - m1 + 1 + 1
+                    cbo = anchor - base - m1 + 1
                     sink.write_str("@%d{%d} " % (cbo - (anchor - begin),
                                                  end - begin))
                     printed = True
@@ -221,8 +225,12 @@ class MgrepEngine:
             if boolean.eval_tree_vec(q.bool_tree, "or", hits)[0]:
                 do_output(0, cur_anchor, cur_begin, cur_end, False)
 
-        if o.invert and not o.count and lastout <= N - 1 and not stop:
-            sink.write(bytes(bytearray(stream[lastout:N])))
+        if o.invert and not o.count and not stop:
+            # monkey1's tail stops at the last data byte (textend),
+            # excluding the driver's appended delimiter
+            data_end = base + len(data)
+            if lastout <= data_end - 1:
+                sink.write(bytes(bytearray(stream[lastout:data_end])))
 
 
 def _isalnum(b: int) -> bool:

@@ -1,0 +1,130 @@
+"""Regex-with-errors record engine (reference re()/re1(),
+agrep.c:468-1917, output via r_output:1919-2044).
+
+Lines are scanned record-parallel (agrep_tpu.ops.renfa); this module
+handles line bucketing, the sentinel check, and r_output's byte-exact
+decorations.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..ops import renfa, scan as scan_ops
+from .output import Sink
+
+MAXLINE_BUCKETS = (32, 128, 512, 2048, 8192, 49152)
+
+
+class RegexEngine:
+    def __init__(self, q):
+        self.q = q
+        self.mc = q.re_mc
+
+    def search_stream(self, data: np.ndarray, sink: Sink, D: int,
+                      memory_mode: bool = False) -> None:
+        q, o, mc = self.q, self.q.opts, self.mc
+        if memory_mode:
+            stream = data
+        else:
+            parts = [np.frombuffer(b"\n", dtype=np.uint8), data]
+            if len(data) == 0 or data[-1] != 0x0A:
+                # re1:517 appends a newline at EOF when missing; the
+                # r_output i >= end guard then swallows that line
+                parts.append(np.frombuffer(b"\n", dtype=np.uint8))
+                appended = True
+            else:
+                appended = False
+            stream = np.concatenate(parts)
+        N = len(stream)
+        nl = np.flatnonzero(stream == 0x0A)
+        if len(nl) == 0:
+            return
+
+        # sentinel check (the first '\n' is processed from the Init[k]
+        # closure states; every later newline resets identically)
+        states, matched0 = renfa.step_newline(
+            list(mc["inits"]), int(mc["mask"][0x0A]), mc)
+        cont_states = states
+
+        n_lines = len(nl) - 1
+        verdicts = np.zeros(n_lines, dtype=bool)
+        if n_lines:
+            line_start = nl[:-1] + 1
+            line_end = nl[1:]                  # index of trailing '\n'
+            line_len = (line_end - line_start).astype(np.int64)
+            order = np.argsort(line_len, kind="stable")
+            backend = ("jax" if scan_ops._BACKEND == "jax" else "numpy")
+            i = 0
+            while i < len(order):
+                L = 1
+                for b in MAXLINE_BUCKETS:
+                    if line_len[order[i]] + 1 <= b:
+                        L = b
+                        break
+                else:
+                    L = int(line_len[order[i]]) + 1
+                j = i
+                while j < len(order) and line_len[order[j]] + 1 <= L:
+                    j += 1
+                idxs = order[i:j]
+                R = len(idxs)
+                lanes = np.zeros((R, L), dtype=np.uint8)
+                lens = np.empty(R, dtype=np.int64)
+                for r, li in enumerate(idxs):
+                    s, e = int(line_start[li]), int(line_end[li])
+                    lanes[r, :e - s + 1] = stream[s:e + 1]
+                    lens[r] = e - s
+                first = mc["inits"] if False else cont_states
+                fs = cont_states
+                if (idxs == 0).any():
+                    # lane for line 1 starts from the post-sentinel
+                    # state -- identical to cont_states (reset ignores
+                    # prior state), so nothing special needed.
+                    pass
+                got = renfa.scan_records(lanes, lens, mc, fs,
+                                         cont_states, backend=backend)
+                verdicts[idxs] = got
+                i = j
+            _ = first
+
+        # output pass (r_output conventions)
+        for k in range(n_lines):
+            v = bool(verdicts[k]) ^ o.invert
+            if not v:
+                continue
+            p = int(nl[k + 1])                 # stream pos of the '\n'
+            if not memory_mode and appended and p == N - 1:
+                continue                       # r_output i >= end guard
+            j = k + 2                          # j counter at this check
+            if j < 1:
+                continue
+            sink.num_matched += 1
+            if o.count:
+                continue
+            if o.filename_only:
+                sink.write_str("%s\n" % sink.current_filename)
+                return
+            bp = int(nl[k]) + 1                # line start
+            printed = sink.emit_fname_prefix()
+            if o.linenum:
+                sink.write_str("%d: " % (j - 1))
+                printed = True
+            if o.bytecount:
+                sink.write_str("%d= " % (p - 1))
+                printed = True
+            if o.printoffset:
+                sink.write_str("@%d{%d} " % (p - 1 - (p - bp), p - bp))
+                printed = True
+            if o.printrecord:
+                sink.write(bytes(bytearray(stream[bp:p + 1])))
+            elif printed:
+                sink.write_str("\n")
+            if (o.limit_output > 0
+                    and sink.num_matched >= o.limit_output) or \
+               (o.limit_per_file > 0 and sink.num_matched
+                    - sink.prev_num_matched >= o.limit_per_file):
+                return
+        _ = matched0

@@ -43,7 +43,7 @@ class VirtualSgrepBuffer:
     with the evolving virtual buffer accessible as .buf."""
 
     def __init__(self, data: np.ndarray, pat: bytes, delimiter: bool,
-                 d_pattern: bytes = b"\n"):
+                 d_pattern: bytes = b"\n", outtail: bool = False):
         self.data = data
         self.pat = pat
         self.m = len(pat)
@@ -52,6 +52,7 @@ class VirtualSgrepBuffer:
         self.buf[OFFSET - 1] = 0x0A
         self.delimiter = delimiter
         self.d_pattern = d_pattern
+        self.outtail = outtail
         self.pos = 0
 
     def blocks(self):
@@ -79,6 +80,22 @@ class VirtualSgrepBuffer:
                     while self.buf[end] != 0x0A and end > OFFSET:
                         end -= 1
                 self.buf[start - 1] = 0x0A
+            else:
+                # trim to the last delimiter occurrence (sgrep.c:396-400)
+                dp = self.d_pattern
+                dl = len(dp)
+                e = end + 1 - dl
+                found = -1
+                while e >= OFFSET:
+                    if bytes(bytearray(self.buf[e:e + dl])) == dp:
+                        found = e
+                        break
+                    e -= 1
+                if found >= OFFSET + dl:
+                    end = (found + dl - 1) if self.outtail else (found - 1)
+                if start - dl >= 0:
+                    self.buf[start - dl:start] = np.frombuffer(
+                        dp, dtype=np.uint8)
             residue = buf_end - end + 1
             yield start, end, gstart
             gstart = gstart + (end - start) + 1
@@ -195,10 +212,13 @@ def agrep_c_count(data: np.ndarray, events_g: np.ndarray, nl_g: np.ndarray,
             # index jumps (to the record end, or to lastend), so events
             # inside the jumped-over span are never encountered.
             i = clo
+            m_pat = len(pat)
             for e in sel:
                 idx = int(e) - lo_g + 1   # C's i after consuming the char
                 if idx <= i:
                     continue              # jumped over: never seen
+                if idx < clo + (m_pat - D):
+                    continue              # cold start: not warmed up yet
                 count += 1
                 if idx <= lastend:
                     i = lastend           # counted but not output
@@ -211,6 +231,162 @@ def agrep_c_count(data: np.ndarray, events_g: np.ndarray, nl_g: np.ndarray,
                 lastend = i
         _ = hi_g
     return count
+
+
+def verify_dp(m: int, n: int, D: int, pat: bytes, window) -> int:
+    """Banded Ukkonen verifier -- structural twin of sgrep.c
+    verify:2118-2181 (two alternating rows A/B, the `last` frontier,
+    the mid-window newline reset).  Returns the offset of the match end
+    within window, or 0.  pat is NUL-extended like the C buffer."""
+    A = list(range(260))
+    B = list(range(260))
+    last = D
+    patx = pat + b"\x00" * (260 - len(pat))
+    t = 0
+    wlen = len(window)
+
+    def ch(i):
+        return window[i] if 0 <= i < wlen else 0
+
+    while t < n:
+        for k in range(1, last + 1):
+            cost = B[k - 1] + 1
+            if patx[k - 1] != ch(t):
+                if B[k] + 1 < cost:
+                    cost = B[k] + 1
+                if A[k - 1] + 1 < cost:
+                    cost = A[k - 1] + 1
+            else:
+                cost = cost - 1
+            A[k] = cost
+        if patx[last] == ch(t):
+            A[last + 1] = B[last]
+            last += 1
+        t += 1
+        if A[last] < D:
+            # verbatim C is `A[last+1] = A[last++]+1` -- unsequenced;
+            # gcc materializes the destination AFTER the increment, so
+            # the write lands one slot further and A[new last] is stale
+            tmp = A[last] + 1
+            last += 1
+            A[last + 1] = tmp
+        while A[last] > D:
+            last -= 1
+        if last >= m:
+            return t - 1
+        if ch(t) == 0x0A:
+            last = D
+            for c in range(m + 2):
+                A[c] = B[c] = c
+        for k in range(1, last + 1):
+            cost = A[k - 1] + 1
+            if patx[k - 1] != ch(t):
+                if A[k] + 1 < cost:
+                    cost = A[k] + 1
+                if B[k - 1] + 1 < cost:
+                    cost = B[k - 1] + 1
+            else:
+                cost = cost - 1
+            B[k] = cost
+        if patx[last] == ch(t):
+            B[last + 1] = A[last]
+            last += 1
+        t += 1
+        if B[last] < D:
+            tmp = B[last] + 1
+            last += 1
+            B[last + 1] = tmp
+        while B[last] > D:
+            last -= 1
+        if last >= m:
+            return t - 1
+        if ch(t) == 0x0A:
+            last = D
+            for c in range(m + 2):
+                A[c] = B[c] = c
+    return 0
+
+
+def a_monkey_scan(data: np.ndarray, pat: bytes, D: int,
+                  delimiter: bool = False, d_pattern: bytes = b"\n"):
+    """Faithful emulation of a_monkey (sgrep.c:1839-2068): backward
+    q-gram chain filter + verify DP.  The filter can MISS real matches
+    (pinned reference behaviour), so the dense event stream cannot
+    drive this sub-engine.  Returns a list of
+    (match_end_buffer_pos, gstart, block_start, block_end, cbo)
+    tuples plus per-block info for INVERSE handling."""
+    m = len(pat)
+    m1 = m - 1 - D
+    hashmask = 0xFFFF
+    member = np.zeros(65536, dtype=np.uint8)
+    for b in pat:
+        member[b] = 1
+    for i in range(m - 1, 0, -1):
+        member[((pat[i] << 8) + pat[i - 1]) & hashmask] = 1
+    vb = VirtualSgrepBuffer(data, pat, delimiter, d_pattern)
+    matches = []
+    blocks = []
+    for (start, end, gstart) in vb.blocks():
+        buf = vb.buf
+        textend = end
+        text = start
+        oldtext = text
+        block_matches = []
+        guard = 0
+        while text < textend:
+            text = text + m1
+            suffix_error = 0
+            while suffix_error <= D:
+                if text < 0:
+                    break
+                h = int(buf[text]) if text < len(buf) else 0
+                text -= 1
+                while member[h]:
+                    if text < 0:
+                        break
+                    h = ((h << 8) + int(buf[text])) & hashmask
+                    text -= 1
+                suffix_error += 1
+            guard += 1
+            if guard > 4 * (end - start + 16):
+                break
+            if text <= oldtext:
+                win = bytes(bytearray(
+                    buf[oldtext:oldtext + 2 * m + D]))
+                pos = verify_dp(m, 2 * m + D, D, pat, win)
+                if pos > 0:
+                    text = oldtext + pos
+                    if text > textend:
+                        break
+                    block_matches.append(text)
+                    # caller jumps text to the record end
+                    rec_end = _record_end_buf(buf, text, textend,
+                                              delimiter, d_pattern)
+                    text = rec_end
+                else:
+                    text = oldtext + m
+            oldtext = text
+        matches.append(block_matches)
+        blocks.append((start, end, gstart))
+    return matches, blocks, vb
+
+
+def _record_end_buf(buf, pos, textend, delimiter, d_pattern):
+    """curtextend for a match at pos (a_monkey:1891-1894)."""
+    if not delimiter:
+        t = pos + 1
+        while t < textend and buf[t] != 0x0A:
+            t += 1
+        if t < len(buf) and buf[t] == 0x0A:
+            t += 1
+        return t
+    dl = len(d_pattern)
+    t = pos + 1
+    while t + dl <= textend:
+        if bytes(bytearray(buf[t:t + dl])) == d_pattern:
+            return t + dl if False else t
+        t += 1
+    return textend + 1
 
 
 def build_agrep_tables(pat: bytes, D: int):
@@ -288,7 +464,7 @@ def agrep_candidates(buf: np.ndarray, start: int, end: int,
                 cands[-1] = (cands[-1][0], i + M + D)
         sh = d1
     n = textend - start
-    out = []
-    for (lo, hi) in cands[1:] if len(cands) > 1 else []:
-        out.append((max(lo, 0), min(hi, n)))
-    return out
+    # Candidate[0] starts as a (0,0) sentinel but the first nearby hit
+    # extends it in place (sgrep.c:1146-1150), and the rounds loop scans
+    # round 0 too (sgrep.c:1166): keep it.
+    return [(max(lo, 0), min(hi, n)) for (lo, hi) in cands]

@@ -11,8 +11,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ORACLE = os.path.join(REPO, ".oracle", "agrep")
 
 
-def run_oracle(args: list[str], cwd=None):
-    p = subprocess.run([ORACLE] + args, capture_output=True, cwd=cwd)
+def _enc(args):
+    return [a.encode("latin-1") if isinstance(a, str) else a for a in args]
+
+
+def run_oracle(args, cwd=None):
+    p = subprocess.run([ORACLE.encode()] + _enc(args), capture_output=True,
+                       cwd=cwd)
     return p.stdout, p.stderr, p.returncode & 0xFF
 
 
@@ -21,8 +26,8 @@ def run_ours(args: list[str], cwd=None, backend="numpy"):
     env["AGREP_TPU_BACKEND"] = backend
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)  # keep subprocesses off the TPU
-    p = subprocess.run([sys.executable, "-m", "agrep_tpu.cli"] + args,
-                       capture_output=True, cwd=cwd, env=env)
+    p = subprocess.run([sys.executable.encode(), b"-m", b"agrep_tpu.cli"]
+                       + _enc(args), capture_output=True, cwd=cwd, env=env)
     return p.stdout, p.stderr, p.returncode & 0xFF
 
 
