@@ -233,9 +233,9 @@ def _compile_regex(pattern, rw, opts, lut) -> CompiledQuery:
     trimmed = meta[idx:]
     t = masks.maskgen(trimmed, opts.D, d_length=rw.d_length,
                       nocase=opts.nocase is not None, regex=True)
-    auto = remod.build_automaton(rw.r_pat)
-    if auto.m != t.m:
-        raise AgrepError("%s: illegal regular expression" % PROGNAME)
+    # bit base uses maskgen's M even when it disagrees with the parser
+    # (a '?' in the pattern -- see build_automaton's m_override note)
+    auto = remod.build_automaton(rw.r_pat, m_override=t.m)
     # re/re1 never apply the codepage LUT to text (agrep.c:528,804);
     # case folding happens only through maskgen's ASCII mask-row fold.
     mc = renfa.machine_from_automaton(

@@ -225,8 +225,16 @@ class RegexAutomaton:
     pos_ranges: list          # per-position char ranges (for kernels)
 
 
-def build_automaton(r_pat: str) -> RegexAutomaton:
-    """extend_re + parse + mk_followpos + the compute_next bit layout."""
+def build_automaton(r_pat: str,
+                    m_override: int | None = None) -> RegexAutomaton:
+    """extend_re + parse + mk_followpos + the compute_next bit layout.
+
+    m_override: the mask generator's position count.  Normally it
+    equals the parser's count, but a '?' in the pattern gets a maskgen
+    position while the parser treats it as an operator; the reference
+    then runs with misaligned tables (compute_next uses the maskgen M
+    for the bit base, agrep.c:405).  Passing maskgen's M reproduces
+    that exactly."""
     src = ".*(" + r_pat + ")"
     p = _Parser(src)
     try:
@@ -244,12 +252,12 @@ def build_automaton(r_pat: str) -> RegexAutomaton:
         raise AgrepError("%s: regular expression too long" % PROGNAME)
 
     fpos = _followpos(tree, npos)
-    # Parse position p maps to bit 1 << (M - p) with M = num_pos - 1:
-    # position 0 (the '.*') is the top bit 1 << M, the TAIL dot
-    # (position M) is the LSB = the match flag; EOS holds no bit.
-    M = num_pos - 1
+    # Parse position p maps to bit 1 << (M - p): position 0 (the '.*')
+    # is the top bit 1 << M, the TAIL dot is normally the LSB = the
+    # match flag; EOS holds no bit.
+    M = num_pos - 1 if m_override is None else m_override
     follow_bits = np.zeros(33, dtype=np.uint32)
-    for pnum in range(num_pos):
+    for pnum in range(min(num_pos, M)):
         entries = sorted(x for x in fpos[pnum] if 0 < x <= M)
         entries = entries[:10]        # compute_next j < 10 quirk
         bits = 0
