@@ -21,11 +21,15 @@ def main(argv: list[str] | None = None) -> int:
     except AgrepError as e:
         # initial_value() zeroes EXITONERROR before any error can fire
         # (agrep.c:347,2076), so the reference CLI reports -1 -> 255
+        from . import help as helpmod
+        if getattr(e, "version", False):
+            helpmod.print_version()
+            return 0
         msg = str(e)
         if msg:
             print(msg, file=sys.stderr)
         if e.show_usage:
-            _usage()
+            helpmod.print_usage()
         return 255
     except OutputOverflow:
         return 255
@@ -35,10 +39,6 @@ def main(argv: list[str] | None = None) -> int:
     return ret & 0xFF
 
 
-def _usage() -> None:
-    from .version import REFERENCE_VERSION
-    print("usage: agrep [-#cdehiklnpqrstvwxyBDGHIMSV] [-f patternfile] "
-          "pattern [files...]", file=sys.stderr)
 
 
 if __name__ == "__main__":

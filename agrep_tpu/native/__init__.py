@@ -1,0 +1,98 @@
+"""ctypes bindings for the native host runtime (agrep_host.cpp).
+
+The library is built on demand by tools/build_native.sh (g++ -O3
+-shared); when it is missing and no compiler is available, callers fall
+back to the pure-Python implementations in runtime/sgrep_sim.py --
+identical semantics, just slower on large inputs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "libagrep_host.so")
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    src = os.path.join(_HERE, "agrep_host.cpp")
+    try:
+        subprocess.check_call(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             "-o", _LIB_PATH, src],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Returns the loaded library or None."""
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    if _tried:
+        return None
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    i64 = ctypes.c_int64
+    u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+
+    lib.find_delims.restype = i64
+    lib.find_delims.argtypes = [u8p, i64, u8p, i64, i64p, i64]
+    lib.find_occurrences.restype = i64
+    lib.find_occurrences.argtypes = [u8p, i64, u8p, i64, u8p, i64p, i64]
+    lib.bm_inverse_survives.restype = ctypes.c_int
+    lib.bm_inverse_survives.argtypes = [u8p, i64, i64, i64, u8p, i64,
+                                        i32p, ctypes.c_int32, u8p,
+                                        i64p, i64]
+    lib.agrep_candidates.restype = i64
+    lib.agrep_candidates.argtypes = [u8p, i64, i64, i64, u8p, i64, i64,
+                                     i32p, ctypes.c_int32, u8p, i64p,
+                                     i64]
+    lib.verify_dp.restype = i64
+    lib.verify_dp.argtypes = [i64, i64, i64, u8p, u8p, i64]
+    lib.a_monkey_block.restype = i64
+    lib.a_monkey_block.argtypes = [u8p, i64, i64, i64, u8p, i64, i64,
+                                   u8p, i64p, i64]
+    _lib = lib
+    return lib
+
+
+def find_occurrences(stream: np.ndarray, term: bytes,
+                     tr: np.ndarray) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = max(16, len(stream))
+    out = np.empty(cap, dtype=np.int64)
+    t = np.frombuffer(term, dtype=np.uint8)
+    n = lib.find_occurrences(np.ascontiguousarray(stream),
+                             len(stream), np.ascontiguousarray(t),
+                             len(t), np.ascontiguousarray(tr), out, cap)
+    return out[:n].copy()
+
+
+def verify_dp(m, n, D, pat: bytes, window: bytes) -> int | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.frombuffer(pat, dtype=np.uint8)
+    w = np.frombuffer(window, dtype=np.uint8)
+    return int(lib.verify_dp(m, n, D,
+                             np.ascontiguousarray(p),
+                             np.ascontiguousarray(w), len(w)))

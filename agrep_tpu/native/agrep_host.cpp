@@ -1,0 +1,275 @@
+// Native host-side runtime for agrep_tpu.
+//
+// The TPU owns the dense scan; this library owns the byte-sequential
+// host work that would be slow in Python:
+//
+//  * the reference-conformance control-flow emulations (Boyer-Moore
+//    skip-loop walk for the -v early-return quirk, the partition
+//    engine's candidate construction, the long-approximate filter +
+//    banded verifier) -- see agrep_tpu/runtime/sgrep_sim.py for the
+//    specification; these are the same algorithms at C speed,
+//  * multi-string occurrence search for the mgrep engine,
+//  * record-boundary search for arbitrary delimiters.
+//
+// Exposed as a plain C ABI consumed through ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------
+// Record/delimiter scanning
+// ---------------------------------------------------------------
+
+// Find all occurrences of delim in buf; writes end positions (index of
+// the delimiter's LAST byte).  Returns count (capped at cap).
+int64_t find_delims(const uint8_t* buf, int64_t n, const uint8_t* delim,
+                    int64_t dl, int64_t* out, int64_t cap) {
+    int64_t cnt = 0;
+    if (dl == 1) {
+        const uint8_t* p = buf;
+        const uint8_t* e = buf + n;
+        while (p < e && cnt < cap) {
+            const uint8_t* q =
+                (const uint8_t*)memchr(p, delim[0], e - p);
+            if (!q) break;
+            out[cnt++] = q - buf;
+            p = q + 1;
+        }
+        return cnt;
+    }
+    const uint8_t* p = buf;
+    const uint8_t* e = buf + n;
+    while (p + dl <= e && cnt < cap) {
+        const uint8_t* q =
+            (const uint8_t*)memmem(p, e - p, delim, dl);
+        if (!q) break;
+        out[cnt++] = (q - buf) + dl - 1;
+        p = q + 1;
+    }
+    return cnt;
+}
+
+// Multi-string exact occurrence search (folded): start positions of
+// term in buf under fold table tr.  Returns count (capped).
+int64_t find_occurrences(const uint8_t* buf, int64_t n,
+                         const uint8_t* term, int64_t tl,
+                         const uint8_t* tr, int64_t* out, int64_t cap) {
+    if (tl <= 0 || n < tl) return 0;
+    int64_t cnt = 0;
+    uint8_t t0 = tr[term[0]];
+    for (int64_t i = 0; i + tl <= n && cnt < cap; i++) {
+        if (tr[buf[i]] != t0) continue;
+        int64_t k = 1;
+        while (k < tl && tr[buf[i + k]] == tr[term[k]]) k++;
+        if (k == tl) out[cnt++] = i;
+    }
+    return cnt;
+}
+
+// ---------------------------------------------------------------
+// bm() skip-loop walk (sgrep.c:723-985) -- INVERSE tail decision
+// ---------------------------------------------------------------
+
+// Returns 1 if bm reaches its INVERSE tail print, 0 on early return.
+int bm_inverse_survives(const uint8_t* buf, int64_t buflen,
+                        int64_t start, int64_t end, const uint8_t* pat,
+                        int64_t m, const int32_t* shift_tab,
+                        int32_t shift_1, const uint8_t* tr,
+                        const int64_t* resume, int64_t n_resume) {
+    int64_t text = start;
+    int64_t sh = 0;
+    int64_t textend = end;
+    int64_t ridx = 0;
+    int64_t guard = 0;
+    int64_t guard_max = 10 * (end - start + m + 512);
+    while (text < textend) {
+        while (sh) {
+            text += sh;
+            if (text >= buflen) return 0;
+            sh = shift_tab[buf[text]];
+            if (++guard > guard_max) return 0;
+        }
+        int64_t j = 0;
+        while (j < m && text - j >= 0 &&
+               tr[buf[text - j]] == tr[pat[m - 1 - j]]) j++;
+        if (j == m) {
+            if (text > textend) return 0;   // sgrep.c:748
+            while (ridx < n_resume && resume[ridx] <= text) ridx++;
+            if (ridx - 1 >= 0 && ridx - 1 < n_resume &&
+                resume[ridx - 1] > text) {
+                text = resume[ridx - 1];
+            } else {
+                int64_t t = text + 1;
+                while (t < textend && buf[t] != '\n') t++;
+                text = t + 1;
+            }
+            sh = (text < buflen) ? shift_tab[buf[text]] : 1;
+        } else {
+            sh = shift_1;
+        }
+    }
+    return 1;
+}
+
+// ---------------------------------------------------------------
+// agrep() candidate construction (sgrep.c:1123-1154)
+// ---------------------------------------------------------------
+
+// Writes (lo, hi) pairs relative to `start`; returns pair count.
+int64_t agrep_candidates(const uint8_t* buf, int64_t buflen,
+                         int64_t start, int64_t end, const uint8_t* pat,
+                         int64_t M, int64_t D, const int32_t* shift_tab,
+                         int32_t d1, const uint8_t* member,
+                         int64_t* out, int64_t cap) {
+    int64_t m = M / (D + 1);
+    int64_t r1 = (m < 3) ? m : 3;
+    int64_t text = start;
+    int64_t textend = end;
+    int64_t sh = m - 1;
+    int64_t cnt = 1;
+    out[0] = 0; out[1] = 0;  // sentinel candidate (round 0)
+    while (text < textend) {
+        text += sh;
+        if (text >= buflen) break;
+        sh = shift_tab[buf[text]];
+        while (sh) {
+            text += sh;
+            if (text >= buflen) { sh = 0; break; }
+            sh = shift_tab[buf[text]];
+            text += sh;
+            if (text >= buflen) { sh = 0; break; }
+            sh = shift_tab[buf[text]];
+        }
+        if (text >= buflen) break;
+        int64_t h = buf[text];
+        for (int64_t j = 1; j < r1; j++) h = (h << 2) + buf[text - j];
+        if (member[h & 8191]) {
+            int64_t i = text - start;
+            if (i - M - D - 10 > out[2 * (cnt - 1) + 1]) {
+                if (cnt >= cap) break;
+                out[2 * cnt] = i - M - D - 2;
+                out[2 * cnt + 1] = i + M + D;
+                cnt++;
+            } else {
+                out[2 * (cnt - 1) + 1] = i + M + D;
+            }
+        }
+        sh = d1;
+    }
+    return cnt;
+}
+
+// ---------------------------------------------------------------
+// verify() banded DP (sgrep.c:2118-2181), including gcc's resolution
+// of the unsequenced A[last+1] = A[last++]+1 (destination address is
+// materialized after the increment).
+// ---------------------------------------------------------------
+
+int64_t verify_dp(int64_t m, int64_t n, int64_t D, const uint8_t* pat_in,
+                  const uint8_t* win, int64_t wlen) {
+    int A[300], B[300];
+    uint8_t pat[300];
+    memset(pat, 0, sizeof(pat));
+    memcpy(pat, pat_in, (size_t)m);
+    int64_t last = D;
+    for (int64_t i = 0; i < 300; i++) A[i] = B[i] = (int)i;
+    int64_t t = 0;
+    auto ch = [&](int64_t i) -> uint8_t {
+        return (i >= 0 && i < wlen) ? win[i] : 0;
+    };
+    while (t < n) {
+        for (int64_t k = 1; k <= last && k < 299; k++) {
+            int cost = B[k - 1] + 1;
+            if (pat[k - 1] != ch(t)) {
+                if (B[k] + 1 < cost) cost = B[k] + 1;
+                if (A[k - 1] + 1 < cost) cost = A[k - 1] + 1;
+            } else cost = cost - 1;
+            A[k] = cost;
+        }
+        if (pat[last] == ch(t)) { A[last + 1] = B[last]; last++; }
+        t++;
+        if (A[last] < D) { int tmp = A[last] + 1; last++; A[last + 1] = tmp; }
+        while (A[last] > D) last--;
+        if (last >= m) return t - 1;
+        if (ch(t) == '\n') {
+            last = D;
+            for (int64_t c = 0; c <= m + 1; c++) A[c] = B[c] = (int)c;
+        }
+        for (int64_t k = 1; k <= last && k < 299; k++) {
+            int cost = A[k - 1] + 1;
+            if (pat[k - 1] != ch(t)) {
+                if (A[k] + 1 < cost) cost = A[k] + 1;
+                if (B[k - 1] + 1 < cost) cost = B[k - 1] + 1;
+            } else cost = cost - 1;
+            B[k] = cost;
+        }
+        if (pat[last] == ch(t)) { B[last + 1] = A[last]; last++; }
+        t++;
+        if (B[last] < D) { int tmp = B[last] + 1; last++; B[last + 1] = tmp; }
+        while (B[last] > D) last--;
+        if (last >= m) return t - 1;
+        if (ch(t) == '\n') {
+            last = D;
+            for (int64_t c = 0; c <= m + 1; c++) A[c] = B[c] = (int)c;
+        }
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------
+// a_monkey filter walk (sgrep.c:1858-2067): match end positions.
+// ---------------------------------------------------------------
+
+int64_t a_monkey_block(const uint8_t* buf, int64_t buflen, int64_t start,
+                       int64_t end, const uint8_t* pat, int64_t m,
+                       int64_t D, const uint8_t* member1,
+                       int64_t* out, int64_t cap) {
+    int64_t m1 = m - 1 - D;
+    int64_t text = start;
+    int64_t oldtext = text;
+    int64_t cnt = 0;
+    int64_t guard = 0;
+    int64_t guard_max = 4 * (end - start + 16) + 64;
+    while (text < end) {
+        text += m1;
+        int64_t suffix_error = 0;
+        while (suffix_error <= D) {
+            if (text < 0) break;
+            uint32_t h = (text < buflen) ? buf[text] : 0;
+            text--;
+            while (member1[h]) {
+                if (text < 0) break;
+                h = ((h << 8) + ((text < buflen) ? buf[text] : 0))
+                    & 0xFFFF;
+                text--;
+            }
+            suffix_error++;
+        }
+        if (++guard > guard_max) break;
+        if (text <= oldtext) {
+            int64_t wlen = 2 * m + D;
+            if (oldtext + wlen > buflen) wlen = buflen - oldtext;
+            int64_t pos = verify_dp(m, 2 * m + D, D, pat,
+                                    buf + oldtext, wlen);
+            if (pos > 0) {
+                text = oldtext + pos;
+                if (text > end) break;
+                if (cnt < cap) out[cnt++] = text;
+                // jump to record end (newline case)
+                int64_t t = text + 1;
+                while (t < end && buf[t] != '\n') t++;
+                if (t < buflen && buf[t] == '\n') t++;
+                text = t;
+            } else {
+                text = oldtext + m;
+            }
+        }
+        oldtext = text;
+    }
+    return cnt;
+}
+
+}  // extern "C"

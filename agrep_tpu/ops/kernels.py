@@ -59,8 +59,8 @@ def _get_pallas_scan():
 
         def step(j, carry):
             states, dword, hword = carry
-            col = windows_ref[j, :]                       # u8[LB]
-            onehot = (col[None, :].astype(jnp.int32)
+            col = windows_ref[pl.ds(j, 1), :]             # u8[1, LB]
+            onehot = (col.astype(jnp.int32)
                       == jax.lax.broadcasted_iota(jnp.int32, (256, LB), 0)
                       ).astype(jnp.float32)               # [256, LB]
             # [32, 256] x [256, LB] -> [32, LB] exact 0/1 floats
@@ -68,11 +68,12 @@ def _get_pallas_scan():
                 planes_ref[:, :], onehot,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)       # [32, LB]
-            weights = jnp.left_shift(
-                jnp.uint32(1),
-                jax.lax.broadcasted_iota(jnp.uint32, (32, LB), 0))
-            cm = jnp.sum(bits.astype(jnp.uint32) * weights, axis=0,
-                         dtype=jnp.uint32)                # u32[LB]
+            # pack the 32 bit-planes into u32 lanes (int32 arithmetic;
+            # Mosaic lacks float->uint32 casts, so go via int32+bitcast)
+            shifts = jax.lax.broadcasted_iota(jnp.int32, (32, LB), 0)
+            terms = jnp.left_shift(bits.astype(jnp.int32), shifts)
+            cm = pltpu.bitcast(
+                jnp.sum(terms, axis=0, keepdims=True), jnp.uint32)
 
             states = [jnp.where(j == W, jnp.uint32(init0), s)
                       for s in states]
@@ -89,22 +90,24 @@ def _get_pallas_scan():
             dword = dword | jnp.where(ev_delim, bit, jnp.uint32(0))
             hword = hword | jnp.where(ev_hit, bit, jnp.uint32(0))
 
-            @pl.when((j % 32) == 31)
+            flush = (j % 32) == 31
+
+            @pl.when(flush)
             def _():
-                delim_out[j // 32, :] = dword
-                hit_out[j // 32, :] = hword
-            dword = jnp.where((j % 32) == 31, jnp.uint32(0), dword)
-            hword = jnp.where((j % 32) == 31, jnp.uint32(0), hword)
+                delim_out[pl.ds(j // 32, 1), :] = dword
+                hit_out[pl.ds(j // 32, 1), :] = hword
+            dword = jnp.where(flush, jnp.uint32(0), dword)
+            hword = jnp.where(flush, jnp.uint32(0), hword)
             return new, dword, hword
 
-        states0 = [jnp.full((LB,), np.uint32(0), dtype=jnp.uint32)
+        states0 = [jnp.zeros((1, LB), dtype=jnp.uint32)
                    for _ in range(D + 1)]
-        zero = jnp.zeros((LB,), dtype=jnp.uint32)
+        zero = jnp.zeros((1, LB), dtype=jnp.uint32)
         states, dword, hword = jax.lax.fori_loop(
             0, S, step, (states0, zero, zero))
         if S % 32 != 0:
-            delim_out[S // 32, :] = dword
-            hit_out[S // 32, :] = hword
+            delim_out[pl.ds(S // 32, 1), :] = dword
+            hit_out[pl.ds(S // 32, 1), :] = hword
 
     @functools.partial(jax.jit,
                        static_argnames=("D", "W", "lane_block"))

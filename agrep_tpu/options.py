@@ -26,11 +26,14 @@ PROGNAME = "agrep"
 
 
 class AgrepError(Exception):
-    """Raised for user-level errors; CLI maps this to exit(2)."""
+    """Raised for user-level errors; the CLI maps this to exit 255
+    (initial_value zeroes EXITONERROR before any error can fire)."""
 
-    def __init__(self, message: str, show_usage: bool = False):
+    def __init__(self, message: str, show_usage: bool = False,
+                 version: bool = False):
         super().__init__(message)
         self.show_usage = show_usage
+        self.version = version
 
 
 @dataclass
@@ -253,14 +256,14 @@ def parse_args(argv: list[str], env: dict | None = None):
                 opts.invert = True
             elif c == "V":
                 nxt = rest[:1]
-                if nxt in "012345":
+                if nxt and nxt in "012345":
                     j += 1
                     opts.verbose = 2 if nxt == "V" else int(nxt)
                 elif nxt == "V":
                     j += 1
                     opts.verbose = 2
                 elif nxt == "":
-                    raise AgrepError("", show_usage=True)  # version print
+                    raise AgrepError("", version=True)
             elif c == "t":
                 opts.outtail = True
             elif c == "o":

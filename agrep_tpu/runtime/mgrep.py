@@ -68,6 +68,11 @@ def _find_occurrences(stream: np.ndarray, term: bytes,
     n, L = len(stream), len(term)
     if L == 0 or n < L:
         return np.zeros(0, dtype=np.int64)
+    from .. import native
+    if native.get_lib() is not None:
+        out = native.find_occurrences(stream, term, tr)
+        if out is not None:
+            return out
     folded = tr[stream]
     tf = tr[np.frombuffer(term, dtype=np.uint8)]
     hit = folded[:n - L + 1] == tf[0]

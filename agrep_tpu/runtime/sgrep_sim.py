@@ -146,6 +146,18 @@ def bm_inverse_survives(buf: np.ndarray, start: int, end: int,
 
     resume_positions: sorted record-end buffer positions where matches
     jump the scan (text = curtextend after output)."""
+    from .. import native
+    lib = native.get_lib()
+    if lib is not None:
+        import numpy as _np
+        shift32 = _np.ascontiguousarray(shift_tab, dtype=_np.int32)
+        res = _np.ascontiguousarray(
+            _np.asarray(resume_positions, dtype=_np.int64))
+        patv = _np.frombuffer(bytes(pat), dtype=_np.uint8)
+        return bool(lib.bm_inverse_survives(
+            _np.ascontiguousarray(buf), len(buf), int(start), int(end),
+            _np.ascontiguousarray(patv), len(pat), shift32,
+            int(shift_1), _np.ascontiguousarray(tr), res, len(res)))
     m = len(pat)
     patf = [int(tr[b]) for b in pat]
     text = start
@@ -238,6 +250,11 @@ def verify_dp(m: int, n: int, D: int, pat: bytes, window) -> int:
     verify:2118-2181 (two alternating rows A/B, the `last` frontier,
     the mid-window newline reset).  Returns the offset of the match end
     within window, or 0.  pat is NUL-extended like the C buffer."""
+    from .. import native
+    if native.get_lib() is not None:
+        r = native.verify_dp(m, n, D, bytes(pat), bytes(window))
+        if r is not None:
+            return r
     A = list(range(260))
     B = list(range(260))
     last = D
