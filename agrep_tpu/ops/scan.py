@@ -87,6 +87,57 @@ def scan_events(text: np.ndarray, mask_table: np.ndarray, consts: dict,
     return np.asarray(ev)[:, W:].reshape(-1)[:N]
 
 
+def scan_lanes(lanes: np.ndarray, lens: np.ndarray, mask_table: np.ndarray,
+               consts: dict, D: int, costs: tuple | None,
+               init_states: np.ndarray, sticky_endpos: bool):
+    """Record-parallel bitap scan for machines whose sticky bits make
+    the dependence window unbounded (-p supersequence: Init1 == ~0;
+    FASTREGEX '#' wildcards: wildmask stickies -- bitap.c:123,
+    agrep.h WILDCD).  Each lane is one record (content + trailing
+    delimiter bytes), starting from the post-reset state.
+
+    Returns hits u32[R]: OR of (state_D & endpos) over the lane's
+    columns 0..lens[r] (the reference's sticky accumulation, evaluated
+    at the record end)."""
+    R, L = lanes.shape
+    init1 = np.uint32(consts["init1"] if sticky_endpos
+                      else consts["init1_ns"])
+    noerr = np.uint32(consts["noerr"])
+    endpos = np.uint32(consts["endpos"])
+    cmasks = mask_table[lanes].astype(np.uint32)
+    states = np.broadcast_to(init_states[:, None], (D + 1, R)) \
+        .astype(np.uint32).copy()
+    hits = np.zeros(R, dtype=np.uint32)
+    for j in range(L):
+        cm = cmasks[:, j]
+        new0 = ((states[0] >> 1) & cm) | (init1 & states[0])
+        new = [new0]
+        if costs is None:
+            for k in range(1, D + 1):
+                r2 = states[k - 1] | (((new[k - 1] | states[k - 1]) >> 1)
+                                     & noerr)
+                new.append(((states[k] >> 1) & cm)
+                           | (init1 & states[k]) | r2)
+        else:
+            ci, cs, cd = costs
+            new = []
+            for k in range(0, D + 1):
+                r = ((states[k] >> 1) & cm) | (init1 & states[k])
+                if k - ci >= 0:
+                    r = r | states[k - ci]
+                err = np.uint32(0)
+                if k - cd >= 0:
+                    err = err | new[k - cd]
+                if k - cs >= 0:
+                    err = err | states[k - cs]
+                r = r | ((err >> 1) & noerr)
+                new.append(r)
+        active = j <= lens
+        hits = np.where(active, hits | (new[D] & endpos), hits)
+        states = np.stack(new)
+    return hits
+
+
 # ---------------------------------------------------------------------
 # numpy backend
 # ---------------------------------------------------------------------

@@ -56,9 +56,17 @@ class BitapEngine:
             stream = np.concatenate([
                 np.frombuffer(b"\n", dtype=np.uint8), data,
                 np.frombuffer(q.delim, dtype=np.uint8)])
-        events = scan_ops.scan_events(
-            stream, q.folded_mask, q.consts, D, "bitap", q.costs)
         c = q.consts
+        if q.opts.cost_insert == 0 or (q.tables is not None
+                                       and q.tables.wildmask != 0):
+            # -p supersequence (Init1 = ~0, bitap.c:123) and '#'
+            # wildcards have sticky bits with unbounded reach: the
+            # tile+halo restart is invalid, so scan record-parallel
+            # (one lane per record).
+            events = _bitap_record_lane_events(q, stream, D)
+        else:
+            events = scan_ops.scan_events(
+                stream, q.folded_mask, q.consts, D, "bitap", q.costs)
         pos = np.flatnonzero(events)
         ev = events[pos]
         delim_sel = (ev & np.uint32(c["d_endpos"])) != 0
@@ -118,6 +126,97 @@ class BitapEngine:
                 limit_hit = True
                 break
         _ = prev_end, limit_hit
+
+
+def _nonoverlapping_delims(stream: np.ndarray, delim: bytes) -> np.ndarray:
+    """Left-greedy non-overlapping delimiter end positions (the machine
+    cannot re-fire inside a just-consumed delimiter)."""
+    ends = _find_delims(stream, delim)
+    if len(delim) == 1 or len(ends) == 0:
+        return ends
+    out = []
+    last_end = -1
+    for e in ends:
+        s = int(e) - len(delim) + 1
+        if s > last_end:
+            out.append(int(e))
+            last_end = int(e)
+    return np.asarray(out, dtype=np.int64)
+
+
+class BitapRecordLanes:
+    pass
+
+
+def _bitap_record_lane_events(q, stream: np.ndarray, D: int) -> np.ndarray:
+    """Record-parallel evaluation of the mask machine (used when sticky
+    bits make the windowed scan invalid).  Returns a synthetic event
+    array: at each record's delimiter end, d_endpos plus the sticky
+    part bits accumulated over the record."""
+    from ..ops import bitword
+    c = q.consts
+    consts = dict(c)
+    if q.opts.cost_insert == 0:
+        consts["init1"] = 0xFFFFFFFF    # bitap.c:123 / asearch.c:49
+    P = _nonoverlapping_delims(stream, q.delim)
+    events = np.zeros(len(stream), dtype=np.uint32)
+    if len(P) == 0:
+        return events
+    dl = len(q.delim)
+    # post-reset state: scalar-scan one delimiter from Init0
+    mask = q.folded_mask
+    if D == 0 and q.costs is None:
+        st = consts["init0"]
+        sticky = dict(consts)
+        sticky["init1_ns"] = consts["init1"] if "init1" in consts else \
+            c["init1"]
+        for b in q.delim:
+            st, _ = bitword.step_exact(st, int(mask[b]), sticky)
+        init_states = np.asarray([st], dtype=np.uint32)
+    else:
+        sticky = dict(consts)
+        sticky["init1_ns"] = consts.get("init1", c["init1"])
+        sts = [consts["init0"]] * (D + 1)
+        for b in q.delim:
+            if q.costs is not None:
+                sts, _ = bitword.step_jump(sts, int(mask[b]), sticky, D,
+                                           *q.costs)
+            else:
+                sts, _ = bitword.step_kerr(sts, int(mask[b]), sticky, D)
+        init_states = np.asarray(sts, dtype=np.uint32)
+
+    # lanes: record content + trailing delimiter
+    starts = np.concatenate([[0], P[:-1] + 1])
+    lens = P - starts                       # index of last delim byte
+    order = np.argsort(lens, kind="stable")
+    hits_all = np.zeros(len(P), dtype=np.uint32)
+    from ..ops.scan import scan_lanes
+    i = 0
+    while i < len(order):
+        Lmax = int(lens[order[i]]) + 1
+        for b in (64, 256, 1024, 8192, 49152 + 64):
+            if Lmax <= b:
+                Lmax = b
+                break
+        j = i
+        while j < len(order) and lens[order[j]] + 1 <= Lmax:
+            j += 1
+        idxs = order[i:j]
+        R = len(idxs)
+        lanes = np.zeros((R, Lmax), dtype=np.uint8)
+        ll = np.empty(R, dtype=np.int64)
+        for r, li in enumerate(idxs):
+            s, e = int(starts[li]), int(P[li])
+            lanes[r, :e - s + 1] = stream[s:e + 1]
+            ll[r] = e - s
+        hits = scan_lanes(lanes, ll, mask, sticky, D, q.costs,
+                          init_states, sticky_endpos=True)
+        hits_all[idxs] = hits
+        i = j
+    for k in range(len(P)):
+        events[int(P[k])] = np.uint32(c["d_endpos"]) | \
+            (hits_all[k] & np.uint32(c["endpos"]))
+    return events
 
 
 class SgrepEngine:

@@ -146,3 +146,31 @@ def test_long_approx_amonkey():
         compare(["-1", "the quick brown fox jumps over", path])
     finally:
         os.unlink(path)
+
+
+def test_supersequence_and_wildcard():
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".txt", delete=False) as f:
+        f.write(b"horse cart\nhocartse\nhorse\ncart\nhse x\n"
+                b"a" + b"x" * 200 + b"z long gap\nabc defg xyz\n")
+        path = f.name
+    try:
+        compare(["-p", "hse", path])
+        compare(["-p", "-c", "horsecart", path])
+        compare(["ab#yz", path])
+        compare(["a#z", path])
+        compare(["-1", "ab#yz", path])
+    finally:
+        os.unlink(path)
+
+
+def test_memagrep_buffer_api():
+    """Library buffer search (memagrep semantics)."""
+    import io
+    from agrep_tpu.api import Query
+    q = Query(argv=["hello", "dummy"])
+    buf = io.BytesIO()
+    n = q.search_buffer(b"\nhello world\nno\nhello again\n", output=buf)
+    assert n == 2
+    out = buf.getvalue()
+    assert b"hello world" in out and b"hello again" in out
