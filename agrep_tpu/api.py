@@ -37,7 +37,31 @@ class Query:
             self.files = []
         compat_check(self.opts, self.opts.pat_file is not None
                      or self.opts.pat_buffer is not None)
+        self._verbose_info()
         self.compiled: CompiledQuery = compile_query(self.pattern, self.opts)
+
+    def _verbose_info(self) -> None:
+        """The -V2/-V3 INFO lines (agrep.c:2762-2792), printed to
+        stdout before scanning."""
+        import os
+        from .codepage import resolve_codepage
+        o = self.opts
+        if o.verbose > 2:
+            opts_env = os.environ.get("AGREPOPTS")
+            if opts_env is not None:
+                print("AGREP -- INFO: using default options %s" % opts_env)
+            print("AGREP -- INFO: using codepage %d"
+                  % resolve_codepage(o.codepage))
+        if o.verbose > 1:
+            msgs = {
+                "a": "AGREP -- INFO: mapping all ISO characters to ASCII",
+                "#": ("AGREP -- INFO: mapping letters to letters, digits "
+                      "to digits, others to others"),
+                "i": ("AGREP -- INFO: mapping all upper ISO characters "
+                      "to lower ISO"),
+            }
+            print(msgs.get(o.nocase,
+                           "AGREP -- INFO: case sensitive search"))
 
     def search_files(self, files: list[str], output=None) -> int:
         """Search files; returns total number of matched records."""

@@ -143,6 +143,11 @@ class MgrepEngine:
             if q.delimiter_opt else None
 
         n_terms = len(self.terms)
+        # m_short's `if (MATCHED) text--` (newmgrep.c:1471) decrements
+        # the scan pointer without adjusting CurrentByteOffset, so -b/-q
+        # offsets drift +1 per previously output record when the
+        # shortest pattern is a single char
+        short_drift = [0]
         matched_terms = np.zeros(n_terms, dtype=bool)
         in_record = False
         cur_begin = cur_end = 0
@@ -166,11 +171,11 @@ class MgrepEngine:
                 if o.printpattern:
                     sink.write_str("%d- " % (pat_index + 1))
                     printed = True
+                cbo = anchor - base - m1 + 1 + short_drift[0]
                 if o.bytecount:
-                    sink.write_str("%d= " % (anchor - base - m1 + 1))
+                    sink.write_str("%d= " % cbo)
                     printed = True
                 if o.printoffset:
-                    cbo = anchor - base - m1 + 1
                     sink.write_str("@%d{%d} " % (cbo - (anchor - begin),
                                                  end - begin))
                     printed = True
@@ -221,6 +226,8 @@ class MgrepEngine:
             if o.multi_output:
                 resume_at = s + tl - 1
                 continue
+            if self.p_size == 1:
+                short_drift[0] += 1
             resume_at = cur_end
             in_record = False
             matched_terms[:] = False

@@ -38,8 +38,10 @@ def run_recursive(query, names: list[str], output=None) -> int:
         if os.path.islink(name):
             return
         if os.path.isdir(name):
+            # readdir order, NOT sorted (recursiv.c:214-255 uses the
+            # raw directory stream; the output order is observable)
             try:
-                entries = sorted(os.listdir(name))
+                entries = [e.name for e in os.scandir(name)]
             except OSError:
                 return
             for e in entries:

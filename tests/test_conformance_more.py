@@ -174,3 +174,25 @@ def test_memagrep_buffer_api():
     assert n == 2
     out = buf.getvalue()
     assert b"hello world" in out and b"hello again" in out
+
+
+def test_recursive_walk(tmp_path):
+    d = tmp_path / "dir"
+    (d / "sub").mkdir(parents=True)
+    (d / "f1.txt").write_bytes(b"hello a\n")
+    (d / "f2.txt").write_bytes(b"world b\nhello c\n")
+    (d / "sub" / "f3.txt").write_bytes(b"hello d\n")
+    for i in range(1, 13):
+        (d / ("m%d.txt" % i)).write_bytes(b"hello file%d\n" % i)
+    for flags in ([], ["-c"], ["-l"], ["-h"]):
+        compare(["-r"] + flags + ["hello", str(d)])
+
+
+def test_m_short_single_char_patterns(tmp_path):
+    t = tmp_path / "t.txt"
+    t.write_bytes(b"x marks spot\nno hits\nyellow x\nzz\n")
+    p = tmp_path / "p.txt"
+    p.write_bytes(b"x\nzz\n")
+    for flags in ([], ["-c"], ["-b"], ["-u", "-b"], ["-q"], ["-P"],
+                  ["-v"]):
+        compare(flags + ["-f", str(p), str(t)])
