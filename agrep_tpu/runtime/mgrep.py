@@ -92,6 +92,39 @@ class MgrepEngine:
         self.tr = _fold_tr(o.nocase is not None)
         self.total_line = 0
 
+    def _all_occurrences(self, stream: np.ndarray) -> dict:
+        """Start positions per term.  Large scans use the packed
+        bit-parallel machine (compile/multi.py): all terms of a word
+        group are matched in ONE dense device pass; the reference's
+        hashed skip loop (newmgrep.c SHIFT1) has no TPU analog worth
+        keeping.  Small scans / oversized terms use the native host
+        matcher."""
+        occ = {}
+        use_device = len(stream) >= (1 << 16)
+        groups, leftover = ([], None)
+        if use_device:
+            from ..compile.multi import pack_terms
+            from ..ops import scan as scan_ops
+            groups, leftover_ids = pack_terms(self.terms, self.tr)
+            for g in groups:
+                ev = scan_ops.scan_events(stream, g.mask, g.consts, 0,
+                                          "bitap", None)
+                pos = np.flatnonzero(ev)
+                w = ev[pos]
+                for tid, bit, ln in zip(g.term_ids, g.term_bits,
+                                        g.term_lens):
+                    sel = pos[(w & np.uint32(bit)) != 0]
+                    occ[tid] = (sel - ln + 1).astype(np.int64)
+            rest = leftover_ids
+        else:
+            rest = [i for i, t in enumerate(self.terms) if t]
+        for i in rest:
+            occ[i] = _find_occurrences(stream, self.terms[i], self.tr)
+        for i, t in enumerate(self.terms):
+            if i not in occ:
+                occ[i] = np.zeros(0, dtype=np.int64)
+        return occ
+
     def search_stream(self, data: np.ndarray, sink: Sink, D: int,
                       memory_mode: bool = False) -> None:
         q, o = self.q, self.q.opts
@@ -120,11 +153,12 @@ class MgrepEngine:
 
         m1 = self.p_size - 1
         # gather (anchor, pat_index, start, length) for all terms
+        occ = self._all_occurrences(stream)
         anchors = []
         for idx, t in enumerate(self.terms):
             if not t:
                 continue
-            starts = _find_occurrences(stream, t, self.tr)
+            starts = occ[idx]
             if o.wordbound:
                 keep = []
                 for s in starts:
@@ -186,7 +220,8 @@ class MgrepEngine:
                         sink.write_str("\n")
                 else:
                     nonlocal lastout
-                    sink.write(bytes(bytearray(stream[lastout:begin])))
+                    _write_complement(sink, stream, lastout, begin,
+                                      block_marks, base)
                     lastout = end
             if (o.limit_output > 0 and sink.num_matched >= o.limit_output) \
                 or (o.limit_per_file > 0 and
@@ -197,6 +232,15 @@ class MgrepEngine:
 
         is_and = q.bool_op == "and" and q.bool_tree is None
         is_complex = q.bool_tree is not None
+
+        # INVERSE block quirk: mgrep's residue copy has no start++
+        # (newmgrep.c:556-560 vs sgrep.c:469-471), so every block's
+        # trailing newline is also the next block's first complement
+        # byte and prints twice.  Compute the virtual block boundaries.
+        block_marks = []
+        if (o.invert and not o.count and not memory_mode
+                and not q.delimiter_opt and len(data) > 2 * 16384):
+            block_marks = _mgrep_block_ends(data)
 
         stop = False
         for (anchor, idx, s, tl) in anchors:
@@ -242,7 +286,8 @@ class MgrepEngine:
             # excluding the driver's appended delimiter
             data_end = base + len(data)
             if lastout <= data_end - 1:
-                sink.write(bytes(bytearray(stream[lastout:data_end])))
+                _write_complement(sink, stream, lastout, data_end,
+                                  block_marks, base)
 
 
 def _isalnum(b: int) -> bool:
@@ -283,3 +328,50 @@ def _mgrep_record_span(stream, nl, delim_ends, anchor, q, base):
     else:
         end = N
     return begin, end
+
+
+def _mgrep_block_ends(data: np.ndarray) -> list:
+    """Data offsets of each block's trailing newline (mgrep's 32KB
+    block loop, newmgrep.c:480-567).  The byte at each mark prints
+    twice under INVERSE (the residue copy lacks a start++)."""
+    BLK = 2 * 16384
+    marks = []
+    pos = 0
+    end_g = -1
+    residue = 0
+    N = len(data)
+    while pos < N:
+        num_read = min(BLK, N - pos)
+        span_start = end_g if end_g >= 0 else 0
+        span_end = pos + num_read          # exclusive, data coords
+        seg = data[span_start:span_end]
+        nl = np.flatnonzero(seg == 0x0A)
+        if len(nl):
+            e = span_start + int(nl[-1])
+        else:
+            e = span_end - 1
+        pos += num_read
+        residue = span_end - e
+        if pos < N:
+            marks.append(e)
+        end_g = e
+    return marks
+
+
+def _write_complement(sink, stream, a: int, b: int, marks: list,
+                      base: int) -> None:
+    """Write stream[a:b], duplicating the byte at each block mark
+    (data coords + base) contained in the span."""
+    if b <= a:
+        return
+    if not marks:
+        sink.write(bytes(bytearray(stream[a:b])))
+        return
+    cur = a
+    for m in marks:
+        p = m + base
+        if cur <= p < b:
+            sink.write(bytes(bytearray(stream[cur:p + 1])))
+            sink.write(bytes(bytearray(stream[p:p + 1])))
+            cur = p + 1
+    sink.write(bytes(bytearray(stream[cur:b])))
