@@ -202,9 +202,14 @@ def _scan_windows_np(windows, mask_table, cvec, D, W, variant, costs):
                     new[k] = np.where(trig, rs[k], new[k])
             states = np.stack(new)
         else:
-            nl = windows[:, j] == 0x0A
-            if nl.any():
-                states = np.where(nl[None, :], init_states, states)
+            # the \n state reset exists only in the D>0 engine
+            # (sgrep.c agrep():1179-1181); bm/monkey (D==0) are plain
+            # comparisons and match straight across newlines -- needed
+            # when the pattern itself contains \n (-x wrap, ^/$).
+            if D > 0:
+                nl = windows[:, j] == 0x0A
+                if nl.any():
+                    states = np.where(nl[None, :], init_states, states)
             new0 = ((states[0] >> 1) | top) & cm
             new = [new0]
             for k in range(1, D + 1):
@@ -303,7 +308,8 @@ def _get_jit():
             cm, col_idx, nl = xs
             states = jnp.where(
                 (col_idx == W) & first_tile[None, :], init_states, states)
-            states = jnp.where(nl[None, :], init_states, states)
+            if D > 0:    # \n reset only in agrep() (sgrep.c:1179-1181)
+                states = jnp.where(nl[None, :], init_states, states)
             top = jnp.uint32(0x80000000)
             new0 = ((states[0] >> 1) | top) & cm
             new = [new0]

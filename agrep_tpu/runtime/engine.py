@@ -313,11 +313,25 @@ class SgrepEngine:
                 continue
             begin, end = self._record_span(stream, nl, delim_ends, p, D)
             if end > N:
-                end = N
-                # bm appends an artificial newline for hits on a last
-                # line without one (sgrep.c:786-789); not with -d
-                appended_newline = (not q.delimiter_opt
-                                    and stream[N - 1] != 0x0A)
+                if D == 0 and q.sg_sub == "monkey" and not q.delimiter_opt:
+                    # monkey() has no EOF adjustment (sgrep.c:1597-1599
+                    # vs bm:786-789): its forward scan stops AT the
+                    # last byte (dropping it when it isn't \n), and for
+                    # a match ending on the last byte it reads the
+                    # sentinel pattern copy (pat[m-1]) placed after the
+                    # block -- an extra \n when the pattern ends in \n.
+                    if p == N - 1:
+                        end = N
+                        appended_newline = q.sg_pattern[-1:] == b"\n"
+                    else:
+                        end = N - 1
+                        appended_newline = False
+                else:
+                    end = N
+                    # bm appends an artificial newline for hits on a
+                    # last line without one (sgrep.c:786-789); not -d
+                    appended_newline = (not q.delimiter_opt
+                                        and stream[N - 1] != 0x0A)
             sink.num_matched += 1
             records_counted += 1
             if o.filename_only:
@@ -571,18 +585,30 @@ class Executor:
 
         q2 = q
         o2 = o
-        if o.wordbound or o.wholeline or o.invert:
+        # agrep.c:3584-3588 re-runs preprocess() on the ALREADY
+        # preprocessed pattern for -w/-x/-v: the first pass's internal
+        # meta bytes are re-embedded as literal positions, so the
+        # rescan machine can never match raw text.  Observable: -B -w
+        # (and -B -x when the D=0 pass missed) always reports 0.
+        corrupted = o.wordbound or o.wholeline or o.invert
+        if corrupted:
             o2 = copy.deepcopy(o)
             o2.bestmatch = False
             q2 = compile_query(q.pattern, o2)
-            if q2.engine_class == "sgrep":
-                q2 = q2  # classify already handles this
+        # The C loop (agrep.c:3594-3630) resets prev_num_of_matched per
+        # FILE and checks `num - prev == 0` per D level -- so escalation
+        # continues until the LAST file has a hit, the reported count is
+        # the last file's count, and num_of_matched accumulates across
+        # every (D, file) scan: Grand Total / exit code on 'n'/EOF is
+        # that running sum, not the winning level's count.
         M = len(q.pattern)
         D = 1
-        found = 0
-        while D < M and D <= 8:
+        total = 0
+        last = 0
+        while D < M and D <= 8 and last == 0:
             counter = Sink(lambda b: None, o2)
-            eng = Executor(q2_with_d(q2, D), counter)
+            eng = Executor(_corrupt(q2_with_d(q2, D)) if corrupted
+                           else q2_with_d(q2, D), counter)
             for path in files:
                 counter.prev_num_matched = counter.num_matched
                 try:
@@ -590,12 +616,14 @@ class Executor:
                 except OSError:
                     continue
                 eng.engine.search_stream(data, counter, D)
-            if counter.num_matched > 0:
-                found = counter.num_matched
-                break
+            last = counter.num_matched - counter.prev_num_matched
+            total += counter.num_matched
             D += 1
-        if not found:
+        D -= 1
+        sink.num_matched = total
+        if last == 0:
             return
+        found = last
         word = "word matches" if found == 1 else "words match"
         errs = "1 error" if D == 1 else "%d errors" % D
         sys.stderr.write("agrep: %d %s within %s" % (found, word, errs)
@@ -616,7 +644,8 @@ class Executor:
                 return
         # final printing pass at the winning D
         sink.num_matched = 0
-        eng = Executor(q2_with_d(q2, D), sink)
+        eng = Executor(_corrupt(q2_with_d(q2, D)) if corrupted
+                       else q2_with_d(q2, D), sink)
         for i, path in enumerate(files):
             sink.prev_num_matched = sink.num_matched
             sink.current_filename = str(i) if o.printfilenumber else path
@@ -626,6 +655,17 @@ class Executor:
             except OSError:
                 continue
             eng.engine.search_stream(data, sink, D)
+
+
+def _corrupt(ql):
+    """Make a -B rescan query that never matches (the double-preprocess
+    corruption, agrep.c:3584-3588): zero the per-char mask tables so no
+    state bit ever advances.  Inverse/count formatting still runs."""
+    if ql.folded_mask is not None:
+        ql.folded_mask = np.zeros(256, dtype=np.uint32)
+    if ql.sg_mask is not None:
+        ql.sg_mask = np.zeros(256, dtype=np.uint32)
+    return ql
 
 
 def q2_with_d(q, D: int):
