@@ -1,22 +1,29 @@
 """Pallas TPU kernels for the bit-parallel scan.
 
 The flagship kernel runs the k-error mask machine over a column-major
-window array u8[S, T] (S byte columns, T parallel tile-lanes):
+window array u8[S, G, 8, 128] (S byte columns; G x 8 x 128 = T parallel
+tile-lanes laid out as native Mosaic (sublane, lane) tiles):
 
-  * grid = (T/LANES, S/ROWS): the lane dimension is parallel, the
+  * grid = (G, S/ROWS): the lane-group dimension is parallel, the
     column dimension iterates sequentially on-core with the k+1 u32
-    state vectors living in VMEM scratch (persisted across grid steps,
+    state tiles living in VMEM scratch (persisted across grid steps,
     like a matmul accumulator);
+  * every vector op is on a native (8, 128) tile -- (1, T) row vectors
+    trip Mosaic relayout errors ("non-singleton dimension replicated");
   * the per-byte mask lookup is a static compare tree: each pattern
     position contributes (byte in ranges) << bit -- a few VPU ops per
     position, no table lookup at all (this environment's Mosaic
     crashes on tpu.DynamicGatherOp, and a one-hot MXU lookup costs
     16 KFLOP/byte);
-  * the 256-row inner loop is fully unrolled, so every slice and store
-    index is static (no alignment constraints);
+  * the ROWS-deep inner loop is fully unrolled, so every slice and
+    store index is static (no alignment constraints);
   * events are emitted bit-packed -- one u32 word per 32 byte
     positions per lane for "delimiter completed" and "part matched"
     -- cutting HBM write traffic 32x vs dense event words.
+
+Reference semantics carried: the transition is asearch.c:100-115 /
+bitap.c:169-283 (exact when D == 0); delimiter completion resets the
+machine through the d_mask gate exactly like the numpy/XLA backends.
 """
 
 from __future__ import annotations
@@ -25,8 +32,9 @@ import functools
 
 import numpy as np
 
-ROWS = 256       # byte columns per grid step
-LANES = 1024     # tile-lanes per grid step (= 8 sublanes x 128 lanes)
+ROWS = 256        # byte columns per grid step
+SUB, LANE = 8, 128
+GLANES = SUB * LANE   # tile-lanes per lane-group (one (8,128) tile)
 
 
 def ranges_from_mask(mask_table: np.ndarray):
@@ -67,11 +75,12 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(consts_ref, windows_ref, delim_out, hit_out,
-               states_ref):
-        # windows_ref: u8[ROWS, LANES] block
-        # outputs: u32[ROWS//32, LANES]; states_ref: u32[D+1, LANES]
-        i_lane = pl.program_id(0)
+    ones = np.uint32(0xFFFFFFFF)
+
+    def kernel(consts_ref, windows_ref, delim_out, hit_out, states_ref):
+        # windows_ref: u8[ROWS, 1, 8, 128]; outputs u32[ROWS//32, 1, 8, 128]
+        # states_ref: u32[D+1, 8, 128]
+        i_grp = pl.program_id(0)
         i_col = pl.program_id(1)
         init0 = consts_ref[0]
         init1_ns = consts_ref[1]
@@ -82,23 +91,32 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple):
 
         @pl.when(i_col == 0)
         def _():
-            states_ref[...] = (jnp.zeros((D + 1, LANES),
+            states_ref[...] = (jnp.zeros((D + 1, SUB, LANE),
                                          dtype=jnp.uint32) | init0)
 
-        bytes_blk = windows_ref[...]                      # u8[ROWS, LANES]
+        blk = windows_ref[...]                    # u8[ROWS, 1, 8, 128]
 
-        def cmask_row(row):
-            # static compare-tree mask lookup on one byte row
-            cm = jnp.zeros((1, LANES), dtype=jnp.uint32)
+        # Branchless integer masks only: this Mosaic build cannot
+        # relayout non-singleton i1 vectors, so every "select" is an
+        # all-ones/all-zeros u32 mask built from sign-bit arithmetic.
+        def nz(v):
+            # u32 -> all-ones where v != 0 (sign of v | -v)
+            x = v.astype(jnp.int32)
+            return ((x | (0 - x)) >> 31).astype(jnp.uint32)
+
+        def cmask_row(row32):
+            # static compare-tree mask lookup on one (8,128) i32 tile:
+            # lo <= x <= hi  iff  sign((x-lo) | (hi-x)) == 0
+            cm = jnp.zeros((SUB, LANE), dtype=jnp.uint32)
             for bitval, ranges in bit_ranges:
-                hit = None
+                acc = jnp.zeros((SUB, LANE), dtype=jnp.int32)
+                miss = None
                 for (lo, hi) in ranges:
-                    if lo == hi:
-                        t = row == np.uint8(lo)
-                    else:
-                        t = (row >= np.uint8(lo)) & (row <= np.uint8(hi))
-                    hit = t if hit is None else (hit | t)
-                cm = jnp.where(hit, cm | jnp.uint32(bitval), cm)
+                    s = ((row32 - lo) | (hi - row32)) >> 31  # -1 = miss
+                    miss = s if miss is None else (miss & s)
+                hit = (~miss).astype(jnp.uint32)     # all-ones on hit
+                cm = cm | (hit & jnp.uint32(bitval))
+                del acc
             return cm
 
         def levels(states, cm):
@@ -111,82 +129,105 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple):
                            | (init1_ns & states[k]) | r2)
             return new
 
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-        states = [states_ref[k:k + 1, :] for k in range(D + 1)]
+        # stream start: global lane 0 begins its real data at column W
+        # with a zero halo -- force the cold state there.
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
+        z = iota_s + iota_l
+        lane0 = (~((z | (0 - z)) >> 31)).astype(jnp.uint32)  # 1s at (0,0)
+
+        states = [states_ref[k] for k in range(D + 1)]
         for w in range(ROWS // 32):
-            dword = jnp.zeros((1, LANES), dtype=jnp.uint32)
-            hword = jnp.zeros((1, LANES), dtype=jnp.uint32)
+            dword = jnp.zeros((SUB, LANE), dtype=jnp.uint32)
+            hword = jnp.zeros((SUB, LANE), dtype=jnp.uint32)
             for b in range(32):
                 r = w * 32 + b
-                cm = cmask_row(bytes_blk[r:r + 1, :])
-                # stream start: lane 0 of lane-block 0 begins its real
-                # data at global column W -- force the cold state there
+                cm = cmask_row(blk[r, 0].astype(jnp.int32))
                 g = i_col * ROWS + r
-                if True:
-                    start_mask = ((lane_iota == 0)
-                                  & (g == W) & (i_lane == 0))
-                    states = [jnp.where(start_mask,
-                                        jnp.zeros_like(s) | init0, s)
-                              for s in states]
+                cold = ((g == W) & (i_grp == 0)).astype(jnp.uint32) * lane0
+                states = [(s & ~cold) | (init0 & cold) for s in states]
                 new = levels(states, cm)
-                ev_d = (new[0] & d_endpos) != 0
-                ev_h = (new[D] & endpos) != 0
-                b0 = jnp.broadcast_to(init0, cm.shape).astype(jnp.uint32)
+                m_d = nz(new[0] & d_endpos)
+                m_h = nz(new[D] & endpos)
+                b0 = jnp.zeros((SUB, LANE), dtype=jnp.uint32) | init0
                 rs = levels([b0] * (D + 1), cm)
                 rs[0] = rs[0] & d_mask
-                states = [jnp.where(ev_d, rs[k], new[k])
+                states = [(rs[k] & m_d) | (new[k] & ~m_d)
                           for k in range(D + 1)]
                 bit = jnp.uint32(1 << b)
-                dword = jnp.where(ev_d, dword | bit, dword)
-                hword = jnp.where(ev_h, hword | bit, hword)
-            delim_out[w:w + 1, :] = dword
-            hit_out[w:w + 1, :] = hword
+                dword = dword | (bit & m_d)
+                hword = hword | (bit & m_h)
+            delim_out[w, 0] = dword
+            hit_out[w, 0] = hword
         for k in range(D + 1):
-            states_ref[k:k + 1, :] = states[k]
+            states_ref[k] = states[k]
 
     @jax.jit
     def run(windows_t, consts):
-        S, T = windows_t.shape
-        grid = (T // LANES, S // ROWS)
+        S, G = windows_t.shape[:2]
+        grid = (G, S // ROWS)
         return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((ROWS, LANES), lambda i, j: (j, i)),
+                pl.BlockSpec((ROWS, 1, SUB, LANE),
+                             lambda i, j: (j, i, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((ROWS // 32, LANES), lambda i, j: (j, i)),
-                pl.BlockSpec((ROWS // 32, LANES), lambda i, j: (j, i)),
+                pl.BlockSpec((ROWS // 32, 1, SUB, LANE),
+                             lambda i, j: (j, i, 0, 0)),
+                pl.BlockSpec((ROWS // 32, 1, SUB, LANE),
+                             lambda i, j: (j, i, 0, 0)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((S // 32, T), jnp.uint32),
-                jax.ShapeDtypeStruct((S // 32, T), jnp.uint32),
+                jax.ShapeDtypeStruct((S // 32, G, SUB, LANE), jnp.uint32),
+                jax.ShapeDtypeStruct((S // 32, G, SUB, LANE), jnp.uint32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((D + 1, LANES), jnp.uint32),
+                pltpu.VMEM((D + 1, SUB, LANE), jnp.uint32),
             ],
         )(consts, windows_t)
 
     return run
 
 
+def pack_windows(windows: np.ndarray):
+    """u8[T0, S0] row-major -> (u8[S, G, 8, 128] device layout, T0, S0).
+
+    Pads S0 to a multiple of ROWS and T0 to a multiple of 8*128; lane
+    t = (g*8 + su)*128 + l."""
+    T0, S0 = windows.shape
+    S = -(-S0 // ROWS) * ROWS
+    T = -(-T0 // GLANES) * GLANES
+    wp = np.zeros((T, S), dtype=np.uint8)
+    wp[:T0, :S0] = windows
+    G = T // GLANES
+    wt = np.ascontiguousarray(
+        wp.reshape(G, SUB, LANE, S).transpose(3, 0, 1, 2))
+    return wt
+
+
+def unpack_planes(plane: np.ndarray, T0: int, S0: int) -> np.ndarray:
+    """u32[S//32, G, 8, 128] -> u32[T0, ceil(S0/32)] row-major packed
+    bit planes (bit j of word w = column w*32 + j)."""
+    s32_full, G = plane.shape[:2]
+    out = plane.transpose(1, 2, 3, 0).reshape(G * GLANES, s32_full)
+    return out[:T0, :-(-S0 // 32)]
+
+
 def pallas_scan_packed(windows: np.ndarray, mask_table: np.ndarray,
-                      consts: dict, D: int, W: int):
-    """windows: u8[T, S] row-major from _pad_and_window.  Pads S to a
-    multiple of ROWS and T to a multiple of LANES, transposes, runs the
-    kernel, and returns (delim_packed, hit_packed) u32[T, ceil(S/32)]
-    row-major (padded region trimmed)."""
+                       consts: dict, D: int, W: int):
+    """windows: u8[T, S] row-major from _pad_and_window.  Returns
+    (delim_packed, hit_packed) u32[T, ceil(S/32)] row-major, or None
+    when the mask table has no compact range decomposition."""
     import jax
     import jax.numpy as jnp
     T0, S0 = windows.shape
     br = ranges_from_mask(mask_table.astype(np.uint32))
     if br is None:
         return None
-    S = -(-S0 // ROWS) * ROWS
-    T = -(-T0 // LANES) * LANES
-    wt = np.zeros((S, T), dtype=np.uint8)
-    wt[:S0, :T0] = windows.T
+    wt = pack_windows(windows)
     cvec = np.asarray([
         consts.get("init0", 0), consts.get("init1_ns", 0),
         consts.get("noerr", 0), consts.get("d_endpos", 0),
@@ -194,7 +235,6 @@ def pallas_scan_packed(windows: np.ndarray, mask_table: np.ndarray,
         0, 0], dtype=np.uint32)
     run = _get_pallas_scan(D, W, br)
     d, h = run(jnp.asarray(wt), jnp.asarray(cvec))
-    s32 = -(-S0 // 32)
-    d = np.asarray(jax.device_get(d)).T[:T0, :s32]
-    h = np.asarray(jax.device_get(h)).T[:T0, :s32]
+    d = unpack_planes(np.asarray(jax.device_get(d)), T0, S0)
+    h = unpack_planes(np.asarray(jax.device_get(h)), T0, S0)
     return d, h

@@ -258,6 +258,37 @@ class SgrepEngine:
             pos = np.flatnonzero(events)
         m = q.sg_m
 
+        sg_trim = None
+        if q.delimiter_opt and not memory_mode and len(pos):
+            # each block is cut back to the last complete delimiter
+            # (sgrep.c:393-399); the EOF residue is rescanned from one
+            # past the trim (the in-loop copy start++, sgrep.c:471), so
+            # matches straddling the trim boundary are seen by neither
+            # scan, record extraction is bounded by the region the hit
+            # fell into, and the appended D_pattern (sgrep.c:483) is
+            # out of the rescan's range.
+            dends = _find_delims(data, q.delim)
+            if len(dends):
+                dl_ = len(q.delim)
+                le_end = int(dends[-1])
+                if q.outtail:
+                    t_end = le_end
+                elif le_end - dl_ + 1 >= dl_:
+                    t_end = le_end - dl_
+                else:
+                    t_end = None    # `newbuf < text+offset+D_length`
+                if t_end is not None and t_end < len(data) - 1:
+                    sg_trim = t_end
+                    starts = pos - (m - 1)
+                    pos = pos[(pos <= t_end) | (starts > t_end)]
+
+        if q.sg_sub == "agrep" and not memory_mode and len(pos):
+            # agrep()'s scan loop never consumes the buffer's last byte
+            # (i < n with n = textend - textbegin, sgrep.c:1169-1176):
+            # a match ending exactly there does not fire (a shorter
+            # error variant ending one byte earlier usually does).
+            pos = pos[pos != N - 1]
+
         if o.wordbound and D == 0:
             keep = []
             last_char = q.sg_pattern[-1] if q.sg_pattern else 0
@@ -311,7 +342,8 @@ class SgrepEngine:
             p = int(p)
             if p < lastend:
                 continue
-            begin, end = self._record_span(stream, nl, delim_ends, p, D)
+            begin, end = self._record_span(stream, nl, delim_ends, p, D,
+                                           sg_trim)
             if end > N:
                 if D == 0 and q.sg_sub == "monkey" and not q.delimiter_opt:
                     # monkey() has no EOF adjustment (sgrep.c:1597-1599
@@ -326,6 +358,13 @@ class SgrepEngine:
                     else:
                         end = N - 1
                         appended_newline = False
+                elif D > 0 and q.sg_sub == "agrep" \
+                        and not q.delimiter_opt:
+                    # s_output has no EOF adjustment either: its
+                    # forward scan stops AT the last byte and excludes
+                    # it when it is not \n (sgrep.c:1306-1308)
+                    end = N - 1
+                    appended_newline = False
                 else:
                     end = N
                     # bm appends an artificial newline for hits on a
@@ -344,9 +383,16 @@ class SgrepEngine:
                     lastout = end
                 else:
                     byte_offset = p + cbo_adj
+                    # s_output's @-offset subtracts (text + *i -
+                    # curtextbegin) with *i one-past the match, same
+                    # convention as its CurrentByteOffset -- keep the
+                    # two in step so they cancel (sgrep.c:1399).
+                    p_q = p + (1 if (D > 0 and q.sg_sub == "agrep")
+                               else 0)
                     output_sgrep_record(
-                        sink, stream, begin, end, byte_offset, p)
-                    if appended_newline:
+                        sink, stream, begin, end, byte_offset, p_q,
+                        extra_len=1 if appended_newline else 0)
+                    if appended_newline and o.printrecord:
                         sink.write_str("\n")
             if _limits_reached(o, sink):
                 return
@@ -455,9 +501,13 @@ class SgrepEngine:
             if survives and lastout_g <= g_end:
                 sink.write(bytes(bytearray(data[lastout_g:g_end + 1])))
 
-    def _record_span(self, stream, nl, delim_ends, p, D):
+    def _record_span(self, stream, nl, delim_ends, p, D, trim_end=None):
         """Record boundaries around a match ending at p (sgrep.c
-        bm:775-789 for D==0, s_output:1304-1313 for D>0)."""
+        bm:775-789 for D==0, s_output:1304-1313 for D>0).
+
+        With -d and an active block trim, extraction is bounded by the
+        scan region the hit fell into: the block phase ends AT the
+        trim boundary; the EOF residue rescan begins one past it."""
         q = self.q
         if not q.delimiter_opt:
             back_from = p - 1 if D == 0 else p
@@ -468,18 +518,32 @@ class SgrepEngine:
             return begin, end
         # -d: nearest delimiter before/after (delim.c semantics)
         dl = len(q.delim)
+        lo = 0
+        hi = len(stream) - 1
+        end_nf = len(stream) + 1
+        if trim_end is not None:
+            if p <= trim_end:            # block-phase hit
+                hi = trim_end
+                end_nf = trim_end + 1
+            else:                        # EOF residue rescan
+                lo = trim_end + 1
         i = int(np.searchsorted(delim_ends, p, side="left")) - 1
-        if i >= 0:
+        begin = lo
+        while i >= 0:
             dstart = int(delim_ends[i]) - dl + 1
-            begin = dstart + dl if q.outtail else dstart
-        else:
-            begin = 0
+            if dstart >= lo:
+                begin = dstart + dl if q.outtail else dstart
+                break
+            i -= 1
         jdx = int(np.searchsorted(delim_ends, p + 1 + dl - 1, side="left"))
-        if jdx < len(delim_ends):
-            dstart = int(delim_ends[jdx]) - dl + 1
-            end = dstart + dl if q.outtail else dstart
-        else:
-            end = len(stream) + 1
+        end = end_nf
+        while jdx < len(delim_ends):
+            dend = int(delim_ends[jdx])
+            if dend <= hi:
+                dstart = dend - dl + 1
+                end = dstart + dl if q.outtail else dstart
+                break
+            jdx += 1
         return begin, end
 
 

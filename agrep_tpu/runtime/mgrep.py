@@ -129,18 +129,36 @@ class MgrepEngine:
                       memory_mode: bool = False) -> None:
         q, o = self.q, self.q.opts
         dl = len(q.delim)
+        trim_end = None      # block-trim boundary (stream coords)
         if memory_mode:
             stream = data
             base = 0
         else:
+            delim_marks = []
             if q.delimiter_opt:
-                # mgrep() overwrites the first D_length data bytes with
-                # the delimiter on the first block (newmgrep.c:511-512
-                # runs with residue==0) and appends one at EOF
-                # (newmgrep.c:574) -- observable, pinned behaviour.
-                stream = np.concatenate([
-                    data, np.frombuffer(q.delim, dtype=np.uint8)])
-                stream[:dl] = np.frombuffer(q.delim, dtype=np.uint8)
+                # mgrep()'s -d block loop (newmgrep.c:480-567):
+                # `memcpy(text+start+residue, D_pattern)` overwrites
+                # the first D_length bytes of EVERY block (residue==0
+                # makes that the file head on block one); each block is
+                # cut back to the last complete delimiter found in its
+                # RAW data (the trim search at :503 runs before the
+                # overwrite at :512), with the trim byte duplicated
+                # into the next scan region (the residue copy at :560
+                # has no start++); the EOF residue is rescanned with a
+                # delimiter appended (:573-575) only when >1 byte, so
+                # anchors past the final trim are seen only by that
+                # rescan.
+                ow, delim_marks, trim_end, live_append = \
+                    _mgrep_blocks_delim(data, q.delim, q.outtail)
+                head = data.copy()
+                dpat = np.frombuffer(q.delim, dtype=np.uint8)
+                for off in ow:
+                    k = min(dl, len(data) - off)
+                    head[off:off + k] = dpat[:k]
+                if live_append:
+                    stream = np.concatenate([head, dpat])
+                else:
+                    stream = head
                 base = 0
             else:
                 stream = np.concatenate([
@@ -152,8 +170,17 @@ class MgrepEngine:
             self.total_line += int(np.count_nonzero(data == 0x0A))
 
         m1 = self.p_size - 1
-        # gather (anchor, pat_index, start, length) for all terms
-        occ = self._all_occurrences(stream)
+        # gather (anchor, pat_index, start, length) for all terms.
+        # With -d the scan buffer is preceded by a memcpy'd delimiter
+        # (newmgrep.c:511): a term may match with its head inside those
+        # bytes, so search over delim+stream and shift starts by -dl.
+        if q.delimiter_opt and not memory_mode:
+            ext = np.concatenate(
+                [np.frombuffer(q.delim, dtype=np.uint8), stream])
+            occ = self._all_occurrences(ext)
+            occ = {k: v - dl for k, v in occ.items()}
+        else:
+            occ = self._all_occurrences(stream)
         anchors = []
         for idx, t in enumerate(self.terms):
             if not t:
@@ -164,12 +191,35 @@ class MgrepEngine:
                 for s in starts:
                     s = int(s)
                     after = int(stream[s + len(t)]) if s + len(t) < N else 0
-                    before = int(stream[s - 1]) if s - 1 >= 0 else 0
+                    if s - 1 >= 0:
+                        before = int(stream[s - 1])
+                    elif q.delimiter_opt and dl + (s - 1) >= 0:
+                        before = q.delim[dl + (s - 1)]
+                    else:
+                        before = 0
                     if not _isalnum(after) and not _isalnum(before):
                         keep.append(s)
                 starts = np.asarray(keep, dtype=np.int64)
             for s in starts:
-                anchors.append((int(s) + m1, idx, int(s), len(t)))
+                s = int(s)
+                anchor = s + m1
+                if anchor < m1 - 1 or s < -dl:
+                    continue       # before the first scanned position
+                if q.delimiter_opt and not memory_mode and delim_marks:
+                    # each scan region's buffer holds data[b_prev..]
+                    # preceded by the memcpy'd delimiter (the residue
+                    # copy truncates backward context): a hit whose
+                    # start precedes its region's lower boundary
+                    # survives only if the missing prefix coincides
+                    # with the delimiter tail
+                    import bisect
+                    ki = bisect.bisect_left(delim_marks, anchor)
+                    lb = delim_marks[ki - 1] if ki > 0 else None
+                    if lb is not None and s < lb:
+                        k = lb - s
+                        if k > dl or t[:k] != q.delim[dl - k:]:
+                            continue
+                anchors.append((anchor, idx, s, len(t)))
         anchors.sort()
 
         nl = np.flatnonzero(stream == 0x0A)
@@ -188,9 +238,15 @@ class MgrepEngine:
         lastout = base
         resume_at = -1
 
-        def record_span(anchor: int):
+        def record_span(anchor: int, s: int = None, tl: int = 0):
+            lo = hi = None
+            if q.delimiter_opt and not memory_mode and delim_marks:
+                import bisect
+                ki = bisect.bisect_left(delim_marks, anchor)
+                lo = delim_marks[ki - 1] if ki > 0 else None
+                hi = delim_marks[ki] if ki < len(delim_marks) else None
             return _mgrep_record_span(stream, nl, delim_ends, anchor,
-                                      q, base)
+                                      q, base, len(data), lo, hi)
 
         def do_output(pat_index: int, anchor: int, begin: int, end: int,
                       change_text: bool) -> bool:
@@ -201,11 +257,23 @@ class MgrepEngine:
                     sink.write_str("%s\n" % sink.current_filename)
                 return True
             if not o.count:
+                if o.invert:
+                    # pending region tails are raw fwrites that precede
+                    # this hit's decorations (monkey1 prints each
+                    # block's tail before the next block runs)
+                    inv_advance(_bisect.bisect_left(bounds, anchor))
                 printed = sink.emit_fname_prefix()
                 if o.printpattern:
                     sink.write_str("%d- " % (pat_index + 1))
                     printed = True
-                cbo = anchor - base - m1 + 1 + short_drift[0]
+                # each block boundary's duplicate byte advances the
+                # per-block CurrentByteOffset accumulation by one
+                # (newmgrep.c:556-560 copies text[end] twice)
+                drift = 0
+                for mk in cbo_marks:
+                    if mk + base < anchor - m1 + 1:
+                        drift += 1
+                cbo = anchor - base - m1 + 1 + short_drift[0] + drift
                 if o.bytecount:
                     sink.write_str("%d= " % cbo)
                     printed = True
@@ -220,8 +288,8 @@ class MgrepEngine:
                         sink.write_str("\n")
                 else:
                     nonlocal lastout
-                    _write_complement(sink, stream, lastout, begin,
-                                      block_marks, base)
+                    if lastout < begin:
+                        sink.write(bytes(bytearray(stream[lastout:begin])))
                     lastout = end
             if (o.limit_output > 0 and sink.num_matched >= o.limit_output) \
                 or (o.limit_per_file > 0 and
@@ -233,14 +301,44 @@ class MgrepEngine:
         is_and = q.bool_op == "and" and q.bool_tree is None
         is_complex = q.bool_tree is not None
 
-        # INVERSE block quirk: mgrep's residue copy has no start++
-        # (newmgrep.c:556-560 vs sgrep.c:469-471), so every block's
-        # trailing newline is also the next block's first complement
-        # byte and prints twice.  Compute the virtual block boundaries.
-        block_marks = []
-        if (o.invert and not o.count and not memory_mode
-                and not q.delimiter_opt and len(data) > 2 * 16384):
-            block_marks = _mgrep_block_ends(data)
+        # Per-block scan regions (newmgrep.c:480-567): every block's
+        # INVERSE complement pointer starts at its own region start --
+        # the previous block's trim byte (the residue copy at :560 has
+        # no start++, so that byte belongs to both regions and prints
+        # twice when no record covers it).
+        cbo_marks = []
+        if not memory_mode:
+            if not q.delimiter_opt:
+                cbo_marks = _mgrep_block_ends(data)
+            else:
+                cbo_marks = list(delim_marks)
+        bounds = [m + base for m in cbo_marks]       # inclusive ends
+        # final region's exclusive end (the INVERSE tail bound)
+        final_end = base + len(data)
+        if not memory_mode and not q.delimiter_opt and len(data) \
+                and data[-1] != 0x0A:
+            final_end += 1          # appended newline (newmgrep.c:570)
+        elif not memory_mode and q.delimiter_opt \
+                and trim_end is not None:
+            final_end += 1          # one appended delim byte (:576)
+
+        import bisect as _bisect
+        r_cur = 0
+
+        def _region_start(i):
+            return base if i == 0 else bounds[i - 1]
+
+        def _region_end_excl(i):
+            return bounds[i] + 1 if i < len(bounds) else final_end
+
+        def inv_advance(region):
+            nonlocal r_cur, lastout
+            while r_cur < region:
+                e = _region_end_excl(r_cur)
+                if lastout < e:
+                    sink.write(bytes(bytearray(stream[lastout:e])))
+                r_cur += 1
+                lastout = _region_start(r_cur)
 
         stop = False
         for (anchor, idx, s, tl) in anchors:
@@ -258,7 +356,7 @@ class MgrepEngine:
                 in_record = False
                 matched_terms[:] = False
             if not in_record:
-                cur_begin, cur_end = record_span(anchor)
+                cur_begin, cur_end = record_span(anchor, s, tl)
                 cur_anchor = anchor
                 in_record = True
             matched_terms[idx] = True
@@ -282,12 +380,9 @@ class MgrepEngine:
                 do_output(0, cur_anchor, cur_begin, cur_end, False)
 
         if o.invert and not o.count and not stop:
-            # monkey1's tail stops at the last data byte (textend),
-            # excluding the driver's appended delimiter
-            data_end = base + len(data)
-            if lastout <= data_end - 1:
-                _write_complement(sink, stream, lastout, data_end,
-                                  block_marks, base)
+            inv_advance(len(bounds))
+            if lastout < final_end:
+                sink.write(bytes(bytearray(stream[lastout:final_end])))
 
 
 def _isalnum(b: int) -> bool:
@@ -305,8 +400,17 @@ def _find_delims_arr(stream: np.ndarray, delim: bytes) -> np.ndarray:
     return np.flatnonzero(hit) + len(delim) - 1
 
 
-def _mgrep_record_span(stream, nl, delim_ends, anchor, q, base):
-    """Record boundaries around an anchor (newmgrep.c:878-887)."""
+def _mgrep_record_span(stream, nl, delim_ends, anchor, q, base,
+                       n_data=None, lo_b=None, hi_b=None):
+    """Record boundaries around an anchor (newmgrep.c:878-887).
+
+    With -d, extraction is bounded by the scan region the hit fell
+    into (monkey1 passes the region's textbegin/textend to
+    backward_/forward_delimiter): each region starts at the previous
+    block's trim byte (lo_b) and ends at its own trim (hi_b); the
+    final region spans to EOF plus the appended delimiter (which the
+    forward search can never *find* -- it sits at textend -- so tail
+    records print through it)."""
     N = len(stream)
     if not q.delimiter_opt:
         i = int(np.searchsorted(nl, anchor - 1, side="right")) - 1
@@ -315,18 +419,33 @@ def _mgrep_record_span(stream, nl, delim_ends, anchor, q, base):
         end = int(nl[j]) + 1 if j < len(nl) else N
         return begin, end
     dl = len(q.delim)
+    lo = 0
+    hi_data = (n_data if n_data is not None else N) - 1
+    # textend sits ON the first appended-delimiter byte
+    # (newmgrep.c:576), so a tail record prints exactly one of them
+    end_nf = hi_data + 1 + (1 if N > hi_data + 1 else 0)
+    if hi_b is not None:                 # bounded (non-final) region
+        hi_data = hi_b
+        end_nf = hi_b + 1
+    if lo_b is not None:
+        lo = lo_b
     i = int(np.searchsorted(delim_ends, anchor, side="left")) - 1
-    if i >= 0:
+    begin = lo
+    while i >= 0:
         dstart = int(delim_ends[i]) - dl + 1
-        begin = dstart + dl if q.outtail else dstart
-    else:
-        begin = 0
+        if dstart >= lo:
+            begin = dstart + dl if q.outtail else dstart
+            break
+        i -= 1
     j = int(np.searchsorted(delim_ends, anchor + dl, side="left"))
-    if j < len(delim_ends):
-        dstart = int(delim_ends[j]) - dl + 1
-        end = dstart + dl if q.outtail else dstart
-    else:
-        end = N
+    end = end_nf
+    while j < len(delim_ends):
+        dend = int(delim_ends[j])
+        dstart = dend - dl + 1
+        if dend <= hi_data:
+            end = dstart + dl if q.outtail else dstart
+            break
+        j += 1
     return begin, end
 
 
@@ -338,7 +457,6 @@ def _mgrep_block_ends(data: np.ndarray) -> list:
     marks = []
     pos = 0
     end_g = -1
-    residue = 0
     N = len(data)
     while pos < N:
         num_read = min(BLK, N - pos)
@@ -349,13 +467,64 @@ def _mgrep_block_ends(data: np.ndarray) -> list:
         if len(nl):
             e = span_start + int(nl[-1])
         else:
-            e = span_end - 1
+            # no newline in the block: `end` walks back to the scan
+            # start (newmgrep.c:498), i.e. the previous block's mark
+            e = span_start
         pos += num_read
-        residue = span_end - e
-        if pos < N:
+        residue = span_end - e             # includes the duplicate byte
+        if pos < N or residue > 1:
+            # intermediate block, or the EOF residue rescan
+            # (newmgrep.c:577 runs only when residue > 1)
             marks.append(e)
         end_g = e
     return marks
+
+
+def _mgrep_blocks_delim(data, delim, outtail):
+    """The -d block walk (newmgrep.c:480-567, :568-585): returns
+    (overwrites, marks, final_trim, live_append).
+
+    overwrites: data offsets whose first dl bytes the loop replaces
+    with the delimiter (every block's head); marks: duplicated bytes
+    (each block's trim byte -- the residue copy lacks a start++);
+    final_trim: the last block's trim boundary, set only when the EOF
+    residue rescan runs (residue > 1); live_append: that rescan sees
+    an appended delimiter."""
+    BLK = 2 * 16384
+    dl = len(delim)
+    N = len(data)
+    overwrites = []
+    marks = []
+    pos = 0
+    trim_end = None
+    live = False
+    while pos < N:
+        num_read = min(BLK, N - pos)
+        overwrites.append(pos)
+        blk = data[pos:pos + num_read]
+        dends = _find_delims_arr(blk, delim)
+        t = None
+        if len(dends):
+            le_end = int(dends[-1])
+            le_start = le_end - dl + 1
+            if outtail:
+                t = pos + le_end
+            elif le_start >= dl:        # else `newbuf < MAXLINE+D_length`
+                t = pos + le_start - 1
+        last_block = pos + num_read >= N
+        if t is not None:
+            if last_block:
+                live = t < N - 1
+                trim_end = t if live else None
+                if live:
+                    marks.append(t)
+            else:
+                marks.append(t)
+        elif not last_block:
+            # untrimmed block: residue==1 still duplicates the last byte
+            marks.append(pos + num_read - 1)
+        pos += num_read
+    return overwrites, marks, trim_end, live
 
 
 def _write_complement(sink, stream, a: int, b: int, marks: list,

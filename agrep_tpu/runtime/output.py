@@ -131,12 +131,16 @@ def output_bitap_record(sink: Sink, buffer, i1: int, i2: int, j: int,
 
 
 def output_sgrep_record(sink: Sink, buffer, begin: int, end: int,
-                        byte_offset: int, match_end: int) -> None:
+                        byte_offset: int, match_end: int,
+                        extra_len: int = 0) -> None:
     """The simple-path record printer (sgrep.c bm:815-932 / s_output).
 
     begin/end: record span [begin, end) in stream coordinates;
     byte_offset: CurrentByteOffset at the match (file coords);
-    match_end: stream position of the match's last char (for -q).
+    match_end: stream position of the match's last char (for -q);
+    extra_len: artificial bytes appended to the record (bm's EOF
+    newline is inside [curtextbegin, curtextend) and counts in -q's
+    {length}).
     """
     o = sink.opts
     if o.silent:
@@ -147,7 +151,7 @@ def output_sgrep_record(sink: Sink, buffer, begin: int, end: int,
         printed = True
     if o.printoffset:
         sink.write_str("@%d{%d} " % (byte_offset - (match_end - begin),
-                                     end - begin))
+                                     end - begin + extra_len))
         printed = True
     if o.printrecord:
         sink.write(bytes(bytearray(buffer[begin:end])))

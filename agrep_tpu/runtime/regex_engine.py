@@ -112,11 +112,19 @@ class RegexEngine:
             if o.linenum:
                 sink.write_str("%d: " % (j - 1))
                 printed = True
+            # re()'s scan loop is unrolled two bytes per iteration and
+            # updates CurrentByteOffset once per pair (agrep.c re()
+            # CONSUME blocks): an event landing on the first slot
+            # reports a CBO lagging one byte.  Slot parity == parity of
+            # the event's data offset.
+            cbo = p - 1
+            if D > 0 and (p - (0 if memory_mode else 1)) % 2 == 0:
+                cbo -= 1
             if o.bytecount:
-                sink.write_str("%d= " % (p - 1))
+                sink.write_str("%d= " % cbo)
                 printed = True
             if o.printoffset:
-                sink.write_str("@%d{%d} " % (p - 1 - (p - bp), p - bp))
+                sink.write_str("@%d{%d} " % (cbo - (p - bp), p - bp))
                 printed = True
             if o.printrecord:
                 sink.write(bytes(bytearray(stream[bp:p + 1])))

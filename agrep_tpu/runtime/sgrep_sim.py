@@ -112,6 +112,16 @@ class VirtualSgrepBuffer:
             if not self.delimiter:
                 self.buf[start - 1] = 0x0A
                 self.buf[start + residue] = 0x0A
+            else:
+                # note: start was ++'d after the copy, so start+residue
+                # lands one byte INTO the stale region -- an accident of
+                # the C that can defuse stale pseudo-matches and so
+                # decides whether bm's INVERSE tail prints
+                dp = np.frombuffer(self.d_pattern, dtype=np.uint8)
+                dl = len(dp)
+                if start > dl:
+                    self.buf[start - dl:start] = dp
+                self.buf[start + residue:start + residue + dl] = dp
             end = start + residue - 2
             yield start, end, gstart
 
