@@ -32,7 +32,9 @@ import functools
 
 import numpy as np
 
-ROWS = 256        # byte columns per grid step
+ROWS = 128        # byte columns per grid step (128 keeps the fully
+                  # unrolled body's Mosaic compile under ~6 s and ran
+                  # fastest of 64/128/256 on v5e)
 SUB, LANE = 8, 128
 GLANES = SUB * LANE   # tile-lanes per lane-group (one (8,128) tile)
 
@@ -69,13 +71,21 @@ def ranges_from_mask(mask_table: np.ndarray):
 
 
 @functools.cache
-def _get_pallas_scan(D: int, W: int, bit_ranges: tuple):
+def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
+                     variant: str = "bitap"):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     ones = np.uint32(0xFFFFFFFF)
+
+    # sgrep initial state chain (scan.py _scan_windows_np)
+    sg_lvl_v = [np.uint32(0)]
+    for _ in range(D):
+        _prev = int(sg_lvl_v[-1])
+        sg_lvl_v.append(np.uint32(((_prev >> 1) | _prev | 0x80000000)
+                                  & 0xFFFFFFFF))
 
     def kernel(consts_ref, windows_ref, delim_out, hit_out, states_ref):
         # windows_ref: u8[ROWS, 1, 8, 128]; outputs u32[ROWS//32, 1, 8, 128]
@@ -89,10 +99,18 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple):
         endpos = consts_ref[4]
         d_mask = consts_ref[5]
 
+        if variant == "bitap":
+            def init_level(k):
+                return init0
+        else:
+            def init_level(k):
+                return jnp.uint32(sg_lvl_v[k])
+
         @pl.when(i_col == 0)
         def _():
-            states_ref[...] = (jnp.zeros((D + 1, SUB, LANE),
-                                         dtype=jnp.uint32) | init0)
+            for k in range(D + 1):
+                states_ref[k] = (jnp.zeros((SUB, LANE), dtype=jnp.uint32)
+                                 | init_level(k))
 
         blk = windows_ref[...]                    # u8[ROWS, 1, 8, 128]
 
@@ -129,6 +147,18 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple):
                            | (init1_ns & states[k]) | r2)
             return new
 
+        top = jnp.uint32(0x80000000)
+
+        def levels_sgrep(states, cm):
+            # sgrep.c agrep():1183-1186, inverted-bit shift-or
+            new0 = ((states[0] >> 1) | top) & cm
+            new = [new0]
+            for k in range(1, D + 1):
+                new.append(((((states[k] >> 1) | top) & cm)
+                            | states[k - 1])
+                           | (((new[k - 1] | states[k - 1]) >> 1) | top))
+            return new
+
         # stream start: global lane 0 begins its real data at column W
         # with a zero halo -- force the cold state there.
         iota_s = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
@@ -142,21 +172,36 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple):
             hword = jnp.zeros((SUB, LANE), dtype=jnp.uint32)
             for b in range(32):
                 r = w * 32 + b
-                cm = cmask_row(blk[r, 0].astype(jnp.int32))
+                row32 = blk[r, 0].astype(jnp.int32)
+                cm = cmask_row(row32)
                 g = i_col * ROWS + r
                 cold = ((g == W) & (i_grp == 0)).astype(jnp.uint32) * lane0
-                states = [(s & ~cold) | (init0 & cold) for s in states]
-                new = levels(states, cm)
-                m_d = nz(new[0] & d_endpos)
-                m_h = nz(new[D] & endpos)
-                b0 = jnp.zeros((SUB, LANE), dtype=jnp.uint32) | init0
-                rs = levels([b0] * (D + 1), cm)
-                rs[0] = rs[0] & d_mask
-                states = [(rs[k] & m_d) | (new[k] & ~m_d)
-                          for k in range(D + 1)]
+                states = [(s & ~cold) | (init_level(k) & cold)
+                          for k, s in enumerate(states)]
                 bit = jnp.uint32(1 << b)
-                dword = dword | (bit & m_d)
-                hword = hword | (bit & m_h)
+                if variant == "bitap":
+                    new = levels(states, cm)
+                    m_d = nz(new[0] & d_endpos)
+                    m_h = nz(new[D] & endpos)
+                    b0 = jnp.zeros((SUB, LANE), dtype=jnp.uint32) | init0
+                    rs = levels([b0] * (D + 1), cm)
+                    rs[0] = rs[0] & d_mask
+                    states = [(rs[k] & m_d) | (new[k] & ~m_d)
+                              for k in range(D + 1)]
+                    dword = dword | (bit & m_d)
+                    hword = hword | (bit & m_h)
+                else:
+                    if D > 0:
+                        # \n state reset, sgrep.c agrep():1179-1181
+                        s_nl = ((row32 - 10) | (10 - row32)) >> 31
+                        m_nl = (~s_nl).astype(jnp.uint32)
+                        states = [(s & ~m_nl)
+                                  | (init_level(k) & m_nl)
+                                  for k, s in enumerate(states)]
+                    new = levels_sgrep(states, cm)
+                    m_h = nz(new[D] & endpos)
+                    states = new
+                    hword = hword | (bit & m_h)
             delim_out[w, 0] = dword
             hit_out[w, 0] = hword
         for k in range(D + 1):
@@ -217,7 +262,8 @@ def unpack_planes(plane: np.ndarray, T0: int, S0: int) -> np.ndarray:
 
 
 def pallas_scan_packed(windows: np.ndarray, mask_table: np.ndarray,
-                       consts: dict, D: int, W: int):
+                       consts: dict, D: int, W: int,
+                       variant: str = "bitap"):
     """windows: u8[T, S] row-major from _pad_and_window.  Returns
     (delim_packed, hit_packed) u32[T, ceil(S/32)] row-major, or None
     when the mask table has no compact range decomposition."""
@@ -233,8 +279,37 @@ def pallas_scan_packed(windows: np.ndarray, mask_table: np.ndarray,
         consts.get("noerr", 0), consts.get("d_endpos", 0),
         consts.get("endpos", 0), consts.get("d_mask", 0xFFFFFFFF),
         0, 0], dtype=np.uint32)
-    run = _get_pallas_scan(D, W, br)
+    run = _get_pallas_scan(D, W, br, variant)
     d, h = run(jnp.asarray(wt), jnp.asarray(cvec))
     d = unpack_planes(np.asarray(jax.device_get(d)), T0, S0)
     h = unpack_planes(np.asarray(jax.device_get(h)), T0, S0)
     return d, h
+
+
+def planes_to_events(delim_p: np.ndarray, hit_p: np.ndarray,
+                     consts: dict, W: int, L: int, N: int) -> np.ndarray:
+    """Rebuild the dense u32 event stream from packed bit planes.
+
+    Work is O(set bits): only words with any event touch the output.
+    Valid when endpos is a single bit (the hit plane cannot say WHICH
+    part bit fired); callers gate on that."""
+    d_endpos = np.uint32(consts.get("d_endpos", 0))
+    endpos = np.uint32(consts.get("endpos", 0))
+    events = np.zeros(N, dtype=np.uint32)
+    SW = W + L          # columns per window row
+    for plane, val in ((delim_p, d_endpos), (hit_p, endpos)):
+        if val == 0:
+            continue
+        rows, words = np.nonzero(plane)
+        for r, wd in zip(rows, words):
+            bits = int(plane[r, wd])
+            base = r * L - W + wd * 32     # stream offset of bit 0
+            while bits:
+                b = (bits & -bits).bit_length() - 1
+                bits &= bits - 1
+                if wd * 32 + b < W:
+                    continue               # cold-start halo transient
+                pos = base + b
+                if 0 <= pos < N:
+                    events[pos] |= val
+    return events

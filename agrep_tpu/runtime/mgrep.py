@@ -527,20 +527,3 @@ def _mgrep_blocks_delim(data, delim, outtail):
     return overwrites, marks, trim_end, live
 
 
-def _write_complement(sink, stream, a: int, b: int, marks: list,
-                      base: int) -> None:
-    """Write stream[a:b], duplicating the byte at each block mark
-    (data coords + base) contained in the span."""
-    if b <= a:
-        return
-    if not marks:
-        sink.write(bytes(bytearray(stream[a:b])))
-        return
-    cur = a
-    for m in marks:
-        p = m + base
-        if cur <= p < b:
-            sink.write(bytes(bytearray(stream[cur:p + 1])))
-            sink.write(bytes(bytearray(stream[p:p + 1])))
-            cur = p + 1
-    sink.write(bytes(bytearray(stream[cur:b])))
