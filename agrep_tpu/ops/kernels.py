@@ -72,7 +72,7 @@ def ranges_from_mask(mask_table: np.ndarray):
 
 @functools.cache
 def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
-                     variant: str = "bitap"):
+                     variant: str = "bitap", ep_bits: tuple = ()):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -87,9 +87,14 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
         sg_lvl_v.append(np.uint32(((_prev >> 1) | _prev | 0x80000000)
                                   & 0xFFFFFFFF))
 
-    def kernel(consts_ref, windows_ref, delim_out, hit_out, states_ref):
+    n_hit = max(1, len(ep_bits))
+
+    def kernel(consts_ref, windows_ref, *outs):
         # windows_ref: u8[ROWS, 1, 8, 128]; outputs u32[ROWS//32, 1, 8, 128]
-        # states_ref: u32[D+1, 8, 128]
+        # outs = (delim_out, hit_out... [one per endpos bit], states_ref)
+        delim_out = outs[0]
+        hit_outs = outs[1:1 + n_hit]
+        states_ref = outs[-1]
         i_grp = pl.program_id(0)
         i_col = pl.program_id(1)
         init0 = consts_ref[0]
@@ -169,7 +174,8 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
         states = [states_ref[k] for k in range(D + 1)]
         for w in range(ROWS // 32):
             dword = jnp.zeros((SUB, LANE), dtype=jnp.uint32)
-            hword = jnp.zeros((SUB, LANE), dtype=jnp.uint32)
+            hwords = [jnp.zeros((SUB, LANE), dtype=jnp.uint32)
+                      for _ in range(n_hit)]
             for b in range(32):
                 r = w * 32 + b
                 row32 = blk[r, 0].astype(jnp.int32)
@@ -182,14 +188,13 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
                 if variant == "bitap":
                     new = levels(states, cm)
                     m_d = nz(new[0] & d_endpos)
-                    m_h = nz(new[D] & endpos)
                     b0 = jnp.zeros((SUB, LANE), dtype=jnp.uint32) | init0
                     rs = levels([b0] * (D + 1), cm)
                     rs[0] = rs[0] & d_mask
+                    final = new[D]
                     states = [(rs[k] & m_d) | (new[k] & ~m_d)
                               for k in range(D + 1)]
                     dword = dword | (bit & m_d)
-                    hword = hword | (bit & m_h)
                 else:
                     if D > 0:
                         # \n state reset, sgrep.c agrep():1179-1181
@@ -199,11 +204,18 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
                                   | (init_level(k) & m_nl)
                                   for k, s in enumerate(states)]
                     new = levels_sgrep(states, cm)
-                    m_h = nz(new[D] & endpos)
+                    final = new[D]
                     states = new
-                    hword = hword | (bit & m_h)
+                if ep_bits:
+                    for e, bv in enumerate(ep_bits):
+                        hwords[e] = hwords[e] | (bit
+                                                 & nz(final
+                                                      & jnp.uint32(bv)))
+                else:
+                    hwords[0] = hwords[0] | (bit & nz(final & endpos))
             delim_out[w, 0] = dword
-            hit_out[w, 0] = hword
+            for e in range(n_hit):
+                hit_outs[e][w, 0] = hwords[e]
         for k in range(D + 1):
             states_ref[k] = states[k]
 
@@ -211,6 +223,9 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
     def run(windows_t, consts):
         S, G = windows_t.shape[:2]
         grid = (G, S // ROWS)
+        spec = pl.BlockSpec((ROWS // 32, 1, SUB, LANE),
+                            lambda i, j: (j, i, 0, 0))
+        shape = jax.ShapeDtypeStruct((S // 32, G, SUB, LANE), jnp.uint32)
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -219,16 +234,8 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
                 pl.BlockSpec((ROWS, 1, SUB, LANE),
                              lambda i, j: (j, i, 0, 0)),
             ],
-            out_specs=[
-                pl.BlockSpec((ROWS // 32, 1, SUB, LANE),
-                             lambda i, j: (j, i, 0, 0)),
-                pl.BlockSpec((ROWS // 32, 1, SUB, LANE),
-                             lambda i, j: (j, i, 0, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((S // 32, G, SUB, LANE), jnp.uint32),
-                jax.ShapeDtypeStruct((S // 32, G, SUB, LANE), jnp.uint32),
-            ],
+            out_specs=[spec] * (1 + n_hit),
+            out_shape=[shape] * (1 + n_hit),
             scratch_shapes=[
                 pltpu.VMEM((D + 1, SUB, LANE), jnp.uint32),
             ],
@@ -261,12 +268,69 @@ def unpack_planes(plane: np.ndarray, T0: int, S0: int) -> np.ndarray:
     return out[:T0, :-(-S0 // 32)]
 
 
+@functools.cache
+def _get_device_packer():
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit,
+                       static_argnames=("W", "L", "T", "G", "S"))
+    def pack(text_dev, W, L, T, G, S):
+        """u8[N] -> u8[S, G, 8, 128] window layout, built on device
+        (three HBM-speed passes instead of a host transpose + full
+        re-upload)."""
+        N = text_dev.shape[0]
+        total = T * L
+        padded = jnp.pad(text_dev, (W, total - N))
+        body = padded[W:].reshape(T, L)
+        halo = padded[:total].reshape(T, L)[:, :W]
+        win = jnp.concatenate([halo, body], axis=1)      # (T, W+L)
+        TP = G * GLANES
+        S0 = W + L
+        win = jnp.pad(win, ((0, TP - T), (0, S - S0)))
+        return win.reshape(G, SUB, LANE, S).transpose(3, 0, 1, 2)
+
+    return pack
+
+
+def pallas_scan_stream(text: np.ndarray, mask_table: np.ndarray,
+                       consts: dict, D: int, W: int, L: int,
+                       variant: str = "bitap", ep_bits: tuple = ()):
+    """Scan a raw byte stream: upload u8[N] once, build the window
+    layout on device, run the kernel.  Returns (delim_p, [hit_p...])
+    packed planes in window coordinates, plus (T, W, L) geometry; or
+    None when the mask table has no compact range decomposition."""
+    import jax
+    import jax.numpy as jnp
+    br = ranges_from_mask(mask_table.astype(np.uint32))
+    if br is None:
+        return None
+    N = int(text.shape[0])
+    T = max(1, -(-N // L))
+    G = -(-T // GLANES)
+    S = -(-(W + L) // ROWS) * ROWS
+    cvec = np.asarray([
+        consts.get("init0", 0), consts.get("init1_ns", 0),
+        consts.get("noerr", 0), consts.get("d_endpos", 0),
+        consts.get("endpos", 0), consts.get("d_mask", 0xFFFFFFFF),
+        0, 0], dtype=np.uint32)
+    packf = _get_device_packer()
+    wt = packf(jnp.asarray(text), W, L, T, G, S)
+    run = _get_pallas_scan(D, W, br, variant, ep_bits)
+    outs = run(wt, jnp.asarray(cvec))
+    outs = [unpack_planes(np.asarray(jax.device_get(o)), T, W + L)
+            for o in outs]
+    return outs[0], outs[1:]
+
+
 def pallas_scan_packed(windows: np.ndarray, mask_table: np.ndarray,
                        consts: dict, D: int, W: int,
-                       variant: str = "bitap"):
+                       variant: str = "bitap", ep_bits: tuple = ()):
     """windows: u8[T, S] row-major from _pad_and_window.  Returns
-    (delim_packed, hit_packed) u32[T, ceil(S/32)] row-major, or None
-    when the mask table has no compact range decomposition."""
+    (delim_packed, hit_planes) with hit_planes a list of
+    u32[T, ceil(S/32)] packed planes -- one per entry of ep_bits, or a
+    single combined plane when ep_bits is empty.  None when the mask
+    table has no compact range decomposition."""
     import jax
     import jax.numpy as jnp
     T0, S0 = windows.shape
@@ -279,11 +343,11 @@ def pallas_scan_packed(windows: np.ndarray, mask_table: np.ndarray,
         consts.get("noerr", 0), consts.get("d_endpos", 0),
         consts.get("endpos", 0), consts.get("d_mask", 0xFFFFFFFF),
         0, 0], dtype=np.uint32)
-    run = _get_pallas_scan(D, W, br, variant)
-    d, h = run(jnp.asarray(wt), jnp.asarray(cvec))
-    d = unpack_planes(np.asarray(jax.device_get(d)), T0, S0)
-    h = unpack_planes(np.asarray(jax.device_get(h)), T0, S0)
-    return d, h
+    run = _get_pallas_scan(D, W, br, variant, ep_bits)
+    outs = run(jnp.asarray(wt), jnp.asarray(cvec))
+    outs = [unpack_planes(np.asarray(jax.device_get(o)), T0, S0)
+            for o in outs]
+    return outs[0], outs[1:]
 
 
 def planes_to_events(delim_p: np.ndarray, hit_p: np.ndarray,

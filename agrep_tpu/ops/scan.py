@@ -72,6 +72,11 @@ def scan_events(text: np.ndarray, mask_table: np.ndarray, consts: dict,
     m = consts.get("m", 32)
     W = min(max(m + D + 2, 48), tile)
     L = tile
+    if _BACKEND != "numpy":
+        out = _try_pallas(text, mask_table, consts, D, W, L, N,
+                          variant, costs)
+        if out is not None:
+            return out
     windows, T = _pad_and_window(text, W, L)
     cvec = np.asarray([
         consts.get("init0", 0), consts.get("init1_ns", 0),
@@ -82,10 +87,6 @@ def scan_events(text: np.ndarray, mask_table: np.ndarray, consts: dict,
         ev = _scan_windows_np(windows, mask_table, cvec, D, W, variant,
                               costs)
     else:
-        out = _try_pallas(windows, mask_table, consts, D, W, L, N,
-                          variant, costs)
-        if out is not None:
-            return out
         ev = _scan_windows_jax(windows, mask_table, cvec, D, W, variant,
                                costs)
     return np.asarray(ev)[:, W:].reshape(-1)[:N]
@@ -99,35 +100,52 @@ def _on_tpu() -> bool:
         return False
 
 
-def _try_pallas(windows, mask_table, consts, D, W, L, N, variant, costs):
+def _try_pallas(text, mask_table, consts, D, W, L, N, variant, costs):
     """The TPU fast path: the fused Pallas kernel (ops/kernels.py).
 
     XLA's lax.scan path compiles the per-byte recurrence into a
     ~2000-step while loop whose per-step overhead caps it near 0.1
     GB/s on a v5e chip; the Pallas kernel runs the same machine at
-    ~44 GB/s.  Falls back (returns None) off-TPU, for non-uniform
-    costs, for multi-bit endpos (the packed hit plane cannot say which
-    part bit fired -- AND patterns and packed multi-term groups), and
-    for mask tables with no compact range decomposition."""
+    ~44 GB/s.  Multi-bit endpos (AND patterns, packed multi-term
+    groups) gets one packed hit plane per part bit.  Falls back
+    (returns None) off-TPU, for non-uniform costs, for >12 part bits,
+    and for mask tables with no compact range decomposition."""
     if costs is not None or variant not in ("bitap", "sgrep"):
         return None
     endpos = int(consts.get("endpos", 0))
-    if endpos == 0 or (endpos & (endpos - 1)) != 0:
+    if endpos == 0:
         return None
+    single = (endpos & (endpos - 1)) == 0
+    ep_bits: tuple = ()
+    if not single:
+        # multi-part endpos (AND patterns, packed multi-term groups):
+        # one packed hit plane per part bit
+        ep_bits = tuple(1 << b for b in range(32) if endpos & (1 << b))
+        if len(ep_bits) > 12:
+            return None
     if not _on_tpu():
         return None
     from . import kernels
-    out = kernels.pallas_scan_packed(windows, mask_table, consts, D, W,
-                                     variant)
+    out = kernels.pallas_scan_stream(text, mask_table, consts, D, W, L,
+                                     variant, ep_bits)
     if out is None:
         return None
-    d, h = out
+    d, hs = out
     if variant == "sgrep":
         # sgrep events are the 0/1 pulse convention (bit 0)
         ev = kernels.planes_to_events(
-            np.zeros_like(d), h, {"d_endpos": 0, "endpos": 1}, W, L, N)
+            np.zeros_like(d), hs[0], {"d_endpos": 0, "endpos": 1},
+            W, L, N)
+    elif single:
+        ev = kernels.planes_to_events(d, hs[0], consts, W, L, N)
     else:
-        ev = kernels.planes_to_events(d, h, consts, W, L, N)
+        ev = kernels.planes_to_events(
+            d, np.zeros_like(d), {"d_endpos": consts.get("d_endpos", 0),
+                                  "endpos": 0}, W, L, N)
+        for bv, hp in zip(ep_bits, hs):
+            ev |= kernels.planes_to_events(
+                np.zeros_like(d), hp, {"d_endpos": 0, "endpos": bv},
+                W, L, N)
     return ev
 
 
