@@ -66,6 +66,9 @@ def get_lib():
                                      i64]
     lib.verify_dp.restype = i64
     lib.verify_dp.argtypes = [i64, i64, i64, u8p, u8p, i64]
+    lib.agrep_count_walk.restype = i64
+    lib.agrep_count_walk.argtypes = [i64p, i64p, i64, i64p, i64, i64,
+                                     i64, i64]
     lib.a_monkey_block.restype = i64
     lib.a_monkey_block.argtypes = [u8p, i64, i64, i64, u8p, i64, i64,
                                    u8p, i64p, i64]
@@ -96,3 +99,34 @@ def verify_dp(m, n, D, pat: bytes, window: bytes) -> int | None:
     return int(lib.verify_dp(m, n, D,
                              np.ascontiguousarray(p),
                              np.ascontiguousarray(w), len(w)))
+
+
+def agrep_candidates(buf: np.ndarray, start: int, end: int, pat: bytes,
+                     D: int, shift_tab: np.ndarray, d1: int,
+                     member: np.ndarray):
+    """Candidate ranges [(lo, hi)] relative to start, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = 4096
+    out = np.empty(2 * cap, dtype=np.int64)
+    p = np.frombuffer(pat, dtype=np.uint8)
+    n = lib.agrep_candidates(
+        np.ascontiguousarray(buf), len(buf), start, end,
+        np.ascontiguousarray(p), len(pat), D,
+        np.ascontiguousarray(shift_tab.astype(np.int32)), int(d1),
+        np.ascontiguousarray(member.astype(np.uint8)), out, cap)
+    return out[:2 * n].reshape(-1, 2)
+
+
+def agrep_count_walk(events: np.ndarray, rec_ends: np.ndarray,
+                     cands: np.ndarray, lo_g: int, m_pat: int,
+                     D: int) -> int | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    return int(lib.agrep_count_walk(
+        np.ascontiguousarray(events, dtype=np.int64),
+        np.ascontiguousarray(rec_ends, dtype=np.int64), len(events),
+        np.ascontiguousarray(cands.reshape(-1), dtype=np.int64),
+        len(cands), lo_g, m_pat, D))

@@ -163,6 +163,41 @@ int64_t agrep_candidates(const uint8_t* buf, int64_t buflen,
 }
 
 // ---------------------------------------------------------------
+// agrep() per-block count walk (sgrep.c:1166-1238): events inside a
+// candidate round are consumed in scan order; each counted event
+// jumps the scan index to the record end (or lastend), so events in
+// the jumped-over span are never seen.
+// ---------------------------------------------------------------
+
+int64_t agrep_count_walk(const int64_t* events, const int64_t* rec_ends,
+                         int64_t n_ev, const int64_t* cand,
+                         int64_t n_cand, int64_t lo_g, int64_t m_pat,
+                         int64_t D) {
+    int64_t count = 0;
+    int64_t lastend = 0;
+    for (int64_t c = 0; c < n_cand; c++) {
+        int64_t clo = cand[2 * c], chi = cand[2 * c + 1];
+        // lower_bound for events >= lo_g + clo
+        int64_t lo = 0, hi = n_ev;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (events[mid] < lo_g + clo) lo = mid + 1; else hi = mid;
+        }
+        int64_t i = clo;
+        for (int64_t k = lo; k < n_ev && events[k] - lo_g < chi; k++) {
+            int64_t idx = events[k] - lo_g + 1;
+            if (idx <= i) continue;            // jumped over
+            if (idx < clo + (m_pat - D)) continue;  // cold start
+            count++;
+            if (idx <= lastend) i = lastend;
+            else i = rec_ends[k] - lo_g;
+            lastend = i;
+        }
+    }
+    return count;
+}
+
+// ---------------------------------------------------------------
 // verify() banded DP (sgrep.c:2118-2181), including gcc's resolution
 // of the unsequenced A[last+1] = A[last++]+1 (destination address is
 // materialized after the increment).

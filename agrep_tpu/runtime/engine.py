@@ -305,6 +305,18 @@ class SgrepEngine:
         if q.delimiter_opt:
             delim_ends = _find_delims(stream, q.delim)
 
+        if (o.count and not o.invert and not q.delimiter_opt
+                and not o.filename_only and D == 0
+                and b"\n" not in q.sg_pattern
+                and o.limit_output == 0 and o.limit_per_file == 0
+                and len(pos)):
+            # bm/monkey jump to the record end after each count
+            # (sgrep.c:815 textbegin = curtextend), so the count is the
+            # number of LINES with >= 1 match -- fully vectorizable.
+            lines = np.searchsorted(nl, pos, side="left")
+            sink.num_matched += int(len(np.unique(lines)))
+            return
+
         # bm()'s INVERSE tail print depends on skip-loop alignment
         # (early return on a stop-region pseudo-match); emulate the
         # reference's block loop for that mode.
@@ -329,6 +341,10 @@ class SgrepEngine:
             c_count = sgrep_sim.agrep_c_count(
                 data, pos - base, nl - base, q.sg_pattern, D,
                 q.delimiter_opt, q.delim)
+            if (o.count and not o.invert and not o.filename_only
+                    and o.limit_output == 0 and o.limit_per_file == 0):
+                sink.num_matched += c_count
+                return
 
         lastend = 0
         lastout = base

@@ -219,39 +219,54 @@ def agrep_c_count(data: np.ndarray, events_g: np.ndarray, nl_g: np.ndarray,
 
     events_g: global data offsets of match-end events (0-based, i.e.
     C's i-1); nl_g: global offsets of newlines."""
+    from .. import native
     vb = VirtualSgrepBuffer(data, pat, delimiter, d_pattern)
     count = 0
+    ev = np.asarray(events_g, dtype=np.int64)
+    # record end per event (s_output's curtextend), vectorized
+    jj = np.searchsorted(nl_g, ev + 1, side="left")
+    rec_ends = np.where(
+        jj < len(nl_g),
+        (nl_g[np.minimum(jj, max(len(nl_g) - 1, 0))] + 1
+         if len(nl_g) else 0),
+        len(data) + 1).astype(np.int64)
+    shift_tab, d1, member, _m, _bs = build_agrep_tables(pat, D)
+    m_pat = len(pat)
     for (start, end, gstart) in vb.blocks():
         n = end - start  # textend - textbegin
-        cands = agrep_candidates(vb.buf, start, end, pat, D)
         lo_g = gstart
-        hi_g = gstart + n
+        nc = native.agrep_candidates(vb.buf, start, end, pat, D,
+                                     shift_tab, d1, member)
+        if nc is not None:
+            cands = np.clip(nc, [0, 0], [n, n])
+            c = native.agrep_count_walk(ev, rec_ends, cands, lo_g,
+                                        m_pat, D)
+            if c is not None:
+                count += c
+                continue
+            cands = [tuple(x) for x in cands]
+        else:
+            cands = agrep_candidates(vb.buf, start, end, pat, D)
         lastend = 0
         for (clo, chi) in cands:
-            sel = events_g[(events_g - lo_g >= clo)
-                           & (events_g - lo_g < chi)]
+            sel_idx = np.flatnonzero((ev - lo_g >= clo)
+                                     & (ev - lo_g < chi))
             # walk the round like the C scan: after an event the scan
             # index jumps (to the record end, or to lastend), so events
             # inside the jumped-over span are never encountered.
             i = clo
-            m_pat = len(pat)
-            for e in sel:
-                idx = int(e) - lo_g + 1   # C's i after consuming the char
+            for k in sel_idx:
+                idx = int(ev[k]) - lo_g + 1   # C's i after the char
                 if idx <= i:
                     continue              # jumped over: never seen
                 if idx < clo + (m_pat - D):
-                    continue              # cold start: not warmed up yet
+                    continue              # cold start: not warmed up
                 count += 1
                 if idx <= lastend:
                     i = lastend           # counted but not output
                 else:
-                    # s_output advances i to the record end (curtextend)
-                    j = int(np.searchsorted(nl_g, int(e) + 1, side="left"))
-                    rec_end_g = int(nl_g[j]) + 1 if j < len(nl_g) \
-                        else len(data) + 1
-                    i = rec_end_g - lo_g
+                    i = int(rec_ends[k]) - lo_g
                 lastend = i
-        _ = hi_g
     return count
 
 
