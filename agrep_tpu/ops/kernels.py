@@ -360,20 +360,15 @@ def planes_to_events(delim_p: np.ndarray, hit_p: np.ndarray,
     d_endpos = np.uint32(consts.get("d_endpos", 0))
     endpos = np.uint32(consts.get("endpos", 0))
     events = np.zeros(N, dtype=np.uint32)
-    SW = W + L          # columns per window row
     for plane, val in ((delim_p, d_endpos), (hit_p, endpos)):
         if val == 0:
             continue
-        rows, words = np.nonzero(plane)
-        for r, wd in zip(rows, words):
-            bits = int(plane[r, wd])
-            base = r * L - W + wd * 32     # stream offset of bit 0
-            while bits:
-                b = (bits & -bits).bit_length() - 1
-                bits &= bits - 1
-                if wd * 32 + b < W:
-                    continue               # cold-start halo transient
-                pos = base + b
-                if 0 <= pos < N:
-                    events[pos] |= val
+        # u32 words -> per-column bits, LSB first (bit j of word w is
+        # column w*32+j); drop the cold-start halo columns, flatten to
+        # stream order.  Three vectorized passes over ~N bytes.
+        bits = np.unpackbits(
+            plane.view(np.uint8).reshape(plane.shape[0], -1),
+            axis=1, bitorder="little")
+        sel = bits[:, W:W + L].reshape(-1)[:N] != 0
+        events[sel] |= val
     return events
