@@ -40,32 +40,43 @@ GLANES = SUB * LANE   # tile-lanes per lane-group (one (8,128) tile)
 
 
 def ranges_from_mask(mask_table: np.ndarray):
-    """Decompose a uint32[256] mask table into per-bit byte ranges.
+    """Decompose a uint32[256] mask table into per-bit byte tests.
 
-    Returns a tuple of (bit_value, ((lo, hi), ...)) entries -- static
-    kernel parameters.  Feasible when every bit's byte set is a union
-    of few ranges (literal chars, [a-b] classes, folded chars); returns
-    None when the table is too irregular (caller falls back to XLA)."""
+    Returns a tuple of (bit_value, ((lo, hi), ...), (fold_c, ...))
+    entries -- static kernel parameters.  A fold_c entry matches the
+    case pair {c, c^0x20} with ONE compare on (byte | 0x20) -- half the
+    tests for the (always-folded) simple-pattern tables.  Feasible
+    when every bit's byte set decomposes into few tests; returns None
+    when the table is too irregular (caller falls back to XLA)."""
     out = []
+    total = 0
     for b in range(32):
         bit = np.uint32(1 << b)
-        sel = np.flatnonzero((mask_table & bit) != 0)
-        if len(sel) == 0:
+        sel = set(int(v) for v in
+                  np.flatnonzero((mask_table & bit) != 0))
+        if not sel:
             continue
+        folds = []
+        for c in sorted(sel):
+            if (c & 0x20) and (c ^ 0x20) in sel and c in sel:
+                folds.append(c)
+                sel.discard(c)
+                sel.discard(c ^ 0x20)
         ranges = []
-        lo = prev = int(sel[0])
-        for v in sel[1:]:
-            v = int(v)
-            if v == prev + 1:
-                prev = v
-                continue
+        run = sorted(sel)
+        i = 0
+        while i < len(run):
+            lo = prev = run[i]
+            i += 1
+            while i < len(run) and run[i] == prev + 1:
+                prev = run[i]
+                i += 1
             ranges.append((lo, prev))
-            lo = prev = v
-        ranges.append((lo, prev))
-        if len(ranges) > 8:
+        if len(ranges) + len(folds) > 10:
             return None
-        out.append((int(bit), tuple(ranges)))
-    if sum(len(r) for _, r in out) > 48:
+        total += len(ranges) + len(folds)
+        out.append((int(bit), tuple(ranges), tuple(folds)))
+    if total > 48:
         return None
     return tuple(out)
 
@@ -127,19 +138,24 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
             x = v.astype(jnp.int32)
             return ((x | (0 - x)) >> 31).astype(jnp.uint32)
 
+        any_folds = any(f for _, _, f in bit_ranges)
+
         def cmask_row(row32):
             # static compare-tree mask lookup on one (8,128) i32 tile:
-            # lo <= x <= hi  iff  sign((x-lo) | (hi-x)) == 0
+            # lo <= x <= hi  iff  sign((x-lo) | (hi-x)) == 0; case
+            # pairs {c, c^0x20} are one equality on (x | 0x20)
             cm = jnp.zeros((SUB, LANE), dtype=jnp.uint32)
-            for bitval, ranges in bit_ranges:
-                acc = jnp.zeros((SUB, LANE), dtype=jnp.int32)
+            rowf = (row32 | 0x20) if any_folds else row32
+            for bitval, ranges, folds in bit_ranges:
                 miss = None
                 for (lo, hi) in ranges:
                     s = ((row32 - lo) | (hi - row32)) >> 31  # -1 = miss
                     miss = s if miss is None else (miss & s)
+                for c in folds:
+                    s = ((rowf - c) | (c - rowf)) >> 31
+                    miss = s if miss is None else (miss & s)
                 hit = (~miss).astype(jnp.uint32)     # all-ones on hit
                 cm = cm | (hit & jnp.uint32(bitval))
-                del acc
             return cm
 
         def levels(states, cm):
