@@ -23,13 +23,19 @@ def main(argv: list[str] | None = None) -> int:
         # (agrep.c:347,2076), so the reference CLI reports -1 -> 255
         from . import help as helpmod
         if getattr(e, "version", False):
+            # agrep.c:2597-2601: leading newline + version to stdout,
+            # then the -1 error return
             helpmod.print_version()
-            return 0
+            return 255
         msg = str(e)
         if msg:
             print(msg, file=sys.stderr)
         if e.show_usage:
             helpmod.print_usage()
+        if getattr(e, "late", False) and getattr(e, "verbose", 1) > 0:
+            # exec()-stage conflicts: agrep_search still prints the
+            # Grand Total line (agrep.c:3229)
+            print("Grand Total: 0 match(es) found.")
         return 255
     except OutputOverflow:
         return 255

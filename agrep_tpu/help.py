@@ -44,6 +44,6 @@ def print_version() -> None:
 
 def print_usage(out=None) -> None:
     import sys
-    f = out or sys.stdout
+    f = out or sys.stderr
     print(BANNER, file=f)
     print(USAGE_PAGE, file=f)

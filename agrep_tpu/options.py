@@ -30,10 +30,16 @@ class AgrepError(Exception):
     (initial_value zeroes EXITONERROR before any error can fire)."""
 
     def __init__(self, message: str, show_usage: bool = False,
-                 version: bool = False):
+                 version: bool = False, late: bool = False,
+                 verbose: int = 1):
         super().__init__(message)
         self.show_usage = show_usage
         self.version = version
+        # `late` errors fire inside exec() (compat.c conflicts): the
+        # reference still prints the Grand Total line after exec
+        # returns -1 (agrep.c:3229)
+        self.late = late
+        self.verbose = verbose
 
 
 @dataclass
@@ -414,13 +420,18 @@ def compat_check(opts: Options, has_multi: bool) -> None:
             _warn(opts, "%s: approximate matching is not supported with -f "
                         "option" % PROGNAME)
         if opts.linenum:
-            raise AgrepError("%s: -f and -n are not compatible" % PROGNAME)
+            raise AgrepError("%s: -f and -n are not compatible" % PROGNAME,
+                             late=True, verbose=opts.verbose)
     if opts.multi_output and opts.linenum:
-        raise AgrepError("%s: -M and -n are not compatible" % PROGNAME)
+        raise AgrepError("%s: -M and -n are not compatible" % PROGNAME,
+                         late=True, verbose=opts.verbose)
     if opts.jump:
         if opts.cost_insert == 0 or opts.cost_subst == 0 or opts.cost_delete == 0:
-            raise AgrepError("%s: the error cost cannot be 0" % PROGNAME)
+            raise AgrepError("%s: the error cost cannot be 0" % PROGNAME,
+                             late=True, verbose=opts.verbose)
     if opts.delimiter is not None and opts.wholeline:
-        raise AgrepError("%s: -d and -x are not compatible" % PROGNAME)
+        raise AgrepError("%s: -d and -x are not compatible" % PROGNAME,
+                         late=True, verbose=opts.verbose)
     if opts.invert and has_multi and opts.multi_output:
-        raise AgrepError("%s: -v and -M are not compatible" % PROGNAME)
+        raise AgrepError("%s: -v and -M are not compatible" % PROGNAME,
+                         late=True, verbose=opts.verbose)
