@@ -114,3 +114,62 @@ def distributed_scan_count(shards: np.ndarray, mask_table: np.ndarray,
                         jnp.asarray(cvec_sh))
     _ = overlap
     return int(np.asarray(total)[0]), np.asarray(locals_)
+
+
+def distributed_scan_offsets(shards: np.ndarray, starts: np.ndarray,
+                             n_bytes: int, mask_table: np.ndarray,
+                             consts: dict, D: int, mesh=None,
+                             costs: tuple | None = None) -> np.ndarray:
+    """Scan shards data-parallel and return the GLOBAL sorted offsets
+    of part-pulse events -- the reference's output ordering (byte
+    order within the stream), imposed by a host merge.
+
+    Devices exchange nothing during the scan; each returns its shard's
+    event bitmap (halo columns dropped, so overlap events are counted
+    exactly once by their owning shard)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    if mesh is None:
+        mesh = make_mesh()
+    n = mesh.devices.size
+    assert shards.shape[0] == n, (shards.shape, n)
+
+    from ..ops.scan import _pad_and_window, _get_jit
+    halo = consts.get("shard_halo", MAX_RECORD)
+    W = max(consts.get("m", 32) + D + 2, 48)
+    L = 1024
+    windows = np.stack(
+        [_pad_and_window(shards[i], W, L)[0] for i in range(n)])
+    cvec = np.asarray([
+        consts.get("init0", 0), consts.get("init1_ns", 0),
+        consts.get("noerr", 0), consts.get("d_endpos", 0),
+        consts.get("endpos", 0), consts.get("d_mask", 0xFFFFFFFF),
+        0, 0], dtype=np.uint32)
+    cvec_sh = np.broadcast_to(cvec, (n, 8)).copy()
+    scan_fn = _get_jit()
+    endpos = np.uint32(consts.get("endpos", 0))
+    shard_len = shards.shape[1] - halo
+
+    def per_shard(wnd, mt, cv):
+        ev = scan_fn(wnd[0], mt, cv[0], D, W, "bitap", costs)
+        body = ev[:, W:].reshape(-1)[halo:halo + shard_len]
+        return (((body & endpos) != 0).astype(jnp.uint8))[None]
+
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("shards"), P(), P("shards")),
+        out_specs=P("shards"))
+    bitmaps = np.asarray(fn(jnp.asarray(windows),
+                            jnp.asarray(mask_table),
+                            jnp.asarray(cvec_sh)))
+    outs = []
+    for i in range(n):
+        pos = np.flatnonzero(bitmaps[i]) + int(starts[i])
+        outs.append(pos[pos < n_bytes])
+    return np.concatenate(outs)   # shard order == byte order
