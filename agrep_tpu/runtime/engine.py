@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time as _time
 
 import numpy as np
 
@@ -598,6 +599,9 @@ class Executor:
             or o.always_filename
         if o.no_filename:
             sink.fname = False
+        stats = os.environ.get("AGREP_TPU_STATS")
+        t0 = _time.perf_counter() if stats else 0.0
+        bytes_scanned = 0
         nomatch = True
         for i, path in enumerate(files):
             sink.prev_num_matched = sink.num_matched
@@ -609,6 +613,7 @@ class Executor:
                 print("agrep: can't open file for reading: %s" % path,
                       file=sys.stderr)
                 continue
+            bytes_scanned += len(data)
             self.engine.search_stream(data, sink, q.D)
             nfile = sink.num_matched - sink.prev_num_matched
             if nfile > 0:
@@ -622,6 +627,16 @@ class Executor:
                     or (o.limit_total_file > 0
                         and sink.files_matched >= o.limit_total_file):
                 break
+        if stats:
+            # the reference's implicit cost model made explicit
+            # (SURVEY.md section 5, tracing): AGREP_TPU_STATS=1
+            dt = _time.perf_counter() - t0
+            print("agrep-tpu stats: engine=%s files=%d bytes=%d "
+                  "matches=%d wall=%.3fs (%.1f MB/s) backend=%s"
+                  % (q.engine_class, len(files), bytes_scanned,
+                     sink.num_matched, dt,
+                     bytes_scanned / max(dt, 1e-9) / 1e6,
+                     scan_ops._BACKEND), file=sys.stderr)
 
         if nomatch and o.bestmatch:
             self._best_match(files)
