@@ -31,6 +31,19 @@ class Query:
                  argv: list[str] | None = None, **kwargs):
         if argv is not None:
             self.opts, self.pattern, self.files = parse_args(argv)
+            # the reference is byte-oriented: recover each pattern-ish
+            # argument's RAW argv bytes (Python decoded them as UTF-8)
+            # and re-view them as latin-1, the str<->byte identity this
+            # pipeline uses throughout
+            import os as _os
+
+            def _raw(s):
+                return (_os.fsencode(s).decode("latin-1")
+                        if s is not None else None)
+
+            self.pattern = _raw(self.pattern)
+            self.opts.delimiter = _raw(self.opts.delimiter)
+            self.opts.pat_buffer = _raw(self.opts.pat_buffer)
         else:
             self.opts = Options(**kwargs)
             self.pattern = pattern
