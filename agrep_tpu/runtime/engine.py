@@ -361,6 +361,12 @@ class SgrepEngine:
                 continue
             begin, end = self._record_span(stream, nl, delim_ends, p, D,
                                            sg_trim)
+            if q.delimiter_opt:
+                # the backward search's lower bound is textbegin, which
+                # every output advances to the previous record's end
+                # (sgrep.c:815 textbegin = curtextend): -d records
+                # chain without overlap
+                begin = max(begin, lastend)
             if end > N:
                 if D == 0 and q.sg_sub == "monkey" and not q.delimiter_opt:
                     # monkey() has no EOF adjustment (sgrep.c:1597-1599
