@@ -383,7 +383,8 @@ def planes_to_events(delim_p: np.ndarray, hit_p: np.ndarray,
         # column w*32+j); drop the cold-start halo columns, flatten to
         # stream order.  Three vectorized passes over ~N bytes.
         bits = np.unpackbits(
-            plane.view(np.uint8).reshape(plane.shape[0], -1),
+            np.ascontiguousarray(plane).view(np.uint8)
+            .reshape(plane.shape[0], -1),
             axis=1, bitorder="little")
         sel = bits[:, W:W + L].reshape(-1)[:N] != 0
         events[sel] |= val

@@ -92,9 +92,36 @@ def scan_events(text: np.ndarray, mask_table: np.ndarray, consts: dict,
     return np.asarray(ev)[:, W:].reshape(-1)[:N]
 
 
+_cache_enabled = False
+
+
+def _enable_compile_cache() -> None:
+    """Persist compiled kernels across CLI invocations (the compare
+    tree bakes the pattern into the kernel, so each new pattern costs
+    a Mosaic compile -- cached, repeat searches skip it; the
+    reference's agrep_saved_pattern precedent, agrep.c:3063)."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    _cache_enabled = True
+    try:
+        import jax
+        cache = os.path.join(
+            os.environ.get("XDG_CACHE_HOME",
+                           os.path.expanduser("~/.cache")),
+            "agrep_tpu", "jax")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def _on_tpu() -> bool:
     try:
         import jax
+        _enable_compile_cache()
         return jax.default_backend() not in ("cpu",)
     except Exception:
         return False
