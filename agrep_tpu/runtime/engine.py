@@ -283,6 +283,13 @@ class SgrepEngine:
                     starts = pos - (m - 1)
                     pos = pos[(pos <= t_end) | (starts > t_end)]
 
+        if q.sg_sub == "agrep" and q.sg_m // (D + 1) == 0:
+            # escape-stripped pattern no longer than D (raw length
+            # passed the checksg size guard): agrep()'s fragment
+            # length m/(D+1) is zero, so the filter never produces a
+            # candidate and nothing ever matches (sgrep.c prep:1058)
+            pos = pos[:0]
+
         if q.sg_sub == "agrep" and not memory_mode and len(pos):
             # agrep()'s scan loop never consumes the buffer's last byte
             # (i < n with n = textend - textbegin, sgrep.c:1169-1176):
