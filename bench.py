@@ -117,7 +117,19 @@ def bench_reference(path: str) -> float:
 
 def main():
     text = make_text(SIZE_MB << 20)
-    bps = bench_scan(text)
+    # the remote-TPU tunnel occasionally drops a request mid-compile;
+    # a transient failure must not zero out the round's benchmark
+    last_err = None
+    bps = 0.0
+    for attempt in range(3):
+        try:
+            bps = bench_scan(text)
+            break
+        except Exception as e:   # noqa: BLE001 -- retry any backend error
+            last_err = e
+            time.sleep(30 * (attempt + 1))
+    if bps == 0.0 and last_err is not None:
+        print("bench failed after retries: %r" % last_err, file=sys.stderr)
 
     ref_bps = 0.0
     try:
