@@ -48,10 +48,15 @@ class Query:
             self.opts = Options(**kwargs)
             self.pattern = pattern
             self.files = []
+        # checksg/preprocess/maskgen run BEFORE exec's compat() in the
+        # reference (agrep.c:3169-3226 vs :3342): engine selection sees
+        # the PRE-compat flags (-c -n still counts as LINENUM for the
+        # fast-path bar; -c -B still bars it), while output honors the
+        # post-compat mutations.
+        self.compiled: CompiledQuery = compile_query(self.pattern, self.opts)
         compat_check(self.opts, self.opts.pat_file is not None
                      or self.opts.pat_buffer is not None)
         self._verbose_info()
-        self.compiled: CompiledQuery = compile_query(self.pattern, self.opts)
 
     def _verbose_info(self) -> None:
         """The -V2/-V3 INFO lines (agrep.c:2762-2792), printed to

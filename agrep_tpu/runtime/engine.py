@@ -51,12 +51,29 @@ class BitapEngine:
         q = self.q
         o = q.opts
         dl = len(q.delim)
+        inject_at = None        # stream position of the glitch byte
         if memory_mode:
             stream = data  # caller guarantees leading '\n' (agrep.chronicle)
         else:
-            stream = np.concatenate([
-                np.frombuffer(b"\n", dtype=np.uint8), data,
-                np.frombuffer(q.delim, dtype=np.uint8)])
+            if len(data) > MAX_RECORD:
+                # bitap.c's 2x-unrolled loop overruns `end` by one when
+                # a block consumes an odd byte count: the prefilled
+                # newline makes block ONE odd (bitap.c:149,191,232), so
+                # the second unroll half reads buffer[end] -- a fresh
+                # (zero) byte -- corrupting the carried state at the
+                # first block boundary.  Matches in progress across
+                # data offset BlockSize die; emulate with one injected
+                # NUL.  Later full blocks consume even counts: clean.
+                stream = np.concatenate([
+                    np.frombuffer(b"\n", dtype=np.uint8),
+                    data[:MAX_RECORD], np.frombuffer(b"\x00", np.uint8),
+                    data[MAX_RECORD:],
+                    np.frombuffer(q.delim, dtype=np.uint8)])
+                inject_at = 1 + MAX_RECORD
+            else:
+                stream = np.concatenate([
+                    np.frombuffer(b"\n", dtype=np.uint8), data,
+                    np.frombuffer(q.delim, dtype=np.uint8)])
         c = q.consts
         if q.opts.cost_insert == 0 or (q.tables is not None
                                        and q.tables.wildmask != 0):
@@ -70,6 +87,14 @@ class BitapEngine:
                 stream, q.folded_mask, q.consts, D, "bitap", q.costs)
         pos = np.flatnonzero(events)
         ev = events[pos]
+        if inject_at is not None:
+            # remap to the real stream: the glitch byte exists only in
+            # the machine's view, never in the record buffer
+            keep = pos != inject_at
+            pos, ev = pos[keep], ev[keep]
+            pos = pos - (pos > inject_at)
+            stream = np.concatenate([stream[:inject_at],
+                                     stream[inject_at + 1:]])
         delim_sel = (ev & np.uint32(c["d_endpos"])) != 0
         P = pos[delim_sel]                       # record-end positions
         hit_pos = pos[(ev & np.uint32(c["endpos"])) != 0]
@@ -127,6 +152,31 @@ class BitapEngine:
                 limit_hit = True
                 break
         _ = prev_end, limit_hit
+
+
+def _sgrep_delim_trims(data: np.ndarray, delim: bytes,
+                       outtail: bool) -> list:
+    """Per-block -d trim boundaries for sgrep's 32KB block loop
+    (sgrep.c:325-399): each block's trim is the last delimiter fully
+    inside its RAW read; no trim when the fallback
+    `newbuf < text+offset+D_length` fires."""
+    BLK = 2 * 16384
+    dl = len(delim)
+    N = len(data)
+    marks = []
+    pos = 0
+    while pos < N:
+        num_read = min(BLK, N - pos)
+        dends = _find_delims(data[pos:pos + num_read], delim)
+        if len(dends):
+            le_end = int(dends[-1])
+            le_start = le_end - dl + 1
+            if outtail:
+                marks.append(pos + le_end)
+            elif le_start >= dl:
+                marks.append(pos + le_start - 1)
+        pos += num_read
+    return marks
 
 
 def _nonoverlapping_delims(stream: np.ndarray, delim: bytes) -> np.ndarray:
@@ -261,27 +311,33 @@ class SgrepEngine:
 
         sg_trim = None
         if q.delimiter_opt and not memory_mode and len(pos):
-            # each block is cut back to the last complete delimiter
-            # (sgrep.c:393-399); the EOF residue is rescanned from one
-            # past the trim (the in-loop copy start++, sgrep.c:471), so
-            # matches straddling the trim boundary are seen by neither
-            # scan, record extraction is bounded by the region the hit
-            # fell into, and the appended D_pattern (sgrep.c:483) is
-            # out of the rescan's range.
-            dends = _find_delims(data, q.delim)
-            if len(dends):
-                dl_ = len(q.delim)
-                le_end = int(dends[-1])
-                if q.outtail:
-                    t_end = le_end
-                elif le_end - dl_ + 1 >= dl_:
-                    t_end = le_end - dl_
-                else:
-                    t_end = None    # `newbuf < text+offset+D_length`
-                if t_end is not None and t_end < len(data) - 1:
+            # every block is cut back to the last complete delimiter in
+            # its RAW data (sgrep.c:393-399); the residue is rescanned
+            # from one past the trim (the in-loop copy start++,
+            # sgrep.c:469-471), so matches straddling ANY trim boundary
+            # are seen by neither scan (the memcpy'd delimiter before
+            # the copy can stand in for a missing prefix); record
+            # extraction is bounded by the final region, and the
+            # appended D_pattern (sgrep.c:483) is out of range.
+            dl_ = len(q.delim)
+            marks = _sgrep_delim_trims(data, q.delim, q.outtail)
+            if marks:
+                t_end = marks[-1]
+                if t_end < len(data) - 1:
                     sg_trim = t_end
-                    starts = pos - (m - 1)
-                    pos = pos[(pos <= t_end) | (starts > t_end)]
+                import bisect
+                keep = np.ones(len(pos), dtype=bool)
+                starts = pos - (m - 1)
+                for i_, (e, s_) in enumerate(zip(pos, starts)):
+                    ki = bisect.bisect_left(marks, int(e))
+                    lb = marks[ki - 1] if ki > 0 else None
+                    if lb is None or s_ > lb:
+                        continue
+                    miss = lb + 1 - int(s_)
+                    if miss > dl_ or \
+                            q.sg_pattern[:miss] != q.delim[dl_ - miss:]:
+                        keep[i_] = False
+                pos = pos[keep]
 
         if q.sg_sub == "agrep" and q.sg_m // (D + 1) == 0:
             # escape-stripped pattern no longer than D (raw length
