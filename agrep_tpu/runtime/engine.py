@@ -87,16 +87,21 @@ class BitapEngine:
                 stream, q.folded_mask, q.consts, D, "bitap", q.costs)
         pos = np.flatnonzero(events)
         ev = events[pos]
+        cbo_extra = np.zeros(len(pos), dtype=np.int64)
         if inject_at is not None:
             # remap to the real stream: the glitch byte exists only in
-            # the machine's view, never in the record buffer
+            # the machine's view, never in the record buffer -- but it
+            # DID advance CurrentByteOffset (bitap.c:172), so -b/-q
+            # offsets past it report one extra
             keep = pos != inject_at
             pos, ev = pos[keep], ev[keep]
+            cbo_extra = (pos > inject_at).astype(np.int64)
             pos = pos - (pos > inject_at)
             stream = np.concatenate([stream[:inject_at],
                                      stream[inject_at + 1:]])
         delim_sel = (ev & np.uint32(c["d_endpos"])) != 0
         P = pos[delim_sel]                       # record-end positions
+        P_extra = cbo_extra[delim_sel]
         hit_pos = pos[(ev & np.uint32(c["endpos"])) != 0]
         hit_ev = ev[(ev & np.uint32(c["endpos"])) != 0]
 
@@ -141,7 +146,7 @@ class BitapEngine:
             data_end = len(data) if memory_mode else 1 + len(data) - 1
             if lasti >= data_end:
                 continue
-            byte_offset = pk + 1 - dl_off
+            byte_offset = pk + 1 - dl_off + int(P_extra[k])
             if not memory_mode and print_end - lasti > MAX_RECORD:
                 sink.truncate = True
                 lasti = print_end - MAX_RECORD

@@ -340,13 +340,157 @@ class MgrepEngine:
                 r_cur += 1
                 lastout = _region_start(r_cur)
 
+        if q.delimiter_opt and not memory_mode and self.p_size > 1:
+            # Registration ORDER matters for booleans with -d: a hit
+            # can land exactly on the record boundary before the
+            # scan's crossing reset fires (newmgrep.c:894 vs :980,
+            # :1001), terminals containing the delimiter anchor at
+            # curtextend, and satisfied outputs jump the scan to the
+            # record end.  Replay monkey1's actual skip walk.
+            p_size = self.p_size
+            m1w = p_size - 1
+            multilen = sum(len(t) + 1 for t in self.terms if t)
+            LONG = 1 if (multilen > 400 and p_size > 2) else 0
+            HB = 5
+            tr1 = (self.tr & 31).astype(np.int32)
+            SHIFT1 = np.full(32768, p_size - 1 - LONG, dtype=np.int32)
+            for t in self.terms:
+                if not t:
+                    continue
+                tbuf = np.frombuffer(t, dtype=np.uint8)
+                for jj in range(p_size - 1, LONG, -1):
+                    h = int(tr1[tbuf[jj]])
+                    h = (h << HB) + int(tr1[tbuf[jj - 1]])
+                    if LONG:
+                        h = (h << HB) + int(tr1[tbuf[jj - 2]])
+                    if SHIFT1[h] >= p_size - 1 - jj:
+                        SHIFT1[h] = p_size - 1 - jj
+            # bucket order is descending pattern index (f_prep1 fills
+            # HASH slots top-down); one entry processed per candidate
+            # (the hit path goto-exits the bucket loop)
+            occ_first = {}
+            for (a_, i_, s_, l_) in anchors:
+                cur = occ_first.get(a_)
+                if cur is None or i_ > cur[0]:
+                    occ_first[a_] = (i_, s_, l_)
+            nz_terms = np.asarray([bool(t) for t in self.terms])
+            # hash context: the bytes before each scan start are the
+            # memcpy'd delimiter (newmgrep.c:511)
+            hsrc = np.concatenate([
+                tr1[np.frombuffer(q.delim, dtype=np.uint8)],
+                tr1[stream]]).astype(np.int64)
+            de_arr = delim_ends
+
+            def walk_region(r):
+                nonlocal lastout
+                tb_region = _region_start(r)
+                te = _region_end_excl(r) - 1      # inclusive textend
+                text = tb_region + m1w - 1
+                DOW = False
+                amatched = np.zeros(len(self.terms), dtype=bool)
+                MATCHED = False
+                curb = cure = cur_anchor = 0
+                tb_jump = tb_region
+
+                def flush_cross():
+                    nonlocal DOW
+                    if DOW and text >= cure - 1:
+                        DOW = False
+                        if is_complex and boolean.eval_tree_vec(
+                                q.bool_tree, "or", amatched[None, :])[0]:
+                            if do_output(0, cur_anchor, curb, cure,
+                                         False):
+                                return True
+                        amatched[:] = False
+                    return False
+
+                while text <= te:
+                    h = int(hsrc[text + dl])
+                    h = (h << HB) + int(hsrc[text + dl - 1])
+                    if LONG:
+                        h = (h << HB) + int(hsrc[text + dl - 2])
+                    sh = int(SHIFT1[h])
+                    if sh == 0:
+                        hit = occ_first.get(text)
+                        if hit is not None:
+                            idx, s_, tl_ = hit
+                            if not DOW:
+                                # record extraction bounded by the
+                                # advancing textbegin (monkey1:885-886)
+                                i2 = int(np.searchsorted(
+                                    de_arr, text - 1, "right")) - 1
+                                curb = tb_jump
+                                while i2 >= 0:
+                                    de = int(de_arr[i2])
+                                    ds = de - dl + 1
+                                    if ds >= tb_jump and ds + dl <= text:
+                                        curb = ds + dl if q.outtail \
+                                            else ds
+                                        break
+                                    if de < tb_jump:
+                                        break
+                                    i2 -= 1
+                                j2 = int(np.searchsorted(
+                                    de_arr, text + dl, "left"))
+                                cure = te + 1
+                                while j2 < len(de_arr):
+                                    de = int(de_arr[j2])
+                                    ds = de - dl + 1
+                                    if ds >= text + 1 and ds <= te - dl:
+                                        cure = ds + dl if q.outtail \
+                                            else ds
+                                        break
+                                    if ds > te - dl:
+                                        break
+                                    j2 += 1
+                                if (not q.outtail) or o.invert:
+                                    tb_jump = cure
+                                else:
+                                    tb_jump = cure - dl
+                                DOW = True
+                                cur_anchor = text
+                            amatched[idx] = True
+                            if is_complex:
+                                text = text + tl_ - 1
+                                MATCHED = False
+                            elif (not is_and
+                                  or bool(amatched[nz_terms].all())):
+                                MATCHED = True
+                                if do_output(idx, text, curb, cure, True):
+                                    return True
+                                if o.multi_output:
+                                    text = text + tl_ - 1
+                                    MATCHED = False
+                                else:
+                                    text = tb_jump
+                        if not MATCHED:
+                            sh = 1
+                        else:
+                            MATCHED = False
+                            sh = m1w - 1 if m1w - 1 > 0 else 1
+                    if flush_cross():
+                        return True
+                    text += sh
+                return flush_cross()
+
+            for r in range(len(bounds) + 1):
+                if walk_region(r):
+                    break
+            else:
+                if o.invert and not o.count:
+                    inv_advance(len(bounds))
+                    if lastout < final_end:
+                        sink.write(bytes(bytearray(
+                            stream[lastout:final_end])))
+            return
+
         stop = False
         for (anchor, idx, s, tl) in anchors:
             if stop:
                 break
             if anchor < resume_at:
                 continue
-            if in_record and anchor >= cur_end - 1 + 1:
+            if in_record and anchor >= cur_end:
                 # crossed the record boundary: flush complex verdict
                 if is_complex:
                     hits = matched_terms[None, :]
