@@ -249,7 +249,7 @@ class MgrepEngine:
                                       q, base, len(data), lo, hi)
 
         def do_output(pat_index: int, anchor: int, begin: int, end: int,
-                      change_text: bool) -> bool:
+                      change_text: bool, cbo_override=None) -> bool:
             """DO_OUTPUT macro (newmgrep.c:911-971). Returns stop flag."""
             sink.num_matched += 1
             if o.filename_only or o.silent:
@@ -269,11 +269,14 @@ class MgrepEngine:
                 # each block boundary's duplicate byte advances the
                 # per-block CurrentByteOffset accumulation by one
                 # (newmgrep.c:556-560 copies text[end] twice)
-                drift = 0
-                for mk in cbo_marks:
-                    if mk + base < anchor - m1 + 1:
-                        drift += 1
-                cbo = anchor - base - m1 + 1 + short_drift[0] + drift
+                if cbo_override is not None:
+                    cbo = cbo_override
+                else:
+                    drift = 0
+                    for mk in cbo_marks:
+                        if mk + base < anchor - m1 + 1:
+                            drift += 1
+                    cbo = anchor - base - m1 + 1 + short_drift[0] + drift
                 if o.bytecount:
                     sink.write_str("%d= " % cbo)
                     printed = True
@@ -340,7 +343,7 @@ class MgrepEngine:
                 r_cur += 1
                 lastout = _region_start(r_cur)
 
-        if q.delimiter_opt and not memory_mode and self.p_size > 1:
+        if q.delimiter_opt and not memory_mode:
             # Registration ORDER matters for booleans with -d: a hit
             # can land exactly on the record boundary before the
             # scan's crossing reset fires (newmgrep.c:894 vs :980,
@@ -349,6 +352,7 @@ class MgrepEngine:
             # record end.  Replay monkey1's actual skip walk.
             p_size = self.p_size
             m1w = p_size - 1
+            short_mode = p_size == 1   # m_short (newmgrep.c:1300-1506)
             multilen = sum(len(t) + 1 for t in self.terms if t)
             LONG = 1 if (multilen > 400 and p_size > 2) else 0
             HB = 5
@@ -381,11 +385,22 @@ class MgrepEngine:
                 tr1[stream]]).astype(np.int64)
             de_arr = delim_ends
 
+            cbo_base = [0]
+
             def walk_region(r):
                 nonlocal lastout
+                if o.invert and not o.count:
+                    # each block call resets its complement pointer to
+                    # its own region start BEFORE scanning (m_short
+                    # :1313, monkey1 :829) -- switch regions eagerly so
+                    # lastout never rewinds over consumed records
+                    inv_advance(r)
                 tb_region = _region_start(r)
                 te = _region_end_excl(r) - 1      # inclusive textend
-                text = tb_region + m1w - 1
+                text = tb_region if short_mode else tb_region + m1w - 1
+                cbo = cbo_base[0]   # CurrentByteOffset (m_short carries
+                                    # it exactly; the text-- quirk makes
+                                    # it drift ahead of the position)
                 DOW = False
                 amatched = np.zeros(len(self.terms), dtype=bool)
                 MATCHED = False
@@ -399,21 +414,40 @@ class MgrepEngine:
                         if is_complex and boolean.eval_tree_vec(
                                 q.bool_tree, "or", amatched[None, :])[0]:
                             if do_output(0, cur_anchor, curb, cure,
-                                         False):
+                                         False,
+                                         cbo if short_mode else None):
                                 return True
                         amatched[:] = False
                     return False
 
                 while text <= te:
-                    h = int(hsrc[text + dl])
-                    h = (h << HB) + int(hsrc[text + dl - 1])
-                    if LONG:
-                        h = (h << HB) + int(hsrc[text + dl - 2])
-                    sh = int(SHIFT1[h])
+                    if short_mode:
+                        cbo += 1     # `while (++text...) CBO++`
+                        sh = 0       # m_short visits every byte
+                    else:
+                        h = int(hsrc[text + dl])
+                        h = (h << HB) + int(hsrc[text + dl - 1])
+                        if LONG:
+                            h = (h << HB) + int(hsrc[text + dl - 2])
+                        sh = int(SHIFT1[h])
                     if sh == 0:
                         hit = occ_first.get(text)
                         if hit is not None:
                             idx, s_, tl_ = hit
+                            if short_mode and text >= te:
+                                # m_short aborts the whole block scan
+                                # on a hit at textend (newmgrep.c:1345)
+                                # BEFORE any registration or output --
+                                # its return 0 also skips the block's
+                                # INVERSE tail print
+                                if o.invert and not o.count:
+                                    nonlocal r_cur
+                                    inv_advance(r)
+                                    r_cur = r + 1
+                                    lastout = (_region_start(r + 1)
+                                               if r + 1 <= len(bounds)
+                                               else final_end)
+                                return False
                             if not DOW:
                                 # record extraction bounded by the
                                 # advancing textbegin (monkey1:885-886)
@@ -451,20 +485,30 @@ class MgrepEngine:
                                 cur_anchor = text
                             amatched[idx] = True
                             if is_complex:
+                                cbo += tl_ - 1
                                 text = text + tl_ - 1
                                 MATCHED = False
                             elif (not is_and
                                   or bool(amatched[nz_terms].all())):
                                 MATCHED = True
-                                if do_output(idx, text, curb, cure, True):
+                                if do_output(idx, text, curb, cure, True,
+                                             cbo if short_mode else None):
                                     return True
                                 if o.multi_output:
+                                    cbo += (text + tl_ - 1) - text
                                     text = text + tl_ - 1
                                     MATCHED = False
                                 else:
+                                    cbo += tb_jump - text
                                     text = tb_jump
                         if not MATCHED:
                             sh = 1
+                        elif short_mode:
+                            # `if (MATCHED) text--` cancels the loop's
+                            # ++ without touching CurrentByteOffset:
+                            # cbo drifts ahead of the position
+                            MATCHED = False
+                            sh = 0
                         else:
                             MATCHED = False
                             sh = m1w - 1 if m1w - 1 > 0 else 1
@@ -474,7 +518,10 @@ class MgrepEngine:
                 return flush_cross()
 
             for r in range(len(bounds) + 1):
-                if walk_region(r):
+                stop_all = walk_region(r)
+                cbo_base[0] += (_region_end_excl(r) - 1
+                                - _region_start(r) + 1)
+                if stop_all:
                     break
             else:
                 if o.invert and not o.count:
