@@ -222,10 +222,12 @@ def _compile_regex(pattern, rw, opts, lut) -> CompiledQuery:
     from ..ops import renfa
 
     if opts.D > 4:
-        # bitap.c:97-104 (typo preserved)
+        # bitap.c:97-104 (typo preserved); the check fires inside the
+        # engine, so exec still prints the Grand Total (late error)
         raise AgrepError(
             "%s: the maximum number of erorrs allowed for full regular "
-            "expressions is 4" % PROGNAME)
+            "expressions is 4" % PROGNAME, late=True,
+            verbose=opts.verbose)
     # maskgen runs on the meta pattern trimmed to the head NOCARE
     # (preproce.c:366); the delimiter part is excluded for regex.
     meta = rw.pattern

@@ -39,6 +39,20 @@ class RegexEngine:
                 appended = False
             stream = np.concatenate(parts)
         N = len(stream)
+        # re()'s 2x-unrolled loops overrun `end` by one byte when a
+        # block consumes an odd count (same bug as bitap.c): the
+        # prefilled newline makes block one odd, so a stale (zero)
+        # buffer byte corrupts the carried automaton state at data
+        # offset BlockSize -- matches in progress across it die, and
+        # CurrentByteOffset drifts one byte forward past it.
+        inject_at = None
+        if not memory_mode and len(data) > 49152:
+            inject_at = 1 + 49152
+            scan_stream = np.concatenate([
+                stream[:inject_at], np.frombuffer(b"\x00", np.uint8),
+                stream[inject_at:]])
+        else:
+            scan_stream = stream
         nl = np.flatnonzero(stream == 0x0A)
         if len(nl) == 0:
             return
@@ -49,11 +63,13 @@ class RegexEngine:
             list(mc["inits"]), int(mc["mask"][0x0A]), mc)
         cont_states = states
 
+        s_nl = (np.flatnonzero(scan_stream == 0x0A)
+                if inject_at is not None else nl)
         n_lines = len(nl) - 1
         verdicts = np.zeros(n_lines, dtype=bool)
         if n_lines:
-            line_start = nl[:-1] + 1
-            line_end = nl[1:]                  # index of trailing '\n'
+            line_start = s_nl[:-1] + 1          # scan-stream coords
+            line_end = s_nl[1:]                # index of trailing '\n'
             line_len = (line_end - line_start).astype(np.int64)
             order = np.argsort(line_len, kind="stable")
             backend = ("jax" if scan_ops._BACKEND == "jax" else "numpy")
@@ -75,7 +91,7 @@ class RegexEngine:
                 lens = np.empty(R, dtype=np.int64)
                 for r, li in enumerate(idxs):
                     s, e = int(line_start[li]), int(line_end[li])
-                    lanes[r, :e - s + 1] = stream[s:e + 1]
+                    lanes[r, :e - s + 1] = scan_stream[s:e + 1]
                     lens[r] = e - s
                 first = mc["inits"] if False else cont_states
                 fs = cont_states
@@ -117,8 +133,11 @@ class RegexEngine:
             # CONSUME blocks): an event landing on the first slot
             # reports a CBO lagging one byte.  Slot parity == parity of
             # the event's data offset.
-            cbo = p - 1
-            if D > 0 and (p - (0 if memory_mode else 1)) % 2 == 0:
+            glitch = 1 if (inject_at is not None
+                           and p >= inject_at) else 0
+            cbo = p - 1 + glitch
+            if D > 0 and (p - (0 if memory_mode else 1)
+                          + glitch) % 2 == 0:
                 cbo -= 1
             if o.bytecount:
                 sink.write_str("%d= " % cbo)
