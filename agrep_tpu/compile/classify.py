@@ -24,7 +24,12 @@ class Classification:
 
 def classify(pattern: str, opts: Options) -> Classification:
     m = len(pattern)
-    if opts.pat_file is None and opts.pat_buffer is None and m <= opts.D:
+    if (opts.pat_file is None and opts.pat_buffer is None
+            and m <= opts.D
+            and not getattr(opts, "_bestmatch_rescan", False)):
+        # the -B rescans never re-run checksg (agrep.c:3607 reuses the
+        # stale SGREP state), so their size guard cannot fire -- a
+        # regex escalated to D=5 dies on MaxRerror instead
         raise AgrepError(
             "%s: size of pattern '%s' must be > #of errors %d"
             % (PROGNAME, pattern, opts.D))

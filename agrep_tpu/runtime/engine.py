@@ -770,7 +770,11 @@ class Executor:
         # the last file's count, and num_of_matched accumulates across
         # every (D, file) scan: Grand Total / exit code on 'n'/EOF is
         # that running sum, not the winning level's count.
-        M = len(q.pattern)
+        # D < M uses maskgen's position count for mask-machine
+        # patterns (agrep.c:3594 with M from :3179) -- a regex can
+        # escalate to D=5 and die on the MaxRerror check (exit 255)
+        M = q.tables.m if getattr(q, "tables", None) is not None \
+            else len(q.pattern)
         D = 1
         total = 0
         last = 0
@@ -848,4 +852,5 @@ def q2_with_d(q, D: int):
     o = copy.deepcopy(q.opts)
     o.D = D
     o.approx = False
+    o._bestmatch_rescan = True
     return compile_query(q.pattern, o)
