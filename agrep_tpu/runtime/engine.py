@@ -421,6 +421,11 @@ class SgrepEngine:
         # relative to the data start; agrep() (D>0) is one past it
         # (sgrep.c:738 vs :1178).  WHOLELINE's start--/CBO-- cancel out.
         cbo_adj = -base + (1 if (D > 0 and q.sg_sub == 'agrep') else 0)
+        if D > 0 and q.sg_sub == "monkey4":
+            # monkey4 reports verify()'s DP end -- the full-pattern end
+            # -- while the dense machine fires at the earliest
+            # completion (D tail deletions earlier) (sgrep.c:2221+)
+            cbo_adj += D
         appended_newline = False
         records_counted = 0
         for p in pos:
@@ -480,6 +485,8 @@ class SgrepEngine:
                     # two in step so they cancel (sgrep.c:1399).
                     p_q = p + (1 if (D > 0 and q.sg_sub == "agrep")
                                else 0)
+                    if D > 0 and q.sg_sub == "monkey4":
+                        p_q = p + D   # verify()'s DP end, as for -b
                     output_sgrep_record(
                         sink, stream, begin, end, byte_offset, p_q,
                         extra_len=1 if appended_newline else 0)
