@@ -297,11 +297,14 @@ class SgrepEngine:
                 [np.frombuffer(b"\n", dtype=np.uint8), data])
             base = 1
         N = len(stream)
-        if q.sg_sub == "a_monkey" and not memory_mode:
-            # the long-approx filter can miss real matches; emulate its
-            # control flow instead of dense scanning (sgrep_sim)
+        if q.sg_sub in ("a_monkey", "monkey4") and not memory_mode:
+            # the long-approx/DNA filters can miss real matches and
+            # choose DP-specific match ends; emulate their control
+            # flow instead of dense scanning (sgrep_sim)
             from . import sgrep_sim
-            mpb, blocks, _ = sgrep_sim.a_monkey_scan(
+            scanf = (sgrep_sim.a_monkey_scan if q.sg_sub == "a_monkey"
+                     else sgrep_sim.monkey4_scan)
+            mpb, blocks, _ = scanf(
                 data, q.sg_pattern, D, q.delimiter_opt, q.delim)
             plist = []
             for bm_list, (bstart, _bend, gstart) in zip(mpb, blocks):
@@ -421,11 +424,7 @@ class SgrepEngine:
         # relative to the data start; agrep() (D>0) is one past it
         # (sgrep.c:738 vs :1178).  WHOLELINE's start--/CBO-- cancel out.
         cbo_adj = -base + (1 if (D > 0 and q.sg_sub == 'agrep') else 0)
-        if D > 0 and q.sg_sub == "monkey4":
-            # monkey4 reports verify()'s DP end -- the full-pattern end
-            # -- while the dense machine fires at the earliest
-            # completion (D tail deletions earlier) (sgrep.c:2221+)
-            cbo_adj += D
+
         appended_newline = False
         records_counted = 0
         for p in pos:
@@ -485,8 +484,7 @@ class SgrepEngine:
                     # two in step so they cancel (sgrep.c:1399).
                     p_q = p + (1 if (D > 0 and q.sg_sub == "agrep")
                                else 0)
-                    if D > 0 and q.sg_sub == "monkey4":
-                        p_q = p + D   # verify()'s DP end, as for -b
+
                     output_sgrep_record(
                         sink, stream, begin, end, byte_offset, p_q,
                         extra_len=1 if appended_newline else 0)

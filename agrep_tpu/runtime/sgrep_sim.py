@@ -413,6 +413,93 @@ def a_monkey_scan(data: np.ndarray, pat: bytes, D: int,
     return matches, blocks, vb
 
 
+def monkey4_scan(data: np.ndarray, pat: bytes, D: int,
+                 delimiter: bool = False, d_pattern: bytes = b"\n"):
+    """Faithful emulation of monkey4 (sgrep.c:2221-2480): the DNA
+    2-bit q-gram backward filter + verify DP.  Same contract as
+    a_monkey_scan.  prep4 quirks preserved: char_map folds only 'A'
+    (the g/t/c/n assignments set the lowercase twice, sgrep.c:2491-94),
+    LOG_DNA is 3, and the seed consumes two chars before the member
+    loop."""
+    m = len(pat)
+    m1 = m - 1 - D
+    LOG_DNA = 3
+    char_map = np.zeros(256, dtype=np.int64)
+    char_map[ord('a')] = char_map[ord('A')] = 4
+    char_map[ord('g')] = 1
+    char_map[ord('t')] = 2
+    char_map[ord('c')] = 3
+    char_map[ord('n')] = 5
+    # BSize = blog(4, m)
+    mm = m + m // 2
+    bsize = 1
+    expv = 4
+    while expv < mm:
+        expv *= 4
+        bsize += 1
+    hashmask = 1
+    for _ in range(1, bsize * LOG_DNA):
+        hashmask = (hashmask << 1) + 1
+    member = np.zeros(hashmask + 1, dtype=np.uint8)
+    for j in range(bsize):
+        for i in range(m - 1, j - 1, -1):
+            h = 0
+            for k in range(j + 1):
+                h = (h << LOG_DNA) + int(char_map[pat[i - k]])
+            member[h & hashmask] = 1
+    vb = VirtualSgrepBuffer(data, pat, delimiter, d_pattern)
+    matches = []
+    blocks = []
+    for (start, end, gstart) in vb.blocks():
+        buf = vb.buf
+        textend = end
+        text = start
+        oldtext = text
+        block_matches = []
+        guard = 0
+        while text < textend:
+            text = text + m1
+            suffix_error = 0
+            while suffix_error <= D:
+                if text < 1:
+                    break
+                h = int(char_map[buf[text]]) if text < len(buf) else 0
+                text -= 1
+                h = ((h << LOG_DNA)
+                     + int(char_map[buf[text]])) & hashmask
+                text -= 1
+                while member[h]:
+                    if text < 0:
+                        break
+                    h = ((h << LOG_DNA)
+                         + int(char_map[buf[text]])) & hashmask
+                    text -= 1
+                suffix_error += 1
+            guard += 1
+            if guard > 4 * (end - start + 16):
+                break
+            if text <= oldtext:
+                win = bytes(bytearray(
+                    buf[oldtext:oldtext + 2 * m + D]))
+                pos = verify_dp(m, 2 * m + D, D, pat, win)
+                if pos > 0:
+                    text = oldtext + pos
+                    if text > textend:
+                        break
+                    block_matches.append(text)
+                    # monkey4 resumes one PAST the record end
+                    # (text = textbegin + 1, sgrep.c:2441)
+                    rec_end = _record_end_buf(buf, text, textend,
+                                              delimiter, d_pattern)
+                    text = rec_end + 1
+                else:
+                    text = oldtext + m
+            oldtext = text
+        matches.append(block_matches)
+        blocks.append((start, end, gstart))
+    return matches, blocks, vb
+
+
 def _record_end_buf(buf, pos, textend, delimiter, d_pattern):
     """curtextend for a match at pos (a_monkey:1891-1894)."""
     if not delimiter:
