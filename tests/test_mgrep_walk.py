@@ -33,6 +33,10 @@ def corpus(tmp_path_factory, oracle_bin):
         "d.txt": b"no trailing newline hello",
         "c.txt": b"x\n\n\nyy hello\n" + b"z" * 100 + b"\nend hello\n",
         "big.txt": _corpus(3),
+        "dna.txt": (b"xxxx acgtacgtacgtacgtacgt yyyy\n"
+                    b"plain line\n"
+                    b"zz acgtacgtacgtacgtacgt ww acgtacgtacgtacgtacgt\n"
+                    b"acgtacgtacgtacgtacgt end\n"),
     }
     for name, d in data.items():
         p = root / name
@@ -61,6 +65,12 @@ CASES = [
     (["-d", "o", "-v", "l,t"], "c.txt"),
     (["-d", "o", "-c", "o,n"], "big.txt"),
     (["-d", "l", "a;b"], "a.txt"),
+    # monkey4 (DNA) filter-walk emulation
+    (["-1", "acgtacgtacgtacgtacgt"], "dna.txt"),
+    (["-2", "-b", "acgtacgtacgtacgtacgt"], "dna.txt"),
+    (["-2", "-q", "acgtacgtacgtacgtacgt"], "dna.txt"),
+    (["-3", "-c", "acgtacgtacgtacgtacgt"], "dna.txt"),
+    (["-2", "-v", "acgtacgtacgtacgtacgt"], "dna.txt"),
 ]
 
 
