@@ -135,10 +135,14 @@ def _preprocess_delimiter(src: str) -> bytes:
             i += 1
             if i < len(src):
                 out.append(ord(src[i]) & 0xFF)
-                # reference quirk: after an escape it still falls into
-                # the ^/$ checks on the *escaped* char (delim.c:17-24)
+                # reference quirk: the backslash branch has no `else`,
+                # so the SAME char falls into the ^/$/else chain and is
+                # written AGAIN (delim.c:17-24): `\^` -> "^\n",
+                # `\n` -> "nn", `\x` -> "xx"
                 if src[i] in "^$":
                     out.append(ord("\n"))
+                else:
+                    out.append(ord(src[i]) & 0xFF)
         elif c in "^$":
             out.append(ord("\n"))
         else:
