@@ -433,6 +433,14 @@ class SgrepEngine:
                 continue
             begin, end = self._record_span(stream, nl, delim_ends, p, D,
                                            sg_trim)
+            if (D == 0 and q.sg_sub == "bm" and not q.delimiter_opt
+                    and not memory_mode and end >= N - 1):
+                # bm's EOF adjustment fires whenever the record end
+                # reaches textend (sgrep.c:786-789) -- also via a
+                # trailing PARTIAL line after the matched newline: the
+                # record extends through it plus an artificial newline
+                end = N
+                appended_newline = stream[N - 1] != 0x0A
             if q.delimiter_opt:
                 # the backward search's lower bound is textbegin, which
                 # every output advances to the previous record's end
