@@ -177,21 +177,36 @@ int64_t agrep_count_walk(const int64_t* events, const int64_t* rec_ends,
     int64_t lastend = 0;
     for (int64_t c = 0; c < n_cand; c++) {
         int64_t clo = cand[2 * c], chi = cand[2 * c + 1];
-        // lower_bound for events >= lo_g + clo
+        if (clo < 0) clo = 0;
+        // the machine is reset at round start; a match needs at least
+        // m - D real characters of warmup
+        int64_t warm = clo + (m_pat - D);
+        // event cursor: first event >= lo_g + clo
         int64_t lo = 0, hi = n_ev;
         while (lo < hi) {
             int64_t mid = (lo + hi) >> 1;
             if (events[mid] < lo_g + clo) lo = mid + 1; else hi = mid;
         }
+        int64_t k = lo;
         int64_t i = clo;
-        for (int64_t k = lo; k < n_ev && events[k] - lo_g < chi; k++) {
-            int64_t idx = events[k] - lo_g + 1;
-            if (idx <= i) continue;            // jumped over
-            if (idx < clo + (m_pat - D)) continue;  // cold start
-            count++;
-            if (idx <= lastend) i = lastend;
-            else i = rec_ends[k] - lo_g;
-            lastend = i;
+        // the round body is 2x-unrolled with the bound checked once
+        // per PAIR (sgrep.c:1175-1238): after a count-jump in the
+        // first half the second half still consumes one byte -- even
+        // past the round bound -- and can re-count an event there
+        while (i < chi) {
+            for (int half = 0; half < 2; half++) {
+                while (k < n_ev && events[k] < lo_g + i) k++;
+                if (k < n_ev && events[k] == lo_g + i && i + 1 >= warm) {
+                    count++;
+                    int64_t idx = i + 1;
+                    if (idx <= lastend) i = lastend;
+                    else i = rec_ends[k] - lo_g;
+                    lastend = i;
+                    k++;
+                } else {
+                    i++;
+                }
+            }
         }
     }
     return count;

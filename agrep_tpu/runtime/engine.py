@@ -354,11 +354,14 @@ class SgrepEngine:
             # candidate and nothing ever matches (sgrep.c prep:1058)
             pos = pos[:0]
 
+        pos_count = pos
         if q.sg_sub == "agrep" and not memory_mode and len(pos):
             # agrep()'s scan loop never consumes the buffer's last byte
             # (i < n with n = textend - textbegin, sgrep.c:1169-1176):
-            # a match ending exactly there does not fire (a shorter
-            # error variant ending one byte earlier usually does).
+            # a match ending exactly there does not fire for OUTPUT --
+            # but an odd-length candidate round's pair-unroll overrun
+            # CAN consume it and count it (the c_count walk models
+            # that, so it sees the undropped events).
             pos = pos[pos != N - 1]
 
         if o.wordbound and D == 0:
@@ -411,7 +414,7 @@ class SgrepEngine:
         if D > 0 and q.sg_sub == "agrep" and not memory_mode:
             from . import sgrep_sim
             c_count = sgrep_sim.agrep_c_count(
-                data, pos - base, nl - base, q.sg_pattern, D,
+                data, pos_count - base, nl - base, q.sg_pattern, D,
                 q.delimiter_opt, q.delim)
             if (o.count and not o.invert and not o.filename_only
                     and o.limit_output == 0 and o.limit_per_file == 0):

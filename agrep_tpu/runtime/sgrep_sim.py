@@ -249,24 +249,34 @@ def agrep_c_count(data: np.ndarray, events_g: np.ndarray, nl_g: np.ndarray,
             cands = agrep_candidates(vb.buf, start, end, pat, D)
         lastend = 0
         for (clo, chi) in cands:
-            sel_idx = np.flatnonzero((ev - lo_g >= clo)
-                                     & (ev - lo_g < chi))
-            # walk the round like the C scan: after an event the scan
+            clo = max(int(clo), 0)
+            chi = int(chi)
+            warm = clo + (m_pat - D)
+            k = int(np.searchsorted(ev, lo_g + clo, side="left"))
+            # walk the round like the C scan: the body is 2x-unrolled
+            # with the bound checked once per PAIR (sgrep.c:1175-1238),
+            # so after a count-jump in the first half the second half
+            # still consumes one byte -- even past the round bound --
+            # and can re-count an event there.  After an event the
             # index jumps (to the record end, or to lastend), so events
             # inside the jumped-over span are never encountered.
             i = clo
-            for k in sel_idx:
-                idx = int(ev[k]) - lo_g + 1   # C's i after the char
-                if idx <= i:
-                    continue              # jumped over: never seen
-                if idx < clo + (m_pat - D):
-                    continue              # cold start: not warmed up
-                count += 1
-                if idx <= lastend:
-                    i = lastend           # counted but not output
-                else:
-                    i = int(rec_ends[k]) - lo_g
-                lastend = i
+            while i < chi:
+                for _half in range(2):
+                    while k < len(ev) and int(ev[k]) < lo_g + i:
+                        k += 1
+                    if (k < len(ev) and int(ev[k]) == lo_g + i
+                            and i + 1 >= warm):
+                        count += 1
+                        idx = i + 1
+                        if idx <= lastend:
+                            i = lastend
+                        else:
+                            i = int(rec_ends[k]) - lo_g
+                        lastend = i
+                        k += 1
+                    else:
+                        i += 1
     return count
 
 
