@@ -69,6 +69,12 @@ def get_lib():
     lib.agrep_count_walk.restype = i64
     lib.agrep_count_walk.argtypes = [i64p, i64p, i64, i64p, i64, i64,
                                      i64, i64]
+    u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
+    lib.agrep_rounds.restype = i64
+    lib.agrep_rounds.argtypes = [u8p, i64, i64, i64, i64p, i64, u32p,
+                                 ctypes.c_uint32, i64, u8p, i64,
+                                 ctypes.c_int, ctypes.c_int, i64p, u8p,
+                                 i64p, i64p, i64]
     lib.a_monkey_block.restype = i64
     lib.a_monkey_block.argtypes = [u8p, i64, i64, i64, u8p, i64, i64,
                                    u8p, i64p, i64]
@@ -117,6 +123,34 @@ def agrep_candidates(buf: np.ndarray, start: int, end: int, pat: bytes,
         np.ascontiguousarray(shift_tab.astype(np.int32)), int(d1),
         np.ascontiguousarray(member.astype(np.uint8)), out, cap)
     return out[:2 * n].reshape(-1, 2)
+
+
+def agrep_rounds(buf: np.ndarray, tb: int, te: int, cands: np.ndarray,
+                 mask: np.ndarray, endpos: int, D: int, delim: bytes,
+                 outtail: bool, silent: bool):
+    """Exact agrep() round-machine replay over one block.  Returns
+    (idx, flag, begin, end) arrays of counted events, or None.
+    begin/end are s_output's record span in block idx coords (-1 for
+    counted-only events)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = max(64, 2 * (te - tb) + 16)
+    out_idx = np.empty(cap, dtype=np.int64)
+    out_flag = np.empty(cap, dtype=np.uint8)
+    out_begin = np.empty(cap, dtype=np.int64)
+    out_end = np.empty(cap, dtype=np.int64)
+    dl = np.frombuffer(delim if delim else b"\n", dtype=np.uint8)
+    n = lib.agrep_rounds(
+        np.ascontiguousarray(buf), len(buf), int(tb), int(te),
+        np.ascontiguousarray(np.asarray(cands).reshape(-1),
+                             dtype=np.int64),
+        len(cands), np.ascontiguousarray(mask, dtype=np.uint32),
+        int(endpos) & 0xFFFFFFFF, int(D), np.ascontiguousarray(dl),
+        len(delim), int(bool(outtail)), int(bool(silent)), out_idx,
+        out_flag, out_begin, out_end, cap)
+    return (out_idx[:n].copy(), out_flag[:n].copy(),
+            out_begin[:n].copy(), out_end[:n].copy())
 
 
 def agrep_count_walk(events: np.ndarray, rec_ends: np.ndarray,

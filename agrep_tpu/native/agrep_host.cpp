@@ -213,6 +213,148 @@ int64_t agrep_count_walk(const int64_t* events, const int64_t* rec_ends,
 }
 
 // ---------------------------------------------------------------
+// agrep() exact round machine (sgrep.c:1166-1238 + s_output
+// jump:1275-1345).  For degenerate fragment lengths (m close to D)
+// the event-list proxy above cannot model the per-round machine
+// resets, so this runs the actual 32-bit shift-or recurrence over the
+// candidate ranges of the virtual buffer.  Emits (idx, flag) per
+// counted event; flag=1 when the event produced s_output (an output
+// record), 0 when it was only counted (i <= lastend re-count).
+// ---------------------------------------------------------------
+
+static int64_t agrep_jump_target(const uint8_t* buf, int64_t buflen,
+                                 int64_t tb, int64_t te, int64_t i,
+                                 const uint8_t* delim, int64_t dlen,
+                                 int outtail) {
+    if (dlen <= 0) {
+        // curtextend scan (sgrep.c:1306-1308): stop AT textend, then
+        // step over a newline even when it sits exactly at textend
+        int64_t j = tb + i;
+        while (j < te && (j < buflen ? buf[j] : 0) != '\n') j++;
+        if (j < buflen && buf[j] == '\n') j++;
+        return j - tb;
+    }
+    // forward_delimiter (delim.c:50-71)
+    int64_t b = tb + i, e = te;
+    if (b + dlen > e) return e + 1 - tb;
+    if (dlen == 1 && delim[0] == '\n') {
+        b++;
+        while (b < e && (b < buflen ? buf[b] : 0) != '\n') b++;
+        if (outtail && b < buflen && buf[b] == '\n') b++;
+        return b - tb;
+    }
+    int64_t cb = b;
+    for (; cb + dlen <= e; cb++) {
+        int64_t k = 0;
+        while (k < dlen &&
+               (cb + k < buflen ? buf[cb + k] : 0) == delim[k]) k++;
+        if (k >= dlen) break;
+    }
+    if (cb + dlen <= e) return (outtail ? cb + dlen : cb) - tb;
+    return e + 1 - tb;
+}
+
+// curtextbegin scan (sgrep.c:1296-1300 / backward_delimiter)
+static int64_t agrep_span_begin(const uint8_t* buf, int64_t buflen,
+                                int64_t tb, int64_t i,
+                                const uint8_t* delim, int64_t dlen,
+                                int outtail) {
+    if (dlen <= 0) {
+        int64_t j = tb + i;
+        while (j > tb && (--j < buflen ? buf[j] : 0) != '\n') {}
+        if (j < buflen && buf[j] == '\n') j++;
+        return j - tb;
+    }
+    // backward_delimiter (delim.c:75-97); begin bound is textbegin
+    int64_t e = tb + i, b = tb;
+    if (e - dlen < b) return 0;
+    if (dlen == 1 && delim[0] == '\n') {
+        e--;
+        while (e > b && (e < buflen ? buf[e] : 0) != '\n') e--;
+        if (outtail && e < buflen && buf[e] == '\n') e++;
+        return e - tb;
+    }
+    int64_t cb = e - dlen;
+    for (; cb >= b; cb--) {
+        int64_t k = 0;
+        while (k < dlen &&
+               (cb + k < buflen ? buf[cb + k] : 0) == delim[k]) k++;
+        if (k >= dlen) break;
+    }
+    if (cb >= b) return (outtail ? cb + dlen : cb) - tb;
+    return 0;
+}
+
+int64_t agrep_rounds(const uint8_t* buf, int64_t buflen, int64_t tb,
+                     int64_t te, const int64_t* cand, int64_t n_cand,
+                     const uint32_t* mask, uint32_t endpos, int64_t D,
+                     const uint8_t* delim, int64_t dlen, int outtail,
+                     int silent, int64_t* out_idx, uint8_t* out_flag,
+                     int64_t* out_begin, int64_t* out_end,
+                     int64_t cap) {
+    int64_t n = te - tb;
+    int64_t cnt = 0;
+    int64_t lastend = 0;
+    uint32_t R1[12], R2[12];
+    if (D > 10) D = 10;
+    for (int64_t r = 0; r < n_cand; r++) {
+        int64_t i = cand[2 * r];
+        int64_t hi = cand[2 * r + 1];
+        if (hi > n) hi = n;
+        if (i < 0) i = 0;
+        R1[0] = R2[0] = ~0u;
+        for (int64_t k = 1; k <= D; k++)
+            R1[k] = R2[k] = (R1[k - 1] >> 1) & R1[k - 1];
+        // the body is 2x-unrolled with the bound checked once per
+        // PAIR; after a count-jump in the first half the second half
+        // still consumes one byte, even past the bound
+        while (i < hi) {
+            for (int half = 0; half < 2; half++) {
+                uint32_t c = (tb + i < buflen) ? buf[tb + i] : 0;
+                i++;
+                if (c == '\n')
+                    for (int64_t k = 0; k <= D; k++)
+                        R1[k] = R2[k] = ~0u;
+                uint32_t r1 = mask[c];
+                uint32_t* A = half ? R2 : R1;
+                uint32_t* B = half ? R1 : R2;
+                A[0] = (B[0] >> 1) | r1;
+                for (int64_t k = 1; k <= D; k++)
+                    A[k] = ((B[k] >> 1) | r1) & B[k - 1]
+                           & ((A[k - 1] & B[k - 1]) >> 1);
+                if ((A[D] & endpos) == 0) {
+                    if (cnt < cap) {
+                        out_idx[cnt] = i;
+                        out_begin[cnt] = -1;
+                        out_end[cnt] = -1;
+                    }
+                    int flag = 0;
+                    if (i <= lastend) i = lastend;
+                    else if (!silent) {
+                        flag = 1;
+                        int64_t sb = agrep_span_begin(
+                            buf, buflen, tb, i, delim, dlen, outtail);
+                        i = agrep_jump_target(buf, buflen, tb, te, i,
+                                              delim, dlen, outtail);
+                        if (cnt < cap) {
+                            out_begin[cnt] = sb;
+                            out_end[cnt] = i;
+                        }
+                    }
+                    if (cnt < cap) out_flag[cnt] = (uint8_t)flag;
+                    cnt++;
+                    lastend = i;
+                    for (int64_t k = 0; k <= D; k++)
+                        R1[k] = R2[k] = ~0u;
+                    if (cnt >= cap) return cnt;
+                }
+            }
+        }
+    }
+    return cnt;
+}
+
+// ---------------------------------------------------------------
 // verify() banded DP (sgrep.c:2118-2181), including gcc's resolution
 // of the unsequenced A[last+1] = A[last++]+1 (destination address is
 // materialized after the increment).

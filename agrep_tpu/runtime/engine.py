@@ -411,11 +411,25 @@ class SgrepEngine:
         # candidate round re-scans inside an already-output record;
         # reproduce its count exactly.
         c_count = None
+        walk_spans = None
         if D > 0 and q.sg_sub == "agrep" and not memory_mode:
             from . import sgrep_sim
-            c_count = sgrep_sim.agrep_c_count(
-                data, pos_count - base, nl - base, q.sg_pattern, D,
-                q.delimiter_opt, q.delim)
+            if q.sg_m - D <= 2 and q.sg_m // (D + 1) >= 1:
+                # degenerate fragment length (m close to D): which
+                # event triggers each output depends on the per-round
+                # machine resets, which the event-list proxy cannot
+                # model -- replay the exact round machine on the host
+                # and drive output from its s_output events
+                c_count, walk_pos, walk_spans, walk_raw = \
+                    sgrep_sim.agrep_exact(
+                        data, q.sg_pattern, D, q.sg_mask,
+                        q.sg_consts["endpos"], q.delimiter_opt, q.delim,
+                        q.outtail, o.silent)
+                pos = walk_pos + base
+            else:
+                c_count = sgrep_sim.agrep_c_count(
+                    data, pos_count - base, nl - base, q.sg_pattern, D,
+                    q.delimiter_opt, q.delim)
             if (o.count and not o.invert and not o.filename_only
                     and o.limit_output == 0 and o.limit_per_file == 0):
                 sink.num_matched += c_count
@@ -430,8 +444,33 @@ class SgrepEngine:
 
         appended_newline = False
         records_counted = 0
-        for p in pos:
+        for ei, p in enumerate(pos):
             p = int(p)
+            if walk_spans is not None:
+                # exact-walk mode: s_output's own spans and record
+                # bytes -- truncation at block ends, residue re-prints,
+                # stale-byte overrun prints, and skip-jumps are all
+                # already encoded; no record lookup or dedup
+                begin = int(walk_spans[ei, 0]) + base
+                end = min(int(walk_spans[ei, 1]) + base, N)
+                sink.num_matched += 1
+                records_counted += 1
+                if o.filename_only:
+                    sink.write_str("%s\n" % sink.current_filename)
+                    return
+                if not o.count:
+                    if o.invert:
+                        sink.write(bytes(bytearray(
+                            stream[lastout:max(begin, lastout)])))
+                        lastout = end
+                    else:
+                        raw = walk_raw[ei]
+                        output_sgrep_record(
+                            sink, raw, 0, len(raw), p + cbo_adj,
+                            p + 1 - begin, extra_len=0)
+                if _limits_reached(o, sink):
+                    return
+                continue
             if p < lastend:
                 continue
             begin, end = self._record_span(stream, nl, delim_ends, p, D,

@@ -211,6 +211,182 @@ def bm_inverse_survives(buf: np.ndarray, start: int, end: int,
     return True
 
 
+def _agrep_rounds_py(buf, tb, te, cands, mask, endpos, D, delim,
+                     outtail, silent):
+    """Pure-Python twin of native agrep_rounds (sgrep.c:1166-1238)."""
+    n = te - tb
+    blen = len(buf)
+    out_idx, out_flag, out_begin, out_end = [], [], [], []
+    lastend = 0
+    endpos &= 0xFFFFFFFF
+    M32 = 0xFFFFFFFF
+
+    def span_begin(i):
+        if not delim:
+            j = tb + i
+            while j > tb:
+                j -= 1
+                if (buf[j] if j < blen else 0) == 0x0A:
+                    break
+            if j < blen and buf[j] == 0x0A:
+                j += 1
+            return j - tb
+        dlen = len(delim)
+        e, b = tb + i, tb
+        if e - dlen < b:
+            return 0
+        if dlen == 1 and delim[0:1] == b"\n":
+            e -= 1
+            while e > b and (buf[e] if e < blen else 0) != 0x0A:
+                e -= 1
+            if outtail and e < blen and buf[e] == 0x0A:
+                e += 1
+            return e - tb
+        cb = e - dlen
+        while cb >= b:
+            k = 0
+            while k < dlen and \
+                    (buf[cb + k] if cb + k < blen else 0) == delim[k]:
+                k += 1
+            if k >= dlen:
+                return (cb + dlen if outtail else cb) - tb
+            cb -= 1
+        return 0
+
+    def jump(i):
+        if not delim:
+            j = tb + i
+            while j < te and (buf[j] if j < blen else 0) != 0x0A:
+                j += 1
+            if j < blen and buf[j] == 0x0A:
+                j += 1
+            return j - tb
+        dlen = len(delim)
+        b, e = tb + i, te
+        if b + dlen > e:
+            return e + 1 - tb
+        if dlen == 1 and delim[0:1] == b"\n":
+            b += 1
+            while b < e and (buf[b] if b < blen else 0) != 0x0A:
+                b += 1
+            if outtail and b < blen and buf[b] == 0x0A:
+                b += 1
+            return b - tb
+        cb = b
+        while cb + dlen <= e:
+            k = 0
+            while k < dlen and \
+                    (buf[cb + k] if cb + k < blen else 0) == delim[k]:
+                k += 1
+            if k >= dlen:
+                return (cb + dlen if outtail else cb) - tb
+            cb += 1
+        return e + 1 - tb
+
+    for (clo, chi) in cands:
+        i = max(int(clo), 0)
+        hi = min(int(chi), n)
+        R1 = [M32] * (D + 1)
+        R2 = [M32] * (D + 1)
+        for k in range(1, D + 1):
+            R1[k] = R2[k] = (R1[k - 1] >> 1) & R1[k - 1]
+        while i < hi:
+            for half in range(2):
+                c = int(buf[tb + i]) if tb + i < blen else 0
+                i += 1
+                if c == 0x0A:
+                    for k in range(D + 1):
+                        R1[k] = R2[k] = M32
+                r1 = int(mask[c])
+                A, B = (R1, R2) if half == 0 else (R2, R1)
+                A[0] = ((B[0] >> 1) | r1) & M32
+                for k in range(1, D + 1):
+                    A[k] = (((B[k] >> 1) | r1) & B[k - 1]
+                            & ((A[k - 1] & B[k - 1]) >> 1)) & M32
+                if (A[D] & endpos) == 0:
+                    out_idx.append(i)
+                    flag = 0
+                    sb = se = -1
+                    if i <= lastend:
+                        i = lastend
+                    elif not silent:
+                        flag = 1
+                        sb = span_begin(i)
+                        i = jump(i)
+                        se = i
+                    out_flag.append(flag)
+                    out_begin.append(sb)
+                    out_end.append(se)
+                    lastend = i
+                    for k in range(D + 1):
+                        R1[k] = R2[k] = M32
+    return (np.asarray(out_idx, dtype=np.int64),
+            np.asarray(out_flag, dtype=np.uint8),
+            np.asarray(out_begin, dtype=np.int64),
+            np.asarray(out_end, dtype=np.int64))
+
+
+def agrep_exact(data: np.ndarray, pat: bytes, D: int, mask: np.ndarray,
+                endpos: int, delimiter: bool = False,
+                d_pattern: bytes = b"\n", outtail: bool = False,
+                silent: bool = False):
+    """Exact replay of agrep()'s candidate rounds + s_output jumps over
+    the virtual buffer (sgrep.c:1123-1238, 1275-1345).  Used for
+    degenerate fragment lengths (m - D <= 2) where the event-list proxy
+    cannot model the per-round machine resets.
+
+    Returns (count, out_positions, out_spans): total num_of_matched,
+    the global data offsets (0-based match end, C's i-1) of the events
+    that produced s_output records, and the corresponding (N, 2) array
+    of s_output's own [curtextbegin, curtextend) record spans in global
+    data coords -- which can truncate at block boundaries and re-print
+    from the residue rescan, unlike a whole-stream record lookup."""
+    from .. import native
+    vb = VirtualSgrepBuffer(data, pat, delimiter, d_pattern, outtail)
+    shift_tab, d1, member, _m, _bs = build_agrep_tables(pat, D)
+    delim_arg = d_pattern if delimiter else b""
+    # our mask tables are active-high (bitword.sgrep_mask); the
+    # reference machine is active-LOW (initmask, 0 bits = progress)
+    mask = np.bitwise_not(np.asarray(mask, dtype=np.uint32))
+    count = 0
+    out_pos, out_spans, out_raw = [], [], []
+    for (start, end, gstart) in vb.blocks():
+        nc = native.agrep_candidates(vb.buf, start, end, pat, D,
+                                     shift_tab, d1, member)
+        if nc is None:
+            cands = agrep_candidates(vb.buf, start, end, pat, D)
+        else:
+            cands = nc
+        r = native.agrep_rounds(vb.buf, start, end, np.asarray(cands),
+                                mask, endpos, D, delim_arg, outtail,
+                                silent)
+        if r is None:
+            r = _agrep_rounds_py(vb.buf, start, end, cands, mask,
+                                 endpos, D, delim_arg, outtail, silent)
+        idxs, flags, begins, ends = r
+        count += len(idxs)
+        if len(idxs):
+            sel = flags != 0
+            out_pos.append(idxs[sel] + (gstart - 1))
+            out_spans.append(
+                np.stack([begins[sel], ends[sel]], axis=1) + gstart)
+            # record bytes come from the evolving BUFFER, not the
+            # stream: an overrun span can print stop-pattern or stale
+            # residue bytes that exist nowhere in the data
+            blen = len(vb.buf)
+            for sb, se in zip(begins[sel], ends[sel]):
+                lo = min(start + int(sb), blen)
+                hi = min(start + int(se), blen)
+                out_raw.append(bytes(bytearray(vb.buf[lo:hi])))
+    if out_pos:
+        pos = np.concatenate(out_pos)
+        spans = np.concatenate(out_spans)
+    else:
+        pos = np.empty(0, dtype=np.int64)
+        spans = np.empty((0, 2), dtype=np.int64)
+    return count, pos, spans, out_raw
+
+
 def agrep_c_count(data: np.ndarray, events_g: np.ndarray, nl_g: np.ndarray,
                   pat: bytes, D: int, delimiter: bool = False,
                   d_pattern: bytes = b"\n") -> int:

@@ -110,3 +110,22 @@ def test_fuzz_multiblock(tmp_path, oracle_bin, seed):
         m = run_ours(args)
         assert m[0] == o[0] and m[2] == o[2], (
             "multiblock mismatch args=%r" % (args,))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_degenerate_m_eq_d1(tmp_path, oracle_bin, seed):
+    """m = D+1 fragment-length-1 patterns: the partition engine's
+    per-round machine resets, pair-unroll overrun re-counts, and
+    block-boundary partial record prints (sgrep.c:1166-1238) -- served
+    by the exact round-machine replay (sgrep_sim.agrep_exact)."""
+    rng = random.Random(4000 + seed)
+    path = str(tmp_path / "d.txt")
+    _mk_text(rng, path, n_lines=3000, long_lines=True)
+    for pat in ("ab", "foo", "hello"):
+        D = len(pat) - 1
+        for flags in ([], ["-c"], ["-b"], ["-v"], ["-q"], ["-c", "-v"]):
+            args = ["-%d" % D] + flags + [pat, path]
+            o = run_oracle(args)
+            m = run_ours(args)
+            assert m[0] == o[0] and m[2] == o[2], (
+                "degenerate mismatch seed=%d args=%r" % (seed, args))
