@@ -14,6 +14,7 @@ count lines, -l, -G, limits, best-match escalation.
 
 from __future__ import annotations
 
+import bisect
 import os
 import sys
 import time as _time
@@ -333,7 +334,6 @@ class SgrepEngine:
                 t_end = marks[-1]
                 if t_end < len(data) - 1:
                     sg_trim = t_end
-                import bisect
                 keep = np.ones(len(pos), dtype=bool)
                 starts = pos - (m - 1)
                 for i_, (e, s_) in enumerate(zip(pos, starts)):
@@ -377,8 +377,16 @@ class SgrepEngine:
 
         nl = np.flatnonzero(stream == 0x0A)
         delim_ends = None
+        delim_blocks = None
         if q.delimiter_opt:
             delim_ends = _find_delims(stream, q.delim)
+            if D == 0 and not memory_mode and len(data) > 2 * 16384:
+                # sgrep block starts (data coords -> stream coords):
+                # each block is its own bm()/monkey() call
+                from . import sgrep_sim
+                vb = sgrep_sim.VirtualSgrepBuffer(
+                    data, q.sg_pattern, True, q.delim, q.outtail)
+                delim_blocks = [g + base for (_s, _e, g) in vb.blocks()]
 
         if (o.count and not o.invert and not q.delimiter_opt
                 and not o.filename_only and D == 0
@@ -414,12 +422,15 @@ class SgrepEngine:
         walk_spans = None
         if D > 0 and q.sg_sub == "agrep" and not memory_mode:
             from . import sgrep_sim
-            if q.sg_m - D <= 2 and q.sg_m // (D + 1) >= 1:
-                # degenerate fragment length (m close to D): which
-                # event triggers each output depends on the per-round
-                # machine resets, which the event-list proxy cannot
-                # model -- replay the exact round machine on the host
-                # and drive output from its s_output events
+            if (q.sg_m - D <= 2 or q.delimiter_opt) \
+                    and q.sg_m // (D + 1) >= 1:
+                # degenerate fragment lengths (m close to D) and -d
+                # records: which event triggers each output depends on
+                # the per-round machine resets and s_output's
+                # forward/backward_delimiter jumps, which the
+                # event-list proxy cannot model -- replay the exact
+                # round machine on the host and drive output from its
+                # s_output events
                 c_count, walk_pos, walk_spans, walk_raw = \
                     sgrep_sim.agrep_exact(
                         data, q.sg_pattern, D, q.sg_mask,
@@ -489,6 +500,17 @@ class SgrepEngine:
                 # (sgrep.c:815 textbegin = curtextend): -d records
                 # chain without overlap
                 begin = max(begin, lastend)
+                if delim_blocks is not None:
+                    # each block is a separate bm() call whose record
+                    # scans are bounded by its textbegin/textend: a
+                    # record straddling the 32KB block split is printed
+                    # (and counted) once per block (sgrep.c:395-403)
+                    bi = bisect.bisect_right(delim_blocks, p) - 1
+                    lo_b = delim_blocks[bi]
+                    hi_b = (delim_blocks[bi + 1]
+                            if bi + 1 < len(delim_blocks) else N)
+                    begin = max(begin, lo_b)
+                    end = min(end, hi_b)
             if end > N:
                 if D == 0 and q.sg_sub == "monkey" and not q.delimiter_opt:
                     # monkey() has no EOF adjustment (sgrep.c:1597-1599
