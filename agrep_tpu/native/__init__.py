@@ -136,19 +136,26 @@ def agrep_rounds(buf: np.ndarray, tb: int, te: int, cands: np.ndarray,
     if lib is None:
         return None
     cap = max(64, 2 * (te - tb) + 16)
-    out_idx = np.empty(cap, dtype=np.int64)
-    out_flag = np.empty(cap, dtype=np.uint8)
-    out_begin = np.empty(cap, dtype=np.int64)
-    out_end = np.empty(cap, dtype=np.int64)
     dl = np.frombuffer(delim if delim else b"\n", dtype=np.uint8)
-    n = lib.agrep_rounds(
-        np.ascontiguousarray(buf), len(buf), int(tb), int(te),
-        np.ascontiguousarray(np.asarray(cands).reshape(-1),
-                             dtype=np.int64),
-        len(cands), np.ascontiguousarray(mask, dtype=np.uint32),
-        int(endpos) & 0xFFFFFFFF, int(D), np.ascontiguousarray(dl),
-        len(delim), int(bool(outtail)), int(bool(silent)), out_idx,
-        out_flag, out_begin, out_end, cap)
+    while True:
+        out_idx = np.empty(cap, dtype=np.int64)
+        out_flag = np.empty(cap, dtype=np.uint8)
+        out_begin = np.empty(cap, dtype=np.int64)
+        out_end = np.empty(cap, dtype=np.int64)
+        n = lib.agrep_rounds(
+            np.ascontiguousarray(buf), len(buf), int(tb), int(te),
+            np.ascontiguousarray(np.asarray(cands).reshape(-1),
+                                 dtype=np.int64),
+            len(cands), np.ascontiguousarray(mask, dtype=np.uint32),
+            int(endpos) & 0xFFFFFFFF, int(D), np.ascontiguousarray(dl),
+            len(delim), int(bool(outtail)), int(bool(silent)), out_idx,
+            out_flag, out_begin, out_end, cap)
+        if n < cap:
+            break
+        # n == cap means the C walk returned early at the capacity
+        # check -- indistinguishable from an exact fit, so re-walk with
+        # a larger buffer until the count comes back under it
+        cap *= 4
     return (out_idx[:n].copy(), out_flag[:n].copy(),
             out_begin[:n].copy(), out_end[:n].copy())
 

@@ -72,18 +72,29 @@ def scan_events(text: np.ndarray, mask_table: np.ndarray, consts: dict,
     m = consts.get("m", 32)
     W = min(max(m + D + 2, 48), tile)
     L = tile
-    if _BACKEND != "numpy":
+    use_numpy = _BACKEND == "numpy"
+    if not use_numpy:
         out = _try_pallas(text, mask_table, consts, D, W, L, N,
                           variant, costs)
         if out is not None:
             return out
+        if _on_tpu():
+            # Pallas-rejected shapes on TPU: the XLA lax.scan path's
+            # ~2000-step while loop runs ~0.1 GB/s -- slower than the
+            # vectorized host backend.  Route to numpy and say so.
+            if os.environ.get("AGREP_TPU_STATS"):
+                import sys
+                print("agrep-tpu stats: query not kernel-eligible "
+                      "(costs/part-bits/mask shape); using vectorized "
+                      "host backend", file=sys.stderr)
+            use_numpy = True
     windows, T = _pad_and_window(text, W, L)
     cvec = np.asarray([
         consts.get("init0", 0), consts.get("init1_ns", 0),
         consts.get("noerr", 0), consts.get("d_endpos", 0),
         consts.get("endpos", 0), consts.get("d_mask", 0xFFFFFFFF),
         0, 0], dtype=np.uint32)
-    if _BACKEND == "numpy":
+    if use_numpy:
         ev = _scan_windows_np(windows, mask_table, cvec, D, W, variant,
                               costs)
     else:

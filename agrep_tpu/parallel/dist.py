@@ -48,13 +48,15 @@ def shard_corpus(data: np.ndarray, n_shards: int,
 
 def distributed_scan_count(shards: np.ndarray, mask_table: np.ndarray,
                            consts: dict, D: int, mesh=None,
-                           costs: tuple | None = None):
+                           costs: tuple | None = None,
+                           n_bytes: int | None = None):
     """Scan shards data-parallel over the mesh; returns
     (total_event_count, per_shard_event_counts).
 
     Each device scans its shard with the same tiled machine as the
     single-chip path and counts part-pulse events past its halo; the
-    total is a psum over ICI.
+    total is a psum over ICI.  Events in the zero-pad / trailing fill
+    past n_bytes are excluded (same bound as the offsets path).
     """
     import jax
     import jax.numpy as jnp
@@ -71,9 +73,9 @@ def distributed_scan_count(shards: np.ndarray, mask_table: np.ndarray,
 
     from ..ops.scan import _pad_and_window
 
-    overlap = shards.shape[1] - (shards.shape[1] // 1)
     # halo length: recover from caller via consts; default MAX_RECORD
     halo = consts.get("shard_halo", MAX_RECORD)
+    shard_len = shards.shape[1] - halo
 
     W = max(consts.get("m", 32) + D + 2, 48)
     L = 1024
@@ -91,28 +93,37 @@ def distributed_scan_count(shards: np.ndarray, mask_table: np.ndarray,
     # replicate per shard so machine constants are device-varying inside
     # shard_map (keeps the scan's carry manual-axis types consistent)
     cvec_sh = np.broadcast_to(cvec, (n, 8)).copy()
+    # per-shard count of real (non-fill) bytes, so machines firing on
+    # the NUL/newline fill are not counted (mirrors the offsets path's
+    # pos < n_bytes filter)
+    if n_bytes is None:
+        n_bytes = n * shard_len
+    starts = np.arange(n, dtype=np.int64) * shard_len
+    valid = np.clip(n_bytes - starts, 0, shard_len) \
+        .astype(np.int32).reshape(n, 1)
 
     from ..ops.scan import _get_jit
     scan_fn = _get_jit()
 
     endpos = np.uint32(consts.get("endpos", 0))
 
-    def per_shard(wnd, mt, cv):
+    def per_shard(wnd, mt, cv, nvalid):
         # wnd: [1, T, S] on this device
         ev = scan_fn(wnd[0], mt, cv[0], D, W, "bitap", costs)   # [T, S]
         body = ev[:, W:]
-        flat = body.reshape(-1)[halo:]
-        local = jnp.sum((flat & endpos) != 0).astype(jnp.int32)
+        flat = body.reshape(-1)[halo:halo + shard_len]
+        in_range = jnp.arange(shard_len, dtype=jnp.int32) < nvalid[0]
+        local = jnp.sum(((flat & endpos) != 0) & in_range) \
+            .astype(jnp.int32)
         total = jax.lax.psum(local, "shards")
         return total[None], local[None]
 
     fn = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P("shards"), P(), P("shards")),
+        in_specs=(P("shards"), P(), P("shards"), P("shards")),
         out_specs=(P("shards"), P("shards")))
     total, locals_ = fn(jnp.asarray(windows), jnp.asarray(mask_table),
-                        jnp.asarray(cvec_sh))
-    _ = overlap
+                        jnp.asarray(cvec_sh), jnp.asarray(valid))
     return int(np.asarray(total)[0]), np.asarray(locals_)
 
 

@@ -112,9 +112,7 @@ class BitapEngine:
             j0 = -1
         dl_off = dl if q.delimiter_opt else 1
 
-        limit_hit = False
         # iterate records
-        prev_end = None
         lasti0 = 0 if memory_mode else 1     # initial lasti (stream coords)
         idx_lo = 0
         for k in range(len(P)):
@@ -155,9 +153,7 @@ class BitapEngine:
                 sink, stream, lasti, print_end, j, byte_offset, dl,
                 q.delimiter_opt, q.delim, q.outtail)
             if _limits_reached(o, sink):
-                limit_hit = True
                 break
-        _ = prev_end, limit_hit
 
 
 def _sgrep_delim_trims(data: np.ndarray, delim: bytes,
@@ -199,10 +195,6 @@ def _nonoverlapping_delims(stream: np.ndarray, delim: bytes) -> np.ndarray:
             out.append(int(e))
             last_end = int(e)
     return np.asarray(out, dtype=np.int64)
-
-
-class BitapRecordLanes:
-    pass
 
 
 def _bitap_record_lane_events(q, stream: np.ndarray, D: int) -> np.ndarray:
