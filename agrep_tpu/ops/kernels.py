@@ -83,7 +83,13 @@ def ranges_from_mask(mask_table: np.ndarray):
 
 @functools.cache
 def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
-                     variant: str = "bitap", ep_bits: tuple = ()):
+                     variant: str = "bitap", ep_bits: tuple = (),
+                     interpret: bool = False, rows: int = ROWS):
+    """interpret=True runs the kernel through the Pallas interpreter on
+    CPU -- same kernel body, no Mosaic -- so the production kernel's
+    logic is testable in CI without a TPU (tests/test_pallas_kernel.py).
+    rows shrinks the unrolled column block (the interpreter pays XLA
+    compile time per unrolled step; 32 keeps it ~10 s)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -188,7 +194,7 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
         lane0 = (~((z | (0 - z)) >> 31)).astype(jnp.uint32)  # 1s at (0,0)
 
         states = [states_ref[k] for k in range(D + 1)]
-        for w in range(ROWS // 32):
+        for w in range(rows // 32):
             dword = jnp.zeros((SUB, LANE), dtype=jnp.uint32)
             hwords = [jnp.zeros((SUB, LANE), dtype=jnp.uint32)
                       for _ in range(n_hit)]
@@ -196,7 +202,7 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
                 r = w * 32 + b
                 row32 = blk[r, 0].astype(jnp.int32)
                 cm = cmask_row(row32)
-                g = i_col * ROWS + r
+                g = i_col * rows + r
                 cold = ((g == W) & (i_grp == 0)).astype(jnp.uint32) * lane0
                 states = [(s & ~cold) | (init_level(k) & cold)
                           for k, s in enumerate(states)]
@@ -238,8 +244,8 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
     @jax.jit
     def run(windows_t, consts):
         S, G = windows_t.shape[:2]
-        grid = (G, S // ROWS)
-        spec = pl.BlockSpec((ROWS // 32, 1, SUB, LANE),
+        grid = (G, S // rows)
+        spec = pl.BlockSpec((rows // 32, 1, SUB, LANE),
                             lambda i, j: (j, i, 0, 0))
         shape = jax.ShapeDtypeStruct((S // 32, G, SUB, LANE), jnp.uint32)
         return pl.pallas_call(
@@ -247,7 +253,7 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((ROWS, 1, SUB, LANE),
+                pl.BlockSpec((rows, 1, SUB, LANE),
                              lambda i, j: (j, i, 0, 0)),
             ],
             out_specs=[spec] * (1 + n_hit),
@@ -255,18 +261,19 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
             scratch_shapes=[
                 pltpu.VMEM((D + 1, SUB, LANE), jnp.uint32),
             ],
+            interpret=interpret,
         )(consts, windows_t)
 
     return run
 
 
-def pack_windows(windows: np.ndarray):
+def pack_windows(windows: np.ndarray, rows: int = ROWS):
     """u8[T0, S0] row-major -> (u8[S, G, 8, 128] device layout, T0, S0).
 
-    Pads S0 to a multiple of ROWS and T0 to a multiple of 8*128; lane
+    Pads S0 to a multiple of rows and T0 to a multiple of 8*128; lane
     t = (g*8 + su)*128 + l."""
     T0, S0 = windows.shape
-    S = -(-S0 // ROWS) * ROWS
+    S = -(-S0 // rows) * rows
     T = -(-T0 // GLANES) * GLANES
     wp = np.zeros((T, S), dtype=np.uint8)
     wp[:T0, :S0] = windows
@@ -311,7 +318,8 @@ def _get_device_packer():
 
 def pallas_scan_stream(text: np.ndarray, mask_table: np.ndarray,
                        consts: dict, D: int, W: int, L: int,
-                       variant: str = "bitap", ep_bits: tuple = ()):
+                       variant: str = "bitap", ep_bits: tuple = (),
+                       interpret: bool = False):
     """Scan a raw byte stream: upload u8[N] once, build the window
     layout on device, run the kernel.  Returns (delim_p, [hit_p...])
     packed planes in window coordinates, plus (T, W, L) geometry; or
@@ -321,10 +329,11 @@ def pallas_scan_stream(text: np.ndarray, mask_table: np.ndarray,
     br = ranges_from_mask(mask_table.astype(np.uint32))
     if br is None:
         return None
+    rows = 32 if interpret else ROWS
     N = int(text.shape[0])
     T = max(1, -(-N // L))
     G = -(-T // GLANES)
-    S = -(-(W + L) // ROWS) * ROWS
+    S = -(-(W + L) // rows) * rows
     cvec = np.asarray([
         consts.get("init0", 0), consts.get("init1_ns", 0),
         consts.get("noerr", 0), consts.get("d_endpos", 0),
@@ -332,7 +341,7 @@ def pallas_scan_stream(text: np.ndarray, mask_table: np.ndarray,
         0, 0], dtype=np.uint32)
     packf = _get_device_packer()
     wt = packf(jnp.asarray(text), W, L, T, G, S)
-    run = _get_pallas_scan(D, W, br, variant, ep_bits)
+    run = _get_pallas_scan(D, W, br, variant, ep_bits, interpret, rows)
     outs = run(wt, jnp.asarray(cvec))
     outs = [unpack_planes(np.asarray(jax.device_get(o)), T, W + L)
             for o in outs]
@@ -341,7 +350,8 @@ def pallas_scan_stream(text: np.ndarray, mask_table: np.ndarray,
 
 def pallas_scan_packed(windows: np.ndarray, mask_table: np.ndarray,
                        consts: dict, D: int, W: int,
-                       variant: str = "bitap", ep_bits: tuple = ()):
+                       variant: str = "bitap", ep_bits: tuple = (),
+                       interpret: bool = False):
     """windows: u8[T, S] row-major from _pad_and_window.  Returns
     (delim_packed, hit_planes) with hit_planes a list of
     u32[T, ceil(S/32)] packed planes -- one per entry of ep_bits, or a
@@ -353,13 +363,14 @@ def pallas_scan_packed(windows: np.ndarray, mask_table: np.ndarray,
     br = ranges_from_mask(mask_table.astype(np.uint32))
     if br is None:
         return None
-    wt = pack_windows(windows)
+    rows = 32 if interpret else ROWS
+    wt = pack_windows(windows, rows)
     cvec = np.asarray([
         consts.get("init0", 0), consts.get("init1_ns", 0),
         consts.get("noerr", 0), consts.get("d_endpos", 0),
         consts.get("endpos", 0), consts.get("d_mask", 0xFFFFFFFF),
         0, 0], dtype=np.uint32)
-    run = _get_pallas_scan(D, W, br, variant, ep_bits)
+    run = _get_pallas_scan(D, W, br, variant, ep_bits, interpret, rows)
     outs = run(jnp.asarray(wt), jnp.asarray(cvec))
     outs = [unpack_planes(np.asarray(jax.device_get(o)), T0, S0)
             for o in outs]

@@ -75,7 +75,8 @@ def scan_events(text: np.ndarray, mask_table: np.ndarray, consts: dict,
     use_numpy = _BACKEND == "numpy"
     if not use_numpy:
         out = _try_pallas(text, mask_table, consts, D, W, L, N,
-                          variant, costs)
+                          variant, costs,
+                          interpret=(_BACKEND == "interpret"))
         if out is not None:
             return out
         if _on_tpu():
@@ -138,7 +139,8 @@ def _on_tpu() -> bool:
         return False
 
 
-def _try_pallas(text, mask_table, consts, D, W, L, N, variant, costs):
+def _try_pallas(text, mask_table, consts, D, W, L, N, variant, costs,
+                interpret=False):
     """The TPU fast path: the fused Pallas kernel (ops/kernels.py).
 
     XLA's lax.scan path compiles the per-byte recurrence into a
@@ -147,7 +149,11 @@ def _try_pallas(text, mask_table, consts, D, W, L, N, variant, costs):
     ~44 GB/s.  Multi-bit endpos (AND patterns, packed multi-term
     groups) gets one packed hit plane per part bit.  Falls back
     (returns None) off-TPU, for non-uniform costs, for >12 part bits,
-    and for mask tables with no compact range decomposition."""
+    and for mask tables with no compact range decomposition.
+
+    interpret=True (AGREP_TPU_BACKEND=interpret) runs the SAME kernel
+    through the Pallas interpreter on CPU -- the conformance suite's
+    hook for exercising the production kernel path without a TPU."""
     if costs is not None or variant not in ("bitap", "sgrep"):
         return None
     endpos = int(consts.get("endpos", 0))
@@ -161,11 +167,12 @@ def _try_pallas(text, mask_table, consts, D, W, L, N, variant, costs):
         ep_bits = tuple(1 << b for b in range(32) if endpos & (1 << b))
         if len(ep_bits) > 12:
             return None
-    if not _on_tpu():
+    if not interpret and not _on_tpu():
         return None
     from . import kernels
     out = kernels.pallas_scan_stream(text, mask_table, consts, D, W, L,
-                                     variant, ep_bits)
+                                     variant, ep_bits,
+                                     interpret=interpret)
     if out is None:
         return None
     d, hs = out
