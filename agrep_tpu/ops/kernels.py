@@ -84,12 +84,16 @@ def ranges_from_mask(mask_table: np.ndarray):
 @functools.cache
 def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
                      variant: str = "bitap", ep_bits: tuple = (),
-                     interpret: bool = False, rows: int = ROWS):
+                     interpret: bool = False, rows: int = ROWS,
+                     costs: tuple | None = None):
     """interpret=True runs the kernel through the Pallas interpreter on
     CPU -- same kernel body, no Mosaic -- so the production kernel's
     logic is testable in CI without a TPU (tests/test_pallas_kernel.py).
     rows shrinks the unrolled column block (the interpreter pays XLA
-    compile time per unrolled step; 32 keeps it ~10 s)."""
+    compile time per unrolled step; 32 keeps it ~10 s).
+    costs = (I, S, DD) non-uniform edit costs (asearch1.c:90-97): the
+    level a transition draws from is a static offset, so the cost
+    variant is the same unrolled chain with different wiring."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -165,6 +169,26 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
             return cm
 
         def levels(states, cm):
+            if costs is not None:
+                # asearch1 wiring: insert from level k-I, substitute
+                # from k-S, delete from k-DD (asearch1.c:90-97), same
+                # indexing as the numpy/XLA backends
+                ci, cs, cd = costs
+                new = []
+                for k in range(0, D + 1):
+                    r = ((states[k] >> 1) & cm) | (init1_ns & states[k])
+                    if k - ci >= 0:
+                        r = r | states[k - ci]
+                    err = None
+                    if k - cd >= 0:
+                        err = new[k - cd]
+                    if k - cs >= 0:
+                        err = states[k - cs] if err is None \
+                            else (err | states[k - cs])
+                    if err is not None:
+                        r = r | ((err >> 1) & noerr)
+                    new.append(r)
+                return new
             new0 = ((states[0] >> 1) & cm) | (init1_ns & states[0])
             new = [new0]
             for k in range(1, D + 1):
@@ -319,7 +343,8 @@ def _get_device_packer():
 def pallas_scan_stream(text: np.ndarray, mask_table: np.ndarray,
                        consts: dict, D: int, W: int, L: int,
                        variant: str = "bitap", ep_bits: tuple = (),
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       costs: tuple | None = None):
     """Scan a raw byte stream: upload u8[N] once, build the window
     layout on device, run the kernel.  Returns (delim_p, [hit_p...])
     packed planes in window coordinates, plus (T, W, L) geometry; or
@@ -341,7 +366,8 @@ def pallas_scan_stream(text: np.ndarray, mask_table: np.ndarray,
         0, 0], dtype=np.uint32)
     packf = _get_device_packer()
     wt = packf(jnp.asarray(text), W, L, T, G, S)
-    run = _get_pallas_scan(D, W, br, variant, ep_bits, interpret, rows)
+    run = _get_pallas_scan(D, W, br, variant, ep_bits, interpret, rows,
+                           costs)
     outs = run(wt, jnp.asarray(cvec))
     outs = [unpack_planes(np.asarray(jax.device_get(o)), T, W + L)
             for o in outs]
@@ -351,7 +377,8 @@ def pallas_scan_stream(text: np.ndarray, mask_table: np.ndarray,
 def pallas_scan_packed(windows: np.ndarray, mask_table: np.ndarray,
                        consts: dict, D: int, W: int,
                        variant: str = "bitap", ep_bits: tuple = (),
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       costs: tuple | None = None):
     """windows: u8[T, S] row-major from _pad_and_window.  Returns
     (delim_packed, hit_planes) with hit_planes a list of
     u32[T, ceil(S/32)] packed planes -- one per entry of ep_bits, or a
@@ -370,7 +397,8 @@ def pallas_scan_packed(windows: np.ndarray, mask_table: np.ndarray,
         consts.get("noerr", 0), consts.get("d_endpos", 0),
         consts.get("endpos", 0), consts.get("d_mask", 0xFFFFFFFF),
         0, 0], dtype=np.uint32)
-    run = _get_pallas_scan(D, W, br, variant, ep_bits, interpret, rows)
+    run = _get_pallas_scan(D, W, br, variant, ep_bits, interpret, rows,
+                           costs)
     outs = run(jnp.asarray(wt), jnp.asarray(cvec))
     outs = [unpack_planes(np.asarray(jax.device_get(o)), T0, S0)
             for o in outs]

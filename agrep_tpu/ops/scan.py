@@ -147,15 +147,18 @@ def _try_pallas(text, mask_table, consts, D, W, L, N, variant, costs,
     ~2000-step while loop whose per-step overhead caps it near 0.1
     GB/s on a v5e chip; the Pallas kernel runs the same machine at
     ~44 GB/s.  Multi-bit endpos (AND patterns, packed multi-term
-    groups) gets one packed hit plane per part bit.  Falls back
-    (returns None) off-TPU, for non-uniform costs, for >12 part bits,
-    and for mask tables with no compact range decomposition.
+    groups) gets one packed hit plane per part bit; non-uniform costs
+    (-D/-I/-S) are static wiring in the kernel.  Falls back (returns
+    None) off-TPU, for >12 part bits, and for mask tables with no
+    compact range decomposition.
 
     interpret=True (AGREP_TPU_BACKEND=interpret) runs the SAME kernel
     through the Pallas interpreter on CPU -- the conformance suite's
     hook for exercising the production kernel path without a TPU."""
-    if costs is not None or variant not in ("bitap", "sgrep"):
+    if variant not in ("bitap", "sgrep"):
         return None
+    if costs is not None and variant != "bitap":
+        return None   # costs exist only in the mask machine (asearch1)
     endpos = int(consts.get("endpos", 0))
     if endpos == 0:
         return None
@@ -172,7 +175,8 @@ def _try_pallas(text, mask_table, consts, D, W, L, N, variant, costs,
     from . import kernels
     out = kernels.pallas_scan_stream(text, mask_table, consts, D, W, L,
                                      variant, ep_bits,
-                                     interpret=interpret)
+                                     interpret=interpret,
+                                     costs=costs)
     if out is None:
         return None
     d, hs = out

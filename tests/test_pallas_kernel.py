@@ -129,6 +129,34 @@ def test_bitap_kernel_multipart_endpos():
     assert (acc & endpos) == endpos
 
 
+@pytest.mark.parametrize("ci,cs,cd", [(2, 1, 1), (1, 2, 3), (3, 1, 2)])
+def test_bitap_kernel_nonuniform_costs(ci, cs, cd):
+    """-D/-I/-S cost wiring (asearch1.c:90-97) as static kernel params."""
+    opts = Options(D=3, approx=True, linenum=True, jump=True,
+                   cost_insert=ci, cost_subst=cs, cost_delete=cd)
+    q = compile_query("matching", opts)
+    assert q.engine_class == "bitap" and q.costs is not None
+    rng = np.random.default_rng(ci * 16 + cs * 4 + cd)
+    text = _corpus(rng, 4000, plants=(b"matching", b"matchng",
+                                      b"matxching", b"mitchong"))
+    W = min(max(q.consts["m"] + 3 + 2, 48), 1024)
+    assert scan_ops._try_pallas(text, q.folded_mask, q.consts, 3, W,
+                                1024, len(text), "bitap", q.costs,
+                                interpret=True) is not None
+    old = scan_ops._BACKEND
+    try:
+        scan_ops.set_backend("interpret")
+        ev_k = scan_ops.scan_events(text, q.folded_mask, q.consts, 3,
+                                    "bitap", costs=q.costs)
+        scan_ops.set_backend("numpy")
+        ev_n = scan_ops.scan_events(text, q.folded_mask, q.consts, 3,
+                                    "bitap", costs=q.costs)
+    finally:
+        scan_ops.set_backend(old)
+    assert np.array_equal(ev_k, ev_n)
+    assert (ev_n & np.uint32(q.consts["endpos"])).any()
+
+
 @pytest.mark.parametrize("D", [0, 2])
 def test_sgrep_kernel_matches_numpy(D):
     opts = Options(D=D, approx=(D > 0))
@@ -163,6 +191,9 @@ def test_cli_conformance_on_kernel_path(oracle_bin, tmp_path):
         ["-1", "-n", "hello", str(f)],
         ["-n", "-d", "From ", "alice", str(f)],
         ["-2", "pattern", str(f)],
+        # BASELINE config 3: non-uniform costs on the kernel path
+        ["-3", "-D2", "-I1", "-S1", "-w", "-i", "-c", "matching",
+         str(f)],
     ]
     old = scan_ops._BACKEND
     try:
