@@ -104,6 +104,39 @@ def scan_events(text: np.ndarray, mask_table: np.ndarray, consts: dict,
     return np.asarray(ev)[:, W:].reshape(-1)[:N]
 
 
+STREAM_CHUNK = int(os.environ.get("AGREP_TPU_CHUNK_MB", "32")) << 20
+
+
+def scan_event_list(reader, n: int, mask_table: np.ndarray, consts: dict,
+                    D: int, variant: str = "bitap",
+                    costs: tuple | None = None,
+                    tile: int = DEFAULT_TILE, chunk: int | None = None):
+    """Chunked scan over a random-access byte source; yields sparse
+    (pos int64[], ev uint32[]) event batches in stream order using
+    O(chunk) memory (the streaming path for large files).
+
+    reader(lo, hi) -> uint8[hi-lo].  Every chunk after the first is
+    scanned with a W-byte halo of real preceding bytes and its first W
+    events dropped: by the halo-warmup argument (module docstring) the
+    states at the chunk body are exact, so the concatenated event
+    stream equals a whole-stream scan bit-for-bit."""
+    if chunk is None:
+        chunk = STREAM_CHUNK
+    m = consts.get("m", 32)
+    W = min(max(m + D + 2, 48), tile)
+    g0 = 0
+    while g0 < n:
+        g1 = min(n, g0 + chunk)
+        lo = g0 - W if g0 >= W else 0
+        text = reader(lo, g1)
+        ev = scan_events(text, mask_table, consts, D, variant, costs,
+                         tile)
+        ev = ev[g0 - lo:]
+        p = np.flatnonzero(ev)
+        yield p.astype(np.int64) + g0, ev[p]
+        g0 = g1
+
+
 _cache_enabled = False
 
 

@@ -24,6 +24,7 @@ import numpy as np
 from ..options import Options
 from ..ops import scan as scan_ops
 from .output import Sink, output_bitap_record, output_sgrep_record
+from .stream_io import ByteStream, open_bytes
 
 MAX_RECORD = 49152  # agrep.h:49
 
@@ -46,6 +47,152 @@ def _find_delims(stream: np.ndarray, delim: bytes) -> np.ndarray:
 class BitapEngine:
     def __init__(self, q):
         self.q = q
+
+    def supports_streaming(self) -> bool:
+        """Sticky machines (-p supersequence, '#' wildcards) have an
+        unbounded dependence window -- the chunk-halo restart is
+        invalid for them; everything else streams."""
+        q = self.q
+        return not (q.opts.cost_insert == 0
+                    or (q.tables is not None and q.tables.wildmask != 0))
+
+    def search_stream_chunked(self, data, sink: Sink, D: int) -> None:
+        """Streaming twin of search_stream: chunked scan with halo
+        carry + incremental record emission, O(chunk) memory
+        (bitap.c:450-505 streaming, minus the 48KB buffer).
+
+        data: np.memmap (or array) of the file bytes.  Produces output
+        byte-identical to search_stream; tests/test_streaming.py pins
+        the equivalence with forced-small chunks."""
+        q = self.q
+        o = q.opts
+        dl = len(q.delim)
+        c = q.consts
+        inject_at = 1 + MAX_RECORD if len(data) > MAX_RECORD else None
+        if inject_at is None:
+            machine = ByteStream([b"\n", data, q.delim])
+        else:
+            # the first-block unroll glitch byte (see search_stream)
+            machine = ByteStream([b"\n", data[:MAX_RECORD], b"\x00",
+                                  data[MAX_RECORD:], q.delim])
+        outs = ByteStream([b"\n", data, q.delim])
+        endpos = int(c["endpos"])
+        d_endpos = int(c["d_endpos"])
+
+        j0 = 0
+        if q.delimiter_opt and bytes(bytearray(data[:dl])) == q.delim:
+            j0 = -1
+        dl_off = dl if q.delimiter_opt else 1
+        data_end = 1 + len(data) - 1
+
+        if (o.count and not o.invert and not o.filename_only
+                and not q.and_flag and o.limit_output == 0
+                and o.limit_per_file == 0):
+            # vectorized -c: count records with >= 1 part hit; the
+            # per-record Python walk below would dominate a 10GB scan
+            self._count_chunked(machine, outs, inject_at, sink, D)
+            return
+
+        lasti = 1                      # record start (output coords)
+        rec_k = 0                      # record ordinal (1-based)
+        acc = 0
+        any_hit = False
+        for pos_b, ev_b in scan_ops.scan_event_list(
+                machine.read, len(machine), q.folded_mask, c, D,
+                "bitap", q.costs):
+            for p_m, w in zip(pos_b.tolist(), ev_b.tolist()):
+                if inject_at is not None and p_m == inject_at:
+                    continue
+                extra = 1 if (inject_at is not None
+                              and p_m > inject_at) else 0
+                pk = p_m - extra
+                if w & endpos:
+                    any_hit = True
+                    acc |= w
+                if not (w & d_endpos):
+                    continue
+                rec_k += 1
+                j = rec_k + j0
+                if q.and_flag:
+                    verdict = ((acc & endpos) == endpos) \
+                        or (False ^ o.invert)
+                else:
+                    verdict = any_hit ^ o.invert
+                acc = 0
+                any_hit = False
+                this_lasti = lasti
+                lasti = pk + 1 - dl
+                if not verdict:
+                    continue
+                if o.filename_only and (sink.new_file
+                                        or not o.post_filter):
+                    sink.num_matched += 1
+                    sink.write_str("%s\n" % sink.current_filename)
+                    sink.new_file = False
+                    return
+                if this_lasti >= data_end:
+                    continue
+                print_end = pk - dl
+                byte_offset = pk + 1 - dl_off + extra
+                if print_end - this_lasti > MAX_RECORD:
+                    sink.truncate = True
+                    this_lasti = print_end - MAX_RECORD
+                output_bitap_record(
+                    sink, outs, this_lasti, print_end, j, byte_offset,
+                    dl, q.delimiter_opt, q.delim, q.outtail)
+                if _limits_reached(o, sink):
+                    return
+
+    def _count_chunked(self, machine: ByteStream, outs: ByteStream,
+                       inject_at, sink: Sink, D: int) -> None:
+        """Vectorized streaming count: per chunk, segment the event
+        stream at delimiter pulses (cumsum over hit pulses) and count
+        segments with >= 1 hit whose record starts before the appended
+        delimiter (the bitap.c:213 guard)."""
+        q = self.q
+        c = q.consts
+        dl = len(q.delim)
+        endpos = np.uint32(c["endpos"])
+        d_endpos = np.uint32(c["d_endpos"])
+        # scalar-loop guard: record start >= 1 + len(data) - 1
+        guard = len(outs) - dl - 1
+        carry_hits = 0
+        last_delim_out = None            # out-pos of last delim event
+        count = 0
+        for pos_b, ev_b in scan_ops.scan_event_list(
+                machine.read, len(machine), q.folded_mask, c, D,
+                "bitap", q.costs):
+            if inject_at is not None and len(pos_b):
+                keep = pos_b != inject_at
+                pos_b, ev_b = pos_b[keep], ev_b[keep]
+                pos_out = pos_b - (pos_b > inject_at)
+            else:
+                pos_out = pos_b
+            if not len(pos_b):
+                continue
+            h_sel = (ev_b & endpos) != 0
+            d_sel = (ev_b & d_endpos) != 0
+            ch = np.cumsum(h_sel)
+            di = np.flatnonzero(d_sel)
+            if len(di) == 0:
+                carry_hits += int(ch[-1]) if len(ch) else 0
+                continue
+            seg = ch[di] - np.concatenate([[0], ch[di[:-1]]])
+            seg[0] += carry_hits
+            carry_hits = int(ch[-1] - ch[di[-1]])
+            pk = pos_out[di]
+            prev_pk = np.concatenate(
+                [[last_delim_out if last_delim_out is not None
+                  else dl], pk[:-1]])
+            starts = prev_pk + 1 - dl
+            if last_delim_out is None:
+                starts[0] = 1
+            # starts > pk - dl is the printer's empty-span early return
+            # (output():3812 i1 > i2), which skips the count too
+            count += int(((seg > 0) & (starts < guard)
+                          & (starts <= pk - dl)).sum())
+            last_delim_out = int(pk[-1])
+        sink.num_matched += count
 
     def search_stream(self, data: np.ndarray, sink: Sink, D: int,
                       memory_mode: bool = False) -> None:
@@ -271,6 +418,115 @@ def _bitap_record_lane_events(q, stream: np.ndarray, D: int) -> np.ndarray:
 class SgrepEngine:
     def __init__(self, q):
         self.q = q
+
+    def supports_streaming(self) -> bool:
+        """The -c fast paths stream; record output modes still take the
+        whole-file path (their block-quirk emulations walk the full
+        virtual buffer)."""
+        q, o = self.q, self.q.opts
+        if (q.delimiter_opt or o.invert or o.filename_only
+                or not o.count or o.limit_output or o.limit_per_file):
+            return False
+        if q.D == 0:
+            return (q.sg_sub in ("bm", "monkey")
+                    and b"\n" not in q.sg_pattern)
+        return (q.sg_sub == "agrep" and not o.wordbound
+                and q.sg_m - q.D > 2)
+
+    def search_stream_chunked(self, data, sink: Sink, D: int) -> None:
+        """Streaming -c: chunked scan + incremental line/record count,
+        O(chunk) memory.  D==0 counts lines with >=1 match (bm/monkey
+        jump to the record end after each count, sgrep.c:815); D>0
+        replays agrep()'s overcount walk with streamed events."""
+        q, o = self.q, self.q.opts
+        stream = ByteStream([b"\n", data])
+        N = len(stream)
+        chunk = scan_ops.STREAM_CHUNK
+        W = min(max(q.sg_consts.get("m", 32) + D + 2, 48),
+                scan_ops.DEFAULT_TILE)
+        m = q.sg_m
+
+        if D > 0 and q.sg_m // (D + 1) == 0:
+            # zero-length fragments: the filter never fires (prep:1058)
+            return
+
+        walker = None
+        if D > 0:
+            from .sgrep_sim import AgrepCountWalker
+            walker = AgrepCountWalker(data, q.sg_pattern, D)
+        pend = np.empty(0, dtype=np.int64)  # events awaiting record end
+        lines_counted = 0
+        last_line = -1
+        last_nl = -1                     # latest newline seen (stream)
+        nl_before = 0                    # newlines before this chunk
+        g0 = 0
+        while g0 < N:
+            g1 = min(N, g0 + chunk)
+            lo = g0 - W if g0 >= W else 0
+            text = stream.read(lo, g1)
+            body = text[g0 - lo:]
+            ev = scan_ops.scan_events(text, q.sg_mask, q.sg_consts, D,
+                                      "sgrep")[g0 - lo:]
+            pos = np.flatnonzero(ev) + g0
+            nl = np.flatnonzero(body == 0x0A) + g0
+            if D == 0:
+                if o.wordbound:
+                    keep = []
+                    last_char = q.sg_pattern[-1] if q.sg_pattern else 0
+                    for p in pos:
+                        p = int(p)
+                        after = stream[p + 1] if p + 1 < N else last_char
+                        before = stream[p - m] if p - m >= 0 else 0x0A
+                        if not _isalnum(after) and not _isalnum(before):
+                            keep.append(p)
+                    pos = np.asarray(keep, dtype=np.int64)
+                if len(pos):
+                    ids = nl_before + np.searchsorted(nl, pos, "left")
+                    ids = np.unique(ids)
+                    lines_counted += int((ids > last_line).sum())
+                    last_line = max(last_line, int(ids[-1]))
+            else:
+                # record end = one past the first newline at/after the
+                # event+1 (s_output's curtextend); events past the last
+                # newline of a chunk resolve in a later chunk.  Feed
+                # resolved events to the incremental walk immediately --
+                # O(chunk) retained, never O(file).
+                ev_c: list = []
+                re_c: list = []
+                if len(pend) and len(nl):
+                    ev_c.append(pend)
+                    re_c.append(np.full(len(pend), int(nl[0]) + 1,
+                                        dtype=np.int64))
+                    pend = np.empty(0, dtype=np.int64)
+                if len(pos):
+                    jj = np.searchsorted(nl, pos + 1, side="left")
+                    done = jj < len(nl)
+                    if done.any():
+                        ev_c.append(pos[done])
+                        re_c.append(nl[jj[done]] + 1)
+                    pend = np.concatenate([pend, pos[~done]])
+                if len(nl):
+                    last_nl = int(nl[-1])
+                # stream coords -> data coords (base = leading "\n")
+                frontier = min(g1, last_nl) - 1
+                walker.feed(
+                    np.concatenate(ev_c) - 1 if ev_c
+                    else np.empty(0, dtype=np.int64),
+                    np.concatenate(re_c) - 1 if re_c
+                    else np.empty(0, dtype=np.int64),
+                    frontier)
+            nl_before += len(nl)
+            g0 = g1
+
+        if D == 0:
+            sink.num_matched += lines_counted
+            return
+        if len(pend):
+            walker.feed(pend - 1,
+                        np.full(len(pend), len(data) + 1,
+                                dtype=np.int64),
+                        len(data) + 4)
+        sink.num_matched += walker.finish()
 
     def search_stream(self, data: np.ndarray, sink: Sink, D: int,
                       memory_mode: bool = False) -> None:
@@ -746,18 +1002,31 @@ class Executor:
         t0 = _time.perf_counter() if stats else 0.0
         bytes_scanned = 0
         nomatch = True
+        stream_min = int(os.environ.get("AGREP_TPU_STREAM_MB",
+                                        "64")) << 20
         for i, path in enumerate(files):
             sink.prev_num_matched = sink.num_matched
             sink.current_filename = str(i) if o.printfilenumber else path
             sink.new_file = True
             try:
-                data = np.fromfile(path, dtype=np.uint8)
+                size = os.path.getsize(path)
+                if size > stream_min:
+                    # big file: read-only memmap; emulation walks fault
+                    # pages in sequentially, O(chunk) resident
+                    data = open_bytes(path)
+                else:
+                    data = np.fromfile(path, dtype=np.uint8)
             except (OSError, IOError):
                 print("agrep: can't open file for reading: %s" % path,
                       file=sys.stderr)
                 continue
             bytes_scanned += len(data)
-            self.engine.search_stream(data, sink, q.D)
+            if (size > stream_min
+                    and hasattr(self.engine, "supports_streaming")
+                    and self.engine.supports_streaming()):
+                self.engine.search_stream_chunked(data, sink, q.D)
+            else:
+                self.engine.search_stream(data, sink, q.D)
             nfile = sink.num_matched - sink.prev_num_matched
             if nfile > 0:
                 nomatch = False

@@ -389,46 +389,111 @@ def agrep_exact(data: np.ndarray, pat: bytes, D: int, mask: np.ndarray,
 
 def agrep_c_count(data: np.ndarray, events_g: np.ndarray, nl_g: np.ndarray,
                   pat: bytes, D: int, delimiter: bool = False,
-                  d_pattern: bytes = b"\n") -> int:
-    """Reproduce agrep()'s num_of_matched over a whole file, including
-    the candidate-round overcount (sgrep.c:1187-1199).
+                  d_pattern: bytes = b"\n",
+                  rec_ends: np.ndarray | None = None) -> int:
+    """One-shot wrapper around AgrepCountWalker (whole-file path).
 
     events_g: global data offsets of match-end events (0-based, i.e.
-    C's i-1); nl_g: global offsets of newlines."""
-    from .. import native
-    vb = VirtualSgrepBuffer(data, pat, delimiter, d_pattern)
-    count = 0
+    C's i-1); nl_g: global offsets of newlines (or None when rec_ends
+    is passed directly by the streaming path)."""
     ev = np.asarray(events_g, dtype=np.int64)
-    # record end per event (s_output's curtextend), vectorized
-    jj = np.searchsorted(nl_g, ev + 1, side="left")
-    rec_ends = np.where(
-        jj < len(nl_g),
-        (nl_g[np.minimum(jj, max(len(nl_g) - 1, 0))] + 1
-         if len(nl_g) else 0),
-        len(data) + 1).astype(np.int64)
-    shift_tab, d1, member, _m, _bs = build_agrep_tables(pat, D)
-    m_pat = len(pat)
-    for (start, end, gstart) in vb.blocks():
+    if rec_ends is None:
+        # record end per event (s_output's curtextend), vectorized
+        jj = np.searchsorted(nl_g, ev + 1, side="left")
+        rec_ends = np.where(
+            jj < len(nl_g),
+            (nl_g[np.minimum(jj, max(len(nl_g) - 1, 0))] + 1
+             if len(nl_g) else 0),
+            len(data) + 1).astype(np.int64)
+    w = AgrepCountWalker(data, pat, D, delimiter, d_pattern)
+    w.feed(ev, rec_ends, len(data) + 4)
+    return w.finish()
+
+
+class AgrepCountWalker:
+    """Incremental replay of agrep()'s num_of_matched, including the
+    candidate-round overcount (sgrep.c:1187-1199).
+
+    feed() takes match-end events (data coords, ascending) with their
+    record ends, plus a frontier: every event < frontier is final and
+    resolved.  Virtual-buffer blocks wholly below the frontier are
+    walked immediately and their events discarded -- so a streamed scan
+    holds O(chunk) events, never O(file).  data may be an np.memmap;
+    the block walk reads it sequentially in O(32KB) slices."""
+
+    def __init__(self, data, pat: bytes, D: int, delimiter: bool = False,
+                 d_pattern: bytes = b"\n"):
+        self.data = data
+        self.pat = pat
+        self.D = D
+        self.m_pat = len(pat)
+        self.vb = VirtualSgrepBuffer(data, pat, delimiter, d_pattern)
+        self._blocks = self.vb.blocks()
+        self._cur = next(self._blocks, None)
+        self.count = 0
+        (self.shift_tab, self.d1, self.member,
+         _m, _bs) = build_agrep_tables(pat, D)
+        self._ev = np.empty(0, dtype=np.int64)
+        self._re = np.empty(0, dtype=np.int64)
+
+    def feed(self, events_g, rec_ends, frontier) -> None:
+        if len(events_g):
+            self._ev = np.concatenate(
+                [self._ev, np.asarray(events_g, dtype=np.int64)])
+            self._re = np.concatenate(
+                [self._re, np.asarray(rec_ends, dtype=np.int64)])
+        while self._cur is not None:
+            start, end, gstart = self._cur
+            n = end - start
+            # the pair-unroll overrun can consume one byte past the
+            # round bound, so the block needs events < gstart + n + 2
+            if gstart + n + 2 > frontier:
+                break
+            self._walk_block(start, end, gstart)
+            self._cur = next(self._blocks, None)
+            if self._cur is not None:
+                # drop consumed events (blocks never look back past
+                # their own gstart)
+                lo = int(np.searchsorted(self._ev, self._cur[2],
+                                         side="left"))
+                self._ev = self._ev[lo:]
+                self._re = self._re[lo:]
+
+    def finish(self) -> int:
+        while self._cur is not None:
+            self._walk_block(*self._cur)
+            self._cur = next(self._blocks, None)
+        return self.count
+
+    def _walk_block(self, start, end, gstart) -> None:
+        from .. import native
         n = end - start  # textend - textbegin
         lo_g = gstart
-        nc = native.agrep_candidates(vb.buf, start, end, pat, D,
-                                     shift_tab, d1, member)
+        m_pat, D = self.m_pat, self.D
+        e_lo = int(np.searchsorted(self._ev, lo_g, side="left"))
+        e_hi = int(np.searchsorted(self._ev, lo_g + n + 2, side="right"))
+        ev_blk = np.ascontiguousarray(self._ev[e_lo:e_hi])
+        re_blk = np.ascontiguousarray(self._re[e_lo:e_hi])
+        nc = native.agrep_candidates(self.vb.buf, start, end, self.pat,
+                                     D, self.shift_tab, self.d1,
+                                     self.member)
         if nc is not None:
             cands = np.clip(nc, [0, 0], [n, n])
-            c = native.agrep_count_walk(ev, rec_ends, cands, lo_g,
+            c = native.agrep_count_walk(ev_blk, re_blk, cands, lo_g,
                                         m_pat, D)
             if c is not None:
-                count += c
-                continue
+                self.count += c
+                return
             cands = [tuple(x) for x in cands]
         else:
-            cands = agrep_candidates(vb.buf, start, end, pat, D)
+            cands = agrep_candidates(self.vb.buf, start, end, self.pat,
+                                     D)
         lastend = 0
         for (clo, chi) in cands:
             clo = max(int(clo), 0)
             chi = int(chi)
             warm = clo + (m_pat - D)
-            k = int(np.searchsorted(ev, lo_g + clo, side="left"))
+            k = int(np.searchsorted(ev_blk, lo_g + clo, side="left"))
             # walk the round like the C scan: the body is 2x-unrolled
             # with the bound checked once per PAIR (sgrep.c:1175-1238),
             # so after a count-jump in the first half the second half
@@ -439,21 +504,20 @@ def agrep_c_count(data: np.ndarray, events_g: np.ndarray, nl_g: np.ndarray,
             i = clo
             while i < chi:
                 for _half in range(2):
-                    while k < len(ev) and int(ev[k]) < lo_g + i:
+                    while k < len(ev_blk) and int(ev_blk[k]) < lo_g + i:
                         k += 1
-                    if (k < len(ev) and int(ev[k]) == lo_g + i
+                    if (k < len(ev_blk) and int(ev_blk[k]) == lo_g + i
                             and i + 1 >= warm):
-                        count += 1
+                        self.count += 1
                         idx = i + 1
                         if idx <= lastend:
                             i = lastend
                         else:
-                            i = int(rec_ends[k]) - lo_g
+                            i = int(re_blk[k]) - lo_g
                         lastend = i
                         k += 1
                     else:
                         i += 1
-    return count
 
 
 def verify_dp(m: int, n: int, D: int, pat: bytes, window) -> int:

@@ -1,0 +1,159 @@
+"""Streaming block I/O tests (VERDICT round 1 item 3 / ADVICE medium).
+
+Large files scan in O(chunk) memory through memmap + chunked halo
+scans.  These tests force tiny stream thresholds and chunk sizes so a
+~1-2MB corpus crosses many chunk boundaries, then assert (a) streamed
+output is byte-identical to the whole-file path, and (b) both match the
+reference binary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from agrep_tpu.ops import scan as scan_ops
+from agrep_tpu.runtime.stream_io import ByteStream
+
+from .oracle import compare, run_oracle, run_ours_inproc
+
+
+def test_bytestream_basics():
+    bs = ByteStream([b"\n", np.arange(256, dtype=np.uint8), b"tail"])
+    assert len(bs) == 1 + 256 + 4
+    assert bs[0] == 0x0A
+    assert bs[1] == 0
+    assert bs[256] == 255
+    assert bytes(bytearray(bs[257:261])) == b"tail"
+    assert np.array_equal(bs.read(0, 3), np.asarray([10, 0, 1],
+                                                    dtype=np.uint8))
+    # cross-segment read
+    assert np.array_equal(bs.read(255, 259),
+                          np.frombuffer(b"\xfeffta"[:0] or bytes(
+                              [254, 255, 116, 97]), dtype=np.uint8))
+    # clamping
+    assert len(bs.read(-5, 10_000)) == len(bs)
+    assert len(bs.read(300, 200)) == 0
+
+
+def test_scan_event_list_equals_whole_scan():
+    from agrep_tpu.options import Options
+    from agrep_tpu.compile.query import compile_query
+    q = compile_query("matching", Options(D=2, approx=True,
+                                          linenum=True))
+    rng = np.random.default_rng(3)
+    text = rng.integers(32, 127, size=300_000, dtype=np.uint8)
+    text[::67] = 0x0A
+    for off in rng.integers(0, len(text) - 8, 40):
+        text[off:off + 8] = np.frombuffer(b"matching", np.uint8)
+    # plant matches straddling the chunk boundary exactly
+    for b in (65536, 131072, 262144):
+        text[b - 4:b + 4] = np.frombuffer(b"matching", np.uint8)
+    scan_ops.set_backend("numpy")
+    whole = scan_ops.scan_events(text, q.folded_mask, q.consts, 2,
+                                 "bitap")
+    pos_w = np.flatnonzero(whole)
+    ev_w = whole[pos_w]
+    ps, es = [], []
+    for p, e in scan_ops.scan_event_list(
+            lambda lo, hi: text[lo:hi], len(text), q.folded_mask,
+            q.consts, 2, "bitap", chunk=65536):
+        ps.append(p)
+        es.append(e)
+    pos_c = np.concatenate(ps)
+    ev_c = np.concatenate(es)
+    assert np.array_equal(pos_w, pos_c)
+    assert np.array_equal(ev_w, ev_c)
+    assert len(pos_w) > 40
+
+
+def _make_corpus(path, n_bytes=1_600_000, seed=11):
+    rng = np.random.default_rng(seed)
+    words = [b"the", b"quick", b"matching", b"hello", b"alice", b"bob",
+             b"pattern", b"lorem", b"matchxng", b"hellp"]
+    chunks = []
+    total = 0
+    i = 0
+    while total < n_bytes:
+        ws = [words[j] for j in rng.integers(0, len(words), 6)]
+        line = b" ".join(ws) + b"\n"
+        if i % 23 == 0:
+            line = b"From " + line
+        chunks.append(line)
+        total += len(line)
+        i += 1
+    path.write_bytes(b"".join(chunks))
+    return path
+
+
+STREAM_CASES = [
+    ["-n", "matching"],                     # bitap record output
+    ["-c", "matching"],                     # sgrep D=0 line count
+    ["-2", "-c", "matching"],               # sgrep agrep() count walk
+    ["-1", "-n", "hello"],                  # bitap k=1
+    ["-b", "-2", "-n", "matching"],         # byte offsets
+    ["-n", "-d", "From ", "alice"],         # bitap multi-byte -d
+    ["-c", "-n", "-d", "From ", "alice"],   # -d count
+    ["-3", "-D2", "-I1", "-S1", "-w", "-i", "-c", "matching"],  # costs
+    ["-w", "-c", "hello"],                  # D=0 wordbound count
+]
+
+
+@pytest.mark.parametrize("args", STREAM_CASES)
+def test_streaming_matches_oracle(args, oracle_bin, tmp_path,
+                                  monkeypatch):
+    f = _make_corpus(tmp_path / "big.txt")
+    monkeypatch.setenv("AGREP_TPU_STREAM_MB", "0")
+    monkeypatch.setenv("AGREP_TPU_CHUNK_MB", "1")
+    full = args + [str(f)]
+    o_out, _e, o_rc = run_oracle(full)
+    old_chunk = scan_ops.STREAM_CHUNK
+    scan_ops.STREAM_CHUNK = 1 << 20
+    try:
+        m_out, m_rc = run_ours_inproc(full)
+    finally:
+        scan_ops.STREAM_CHUNK = old_chunk
+    assert m_out == o_out, (
+        "streaming stdout mismatch for %r\n-- oracle --\n%r\n"
+        "-- ours --\n%r" % (full, o_out[:2000], m_out[:2000]))
+    assert m_rc == o_rc, (full, o_rc, m_rc)
+
+
+@pytest.mark.parametrize("args", STREAM_CASES)
+def test_streaming_equals_wholefile(args, tmp_path, monkeypatch):
+    """Streamed and whole-file paths agree byte-for-byte even on
+    corpora where the oracle is not consulted (different seed, chunk
+    64KB so dozens of boundaries)."""
+    f = _make_corpus(tmp_path / "big2.txt", n_bytes=400_000, seed=29)
+    full = args + [str(f)]
+    monkeypatch.setenv("AGREP_TPU_STREAM_MB", "1024")  # force whole
+    w_out, w_rc = run_ours_inproc(full)
+    monkeypatch.setenv("AGREP_TPU_STREAM_MB", "0")     # force stream
+    old_chunk = scan_ops.STREAM_CHUNK
+    scan_ops.STREAM_CHUNK = 65536
+    try:
+        s_out, s_rc = run_ours_inproc(full)
+    finally:
+        scan_ops.STREAM_CHUNK = old_chunk
+    assert s_out == w_out, (
+        "stream/whole divergence for %r\n-- whole --\n%r\n"
+        "-- stream --\n%r" % (full, w_out[:2000], s_out[:2000]))
+    assert s_rc == w_rc
+
+
+def test_streaming_inverse_and_offsets(tmp_path, monkeypatch):
+    """Inverse (-v) and @offset (-q/-u style) record modes through the
+    streaming bitap path."""
+    f = _make_corpus(tmp_path / "big3.txt", n_bytes=300_000, seed=31)
+    for args in (["-v", "-n", "matching"], ["-q", "-2", "-n", "hello"]):
+        full = args + [str(f)]
+        o_out, _e, o_rc = run_oracle(full)
+        monkeypatch.setenv("AGREP_TPU_STREAM_MB", "0")
+        old_chunk = scan_ops.STREAM_CHUNK
+        scan_ops.STREAM_CHUNK = 65536
+        try:
+            m_out, m_rc = run_ours_inproc(full)
+        finally:
+            scan_ops.STREAM_CHUNK = old_chunk
+        assert m_out == o_out, (full, o_out[:800], m_out[:800])
+        assert m_rc == o_rc
