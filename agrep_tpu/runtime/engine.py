@@ -459,9 +459,15 @@ class SgrepEngine:
         last_line = -1
         last_nl = -1                     # latest newline seen (stream)
         nl_before = 0                    # newlines before this chunk
+        B2 = 2 * 16384
         g0 = 0
         while g0 < N:
             g1 = min(N, g0 + chunk)
+            if D == 0 and g1 < N:
+                # align chunk ends to sgrep's 32KB block boundaries
+                # (stream coord 32768j + 1) so clobber geometry is
+                # chunk-local (sgrep.c:464-468)
+                g1 = max(((g1 - 1) // B2) * B2 + 1, g0 + 1)
             lo = g0 - W if g0 >= W else 0
             text = stream.read(lo, g1)
             body = text[g0 - lo:]
@@ -480,11 +486,37 @@ class SgrepEngine:
                         if not _isalnum(after) and not _isalnum(before):
                             keep.append(p)
                     pos = np.asarray(keep, dtype=np.int64)
+                # interior 32KB boundaries ending in this chunk: a
+                # clamped residue copy (sgrep.c:464-468) makes block
+                # behavior cascade -- count the clean prefix here, then
+                # hand the rest of the file to the byte-exact buffer
+                # replay (chunk ends are 32KB-aligned, so the carried
+                # state at the takeover boundary is reconstructable)
+                takeover = None          # (trim_data, rb_data)
+                rb = max(1, (g0 - 1) // B2 + 1) * B2 + 1
+                while rb <= g1 and rb < N:
+                    blk = stream.read(rb - B2, rb)
+                    nls = np.flatnonzero(blk == 0x0A)
+                    trim = (rb - B2 + int(nls[-1])) if len(nls) \
+                        else rb - B2
+                    if (rb - 1) - trim + 1 > 1024:      # clobbered
+                        takeover = (trim - 1, rb - 1)
+                        pos = pos[pos <= trim]
+                        break
+                    rb += B2
                 if len(pos):
                     ids = nl_before + np.searchsorted(nl, pos, "left")
                     ids = np.unique(ids)
                     lines_counted += int((ids > last_line).sum())
                     last_line = max(last_line, int(ids[-1]))
+                if takeover is not None:
+                    from . import sgrep_sim
+                    sink.num_matched += lines_counted
+                    sgrep_sim.sgrep_block_replay(
+                        lambda lo, hi: np.asarray(data[lo:hi],
+                                                  dtype=np.uint8),
+                        len(data), q, sink, resume=takeover)
+                    return
             else:
                 # record end = one past the first newline at/after the
                 # event+1 (s_output's curtextend); events past the last
@@ -532,6 +564,23 @@ class SgrepEngine:
                       memory_mode: bool = False) -> None:
         q = self.q
         o = q.opts
+        if (D == 0 and q.sg_sub in ("bm", "monkey") and not memory_mode
+                and len(data) > 2 * 16384):
+            # clamped residue copies (sgrep.c:464-468) and no-delimiter
+            # fallback blocks (:399) make block behavior cascade in ways
+            # the event-list model can't express: byte-exact buffer
+            # replay instead (pathological corpora only)
+            from . import sgrep_sim
+            layout = sgrep_sim.block_layout(
+                data, q.delim if q.delimiter_opt else None, q.outtail)
+            if any(b.clobbered or b.fallback for b in layout):
+                rc = sgrep_sim.sgrep_block_replay(
+                    lambda lo, hi: np.asarray(data[lo:hi],
+                                              dtype=np.uint8),
+                    len(data), q, sink)
+                if rc == 'fname':
+                    sink.write_str("%s\n" % sink.current_filename)
+                return
         if memory_mode:
             stream = data
             base = 0
@@ -625,16 +674,8 @@ class SgrepEngine:
 
         nl = np.flatnonzero(stream == 0x0A)
         delim_ends = None
-        delim_blocks = None
         if q.delimiter_opt:
             delim_ends = _find_delims(stream, q.delim)
-            if D == 0 and not memory_mode and len(data) > 2 * 16384:
-                # sgrep block starts (data coords -> stream coords):
-                # each block is its own bm()/monkey() call
-                from . import sgrep_sim
-                vb = sgrep_sim.VirtualSgrepBuffer(
-                    data, q.sg_pattern, True, q.delim, q.outtail)
-                delim_blocks = [g + base for (_s, _e, g) in vb.blocks()]
 
         if (o.count and not o.invert and not q.delimiter_opt
                 and not o.filename_only and D == 0
@@ -748,17 +789,6 @@ class SgrepEngine:
                 # (sgrep.c:815 textbegin = curtextend): -d records
                 # chain without overlap
                 begin = max(begin, lastend)
-                if delim_blocks is not None:
-                    # each block is a separate bm() call whose record
-                    # scans are bounded by its textbegin/textend: a
-                    # record straddling the 32KB block split is printed
-                    # (and counted) once per block (sgrep.c:395-403)
-                    bi = bisect.bisect_right(delim_blocks, p) - 1
-                    lo_b = delim_blocks[bi]
-                    hi_b = (delim_blocks[bi + 1]
-                            if bi + 1 < len(delim_blocks) else N)
-                    begin = max(begin, lo_b)
-                    end = min(end, hi_b)
             if end > N:
                 if D == 0 and q.sg_sub == "monkey" and not q.delimiter_opt:
                     # monkey() has no EOF adjustment (sgrep.c:1597-1599
@@ -804,7 +834,6 @@ class SgrepEngine:
                     # two in step so they cancel (sgrep.c:1399).
                     p_q = p + (1 if (D > 0 and q.sg_sub == "agrep")
                                else 0)
-
                     output_sgrep_record(
                         sink, stream, begin, end, byte_offset, p_q,
                         extra_len=1 if appended_newline else 0)

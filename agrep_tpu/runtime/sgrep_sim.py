@@ -126,6 +126,91 @@ class VirtualSgrepBuffer:
             yield start, end, gstart
 
 
+class BlockBoundary:
+    """One sgrep block boundary's observable geometry, in real data
+    coordinates (sgrep.c:325-475 distilled to arithmetic).
+
+    The reference reads 32KB blocks at buffer offset 2048, trims the
+    scan back to the last delimiter/newline fully inside the new data,
+    and copies the residue into at most OFFSET-MAXLINE = 1024 bytes of
+    headroom (sgrep.c:464-468).  When the residue exceeds 1024 bytes
+    the copy is clamped and the next fill_buf overwrites the rest: the
+    bytes past the first 1024 of the residue silently VANISH from the
+    scan, the carried record is stitched across the hole, and
+    CurrentByteOffset (which advances by scanned span per block,
+    sgrep.c:462) drifts behind the real offset forever after.
+    """
+
+    __slots__ = ("rb", "trim_end", "residue", "fallback", "clobbered",
+                 "lost_lo", "lost_hi")
+
+    def __init__(self, rb, trim_end, residue, fallback, clobbered):
+        self.rb = rb                  # real offset where next read lands
+        self.trim_end = trim_end      # real coord of scan `end` byte
+        self.residue = residue
+        self.fallback = fallback      # no qualifying delimiter in block
+        self.clobbered = clobbered
+        if clobbered:
+            self.lost_lo = trim_end + (OFFSET - MAXLINE)
+            self.lost_hi = rb
+        else:
+            self.lost_lo = self.lost_hi = -1
+
+
+def block_layout(data, delim: bytes | None = None,
+                 outtail: bool = False) -> list:
+    """Boundaries of sgrep()'s 32KB block loop over `data`, real
+    coords.  delim=None models the default newline trim (sgrep.c:389-
+    393, applied only to full blocks); a byte-string models the -d
+    backward_delimiter trim (sgrep.c:396-400, applied to every block).
+    Only INTERIOR boundaries are returned (the EOF residue is re-scanned
+    from an intact buffer -- no fill_buf follows to clobber it)."""
+    B2 = 2 * BLOCKSIZE
+    N = len(data)
+    out = []
+    k = 0
+    while (k + 1) * B2 < N:          # another read follows this block
+        lo = k * B2
+        hi = lo + B2                 # full block (interior)
+        fallback = False
+        if delim is None:
+            # while(text[end] != '\n' && end > offset) end--
+            chunk = np.asarray(data[lo:hi])
+            nls = np.flatnonzero(chunk == 0x0A)
+            if len(nls):
+                trim_end = lo + int(nls[-1])
+            else:
+                trim_end = lo        # end walked down to offset
+        else:
+            dl = len(delim)
+            f = _last_delim_start(data, lo, hi, delim)
+            if f >= lo + dl:
+                trim_end = (f + dl - 1) if outtail else (f - 1)
+            else:
+                trim_end = hi - 1    # newbuf fallback: end = buf_end
+                fallback = True
+        residue = (hi - 1) - trim_end + 1
+        clobbered = residue > OFFSET - MAXLINE
+        out.append(BlockBoundary(hi, trim_end, residue, fallback,
+                                 clobbered))
+        k += 1
+    return out
+
+
+def _last_delim_start(data, lo: int, hi: int, delim: bytes) -> int:
+    """Real coord of the last occurrence of delim fully inside
+    [lo, hi), or lo-1 if none (backward_delimiter, delim.c:77-100)."""
+    dl = len(delim)
+    chunk = np.asarray(data[lo:hi])
+    if dl == 0 or len(chunk) < dl:
+        return lo - 1
+    hitmask = chunk[:len(chunk) - dl + 1] == delim[0]
+    for j in range(1, dl):
+        hitmask &= chunk[j:len(chunk) - dl + 1 + j] == delim[j]
+    idx = np.flatnonzero(hitmask)
+    return lo + int(idx[-1]) if len(idx) else lo - 1
+
+
 def build_bm_tables(pat: bytes, tr: np.ndarray):
     """prep_bm (sgrep.c:1486-1525): SHIFT table + shift_1."""
     m = len(pat)
@@ -847,3 +932,403 @@ def agrep_candidates(buf: np.ndarray, start: int, end: int,
     # extends it in place (sgrep.c:1146-1150), and the rounds loop scans
     # round 0 too (sgrep.c:1166): keep it.
     return [(max(lo, 0), min(hi, n)) for (lo, hi) in cands]
+
+
+# ---------------------------------------------------------------------------
+# Exact block replay for the D==0 simple path (bm/monkey).
+#
+# The dense device scan models sgrep()'s block loop piecewise, which
+# breaks down when a block's residue exceeds the 1024-byte copy-back
+# headroom (the clamped strncpy at sgrep.c:464-468 silently drops the
+# rest of the residue) or a block has no qualifying delimiter at all
+# (records re-split at every read boundary, sgrep.c:389-399).  For
+# those corpora we simulate the reference's 35KB buffer byte-for-byte
+# -- fill_buf, trims, forced newlines, sentinel copy, clamped residue
+# copy -- and drive bm()/monkey()'s match->record logic (sgrep.c:
+# 694-1021 / 1541-1837) from a dense vectorized scan of each block.
+# Exact by construction; only routed when block_layout detects a
+# pathological boundary, so the device scan stays the hot path.
+#
+# Known divergence: bytes the C never wrote (malloc garbage at
+# buf[MAXLINE..OFFSET) before the first copy reaches them, heap bytes
+# past the allocation) are zero here; they can only matter if the
+# folded pattern matches garbage, which requires the pattern to
+# contain '\n' or NUL-adjacent bytes.
+# ---------------------------------------------------------------------------
+
+
+def build_monkey_tables(pat: bytes, tr: np.ndarray):
+    """m_preprocess (sgrep.c:2187-2214): 2-char-hash SHIFT_2 table."""
+    m = len(pat)
+    shift2 = np.full(4096, m, dtype=np.int32)
+    for i in range(m - 1, 0, -1):
+        h = int(tr[pat[i]]) << 3
+        sel = shift2[h:h + 256] == m
+        shift2[h:h + 256][sel] = m - 1
+        h2 = h + int(tr[pat[i - 1]])
+        if shift2[h2] >= m - 1:
+            shift2[h2] = m - 1 - i
+    shift_1 = m - 1
+    for i in range(m - 2, -1, -1):
+        if tr[pat[i]] == tr[pat[m - 1]]:
+            shift_1 = m - 1 - i
+            break
+    if shift_1 == 0:
+        shift_1 = 1
+    shift2[0] = 0
+    return shift2, shift_1
+
+
+def _sgrep_tr() -> np.ndarray:
+    """char_tr (sgrep.c:216-236): unconditional ASCII case fold (the
+    if(NOUPPER) guard is commented out in this build)."""
+    tr = np.arange(256, dtype=np.uint8)
+    for c in range(ord("A"), ord("Z") + 1):
+        tr[c] = c + 32
+    return tr
+
+
+def _folded_ends(buf: np.ndarray, lo: int, hi: int,
+                 patf: np.ndarray) -> np.ndarray:
+    """Match-END positions p in [lo, hi) with tr-folded
+    buf[p-m+1..p] == folded pattern."""
+    m = len(patf)
+    if hi <= lo or lo - m + 1 < 0:
+        lo = max(lo, m - 1)
+        if hi <= lo:
+            return np.empty(0, dtype=np.int64)
+    seg = buf[lo - m + 1:hi]
+    k = len(seg) - m + 1
+    if k <= 0:
+        return np.empty(0, dtype=np.int64)
+    hit = np.ones(k, dtype=bool)
+    for j in range(m):
+        hit &= seg[j:j + k] == patf[j]
+    return np.flatnonzero(hit).astype(np.int64) + lo
+
+
+def _bwd_delim(buf, e, b, dp: bytes, outtail: bool) -> int:
+    """backward_delimiter (delim.c:75-100) over the buffer: search
+    [b, e) for the last delim occurrence."""
+    dl = len(dp)
+    if e - dl < b:
+        return b
+    if dl == 1 and dp == b"\n":
+        e -= 1
+        while e > b and buf[e] != 0x0A:
+            e -= 1
+        if outtail and buf[e] == 0x0A:
+            e += 1
+        return e
+    d0 = dp[0]
+    cb = e - dl
+    while cb >= b:
+        if buf[cb] == d0 and bytes(bytearray(buf[cb:cb + dl])) == dp:
+            return cb + dl if outtail else cb
+        cb -= 1
+    return b
+
+
+def _fwd_delim(buf, b, e, dp: bytes, outtail: bool) -> int:
+    """forward_delimiter (delim.c:50-71): search [b, e) forward."""
+    dl = len(dp)
+    if b + dl > e:
+        return e + 1
+    if dl == 1 and dp == b"\n":
+        b += 1
+        while b < e and buf[b] != 0x0A:
+            b += 1
+        if outtail and buf[b] == 0x0A:
+            b += 1
+        return b
+    d0 = dp[0]
+    cb = b
+    while cb + dl <= e:
+        if buf[cb] == d0 and bytes(bytearray(buf[cb:cb + dl])) == dp:
+            return cb + dl if outtail else cb
+        cb += 1
+    return e + 1
+
+
+def _walk_survives(buf, start, end, pat, tr, sub, wordbound,
+                   resumes) -> bool:
+    """Walk the skip loop of bm() (sgrep.c:723-748) or monkey()
+    (:1563-1586) over one block and report whether the INVERSE tail
+    print is reached (True) or the function early-returns on a full
+    match past textend (False).
+
+    bm advances by shift_1 after a failed candidate and re-enters the
+    skip loop with the shift of the jump target; monkey advances one
+    byte (CONT: text++, sgrep.c:1801) and recomputes its 2-char hash
+    at the loop top."""
+    m = len(pat)
+    patf = [int(tr[b]) for b in pat]
+    blen = len(buf)
+    textend = end
+    ridx = 0
+    if sub == "bm":
+        shift_tab, shift_1 = build_bm_tables(pat, tr)
+        text = start
+        sh = 0
+    else:
+        shift2, _ = build_monkey_tables(pat, tr)
+        text = start + m - 1
+    guard_max = 4 * (end - start + m + MAXPATT + 128)
+    guard = 0
+    while text < textend:
+        if sub == "bm":
+            while sh:
+                text += sh
+                if text >= blen:
+                    return False
+                sh = int(shift_tab[buf[text]])
+                guard += 1
+                if guard > guard_max:
+                    return False
+        else:
+            if text >= blen or text - 1 < 0:
+                return False
+            h = (int(tr[buf[text]]) << 3) + int(tr[buf[text - 1]])
+            sh = int(shift2[h])
+            while sh:
+                text += sh
+                if text >= blen:
+                    return False
+                h = (int(tr[buf[text]]) << 3) + int(tr[buf[text - 1]])
+                sh = int(shift2[h])
+                guard += 1
+                if guard > guard_max:
+                    return False
+        j = 0
+        while j < m and text - j >= 0 and \
+                int(tr[buf[text - j]]) == patf[m - 1 - j]:
+            j += 1
+        if j == m:
+            if text > textend:
+                return False          # sgrep.c:748 early return
+            if wordbound and (_isalnum_b(buf[text + 1])
+                              or (text - m >= 0
+                                  and _isalnum_b(buf[text - m]))):
+                if sub == "bm":
+                    sh = 1
+                else:
+                    text += 1
+                continue
+            while ridx < len(resumes) and resumes[ridx] <= text:
+                ridx += 1
+            if ridx < len(resumes):
+                text = resumes[ridx]
+            else:
+                t = text + 1
+                while t < textend and buf[t] != 0x0A:
+                    t += 1
+                text = t + 1
+            if sub == "bm":
+                sh = int(shift_tab[buf[text]]) if text < blen else 1
+        else:
+            if sub == "bm":
+                sh = shift_1
+            else:
+                text += 1
+    return True
+
+
+def _isalnum_b(b: int) -> bool:
+    return (48 <= b <= 57) or (65 <= b <= 90) or (97 <= b <= 122)
+
+
+def sgrep_block_replay(read, n: int, q, sink, resume=None):
+    """Byte-exact replay of sgrep()'s fd-mode block loop for D==0
+    bm/monkey (sgrep.c:325-550).
+
+    read(lo, hi) -> np.uint8 array of file bytes [lo, hi); n = file
+    size.  Matches per block come from a dense vectorized scan; the
+    match->record logic is a sparse transliteration of bm()/monkey().
+    All output goes through `sink`, counts through sink.num_matched.
+
+    resume: None to replay from the file start, or (trim, rb) to take
+    over mid-file after a clean prefix: every block boundary before
+    file offset rb was non-pathological, block k-1's scan ended at the
+    delimiter/newline at real offset `trim`, and the next fill_buf
+    read starts at rb (a 2*BLOCKSIZE multiple).  The carried state is
+    reconstructed arithmetically (CurrentByteOffset == trim+1 while
+    history is clean).  Invalid if the pattern contains a newline
+    (reconstructed stale bytes below the copy region differ).
+
+    Returns 'fname' if FILENAMEONLY printed (caller stops the file),
+    'stop' on an output limit, else None.
+    """
+    o = q.opts
+    pat = q.sg_pattern
+    m = len(pat)
+    sub = q.sg_sub
+    tr = _sgrep_tr()
+    patf = tr[np.frombuffer(pat, dtype=np.uint8)]
+    delim = q.delim if q.delimiter_opt else None
+    dp = bytes(delim) if delim is not None else None
+    dl = len(dp) if dp is not None else 0
+    outtail = bool(q.outtail)
+    B2 = 2 * BLOCKSIZE
+    buflen = B2 + 2 * MAXLINE + MAXPATT
+    buf = np.zeros(buflen + MAXPATT + 8, dtype=np.uint8)
+    buf[OFFSET - 1] = 0x0A
+    start = OFFSET
+    cbo = 0
+    if o.wholeline:
+        start -= 1
+        cbo -= 1
+    first_time = True
+    fpos = 0
+    residue = 0
+
+    if resume is not None:
+        trim, rb = resume
+        residue = rb - trim
+        carry = read(trim, rb)
+        s2 = OFFSET - residue
+        if s2 < MAXLINE:
+            s2 = MAXLINE
+        buf[s2:s2 + residue] = carry[:min(residue, len(buf) - s2)]
+        start = s2 + 1
+        cbo = trim + 1
+        fpos = rb
+        first_time = False
+        if n >= B2 and m > 0:
+            # the emergency-stop pattern copy written after the first
+            # (full) block persists past every later read (sgrep.c:382)
+            buf[OFFSET + B2:OFFSET + B2 + m] = pat[-1]
+
+    while fpos < n:
+        num_read = min(B2, n - fpos)
+        buf[OFFSET:OFFSET + num_read] = read(fpos, fpos + num_read)
+        fpos += num_read
+        buf_end = end = OFFSET + num_read - 1
+        oldcbo = cbo
+        if first_time:
+            if m > 0:
+                buf[end + 1:end + 1 + m] = pat[-1]
+            first_time = False
+        if delim is None:
+            if num_read == B2:
+                seg = buf[OFFSET:end + 1]
+                nls = np.flatnonzero(seg == 0x0A)
+                end = OFFSET + int(nls[-1]) if len(nls) else OFFSET
+            buf[start - 1] = 0x0A
+        else:
+            nb = _bwd_delim(buf, end + 1, OFFSET, dp, outtail)
+            if nb < OFFSET + dl:
+                nb = end + 1
+            end = nb - 1
+            buf[start - dl:start] = np.frombuffer(dp, dtype=np.uint8)
+        residue = buf_end - end + 1
+        rc = _replay_scan(buf, start, end, oldcbo, q, sink, sub, patf,
+                          tr, dp, outtail)
+        if rc is not None:
+            return rc
+        cbo = oldcbo + end - start + 1
+        s2 = OFFSET - residue
+        if s2 < MAXLINE:
+            s2 = MAXLINE
+        buf[s2:s2 + residue] = buf[end:end + residue].copy()
+        start = s2 + 1
+        if _replay_limits(o, sink):
+            return 'stop'
+
+    # EOF residue rescan from the intact copy (sgrep.c:478-547)
+    if delim is None:
+        buf[start - 1] = 0x0A
+        buf[start + residue] = 0x0A
+    else:
+        dpa = np.frombuffer(dp, dtype=np.uint8)
+        if start > dl:
+            buf[start - dl:start] = dpa
+        buf[start + residue:start + residue + dl] = dpa
+    end = start + residue - 2
+    if residue > 1:
+        rc = _replay_scan(buf, start, end, cbo, q, sink, sub, patf,
+                          tr, dp, outtail)
+        if rc is not None:
+            return rc
+    return None
+
+
+def _replay_limits(o, sink) -> bool:
+    if o.limit_output > 0 and sink.num_matched >= o.limit_output:
+        return True
+    if o.limit_per_file > 0 and \
+            (sink.num_matched - sink.prev_num_matched) >= o.limit_per_file:
+        return True
+    return False
+
+
+def _replay_scan(buf, start, end, cbo0, q, sink, sub, patf, tr, dp,
+                 outtail):
+    """One bm()/monkey() call (sgrep.c:694-1021 / 1541-1837) over
+    buf[start..end], driven by dense match events."""
+    from .output import output_sgrep_record
+    o = q.opts
+    pat = q.sg_pattern
+    m = len(pat)
+    textend = end
+    if end <= start:
+        ev = np.empty(0, dtype=np.int64)
+    else:
+        ev = _folded_ends(buf, start, end + 1, patf)
+        if sub == "monkey":
+            ev = ev[ev >= start + m - 1]
+    textbegin = start
+    lastout = start
+    text = start
+    resumes = []
+    for p in ev:
+        p = int(p)
+        if p < text:
+            continue
+        if o.wordbound and (_isalnum_b(int(buf[p + 1]))
+                            or (p - m >= 0
+                                and _isalnum_b(int(buf[p - m])))):
+            continue
+        if dp is None:
+            ctb = p
+            while ctb > textbegin and buf[ctb - 1] != 0x0A:
+                ctb -= 1
+            if ctb > textbegin and buf[ctb - 1] == 0x0A:
+                pass                       # ctb just past the newline
+            elif ctb == textbegin and buf[ctb] == 0x0A:
+                ctb += 1
+            cte = p + 1
+            while cte < textend and buf[cte] != 0x0A:
+                cte += 1
+            if buf[cte] == 0x0A:
+                cte += 1
+            if sub == "bm" and cte >= textend:
+                # EOF adjustment (sgrep.c:786-789); the appended
+                # newline lands on the first residue byte and persists
+                cte = textend + 1
+                if buf[cte - 1] != 0x0A:
+                    buf[cte] = 0x0A
+                    cte += 1
+        else:
+            ctb = _bwd_delim(buf, p, textbegin, dp, outtail)
+            cte = _fwd_delim(buf, p + 1, textend, dp, outtail)
+        textbegin = cte
+        sink.num_matched += 1
+        if o.filename_only:
+            return 'fname'
+        if not o.count:
+            if not o.invert:
+                output_sgrep_record(sink, buf, ctb, cte,
+                                    cbo0 + (p - start), p)
+            else:
+                sink.write(bytes(bytearray(buf[lastout:ctb])))
+                lastout = cte
+        text = cte
+        resumes.append(cte)
+        if _replay_limits(o, sink):
+            return 'stop'
+    if o.invert and not o.count:
+        if _walk_survives(buf, start, end, pat, tr, sub,
+                          bool(o.wordbound), resumes) \
+                and lastout <= textend:
+            sink.write(bytes(bytearray(buf[lastout:textend + 1])))
+    return None
