@@ -48,6 +48,10 @@ class Query:
             self.opts = Options(**kwargs)
             self.pattern = pattern
             self.files = []
+        # the pattern-file error trailer names the first input file
+        # (agrep.c:2858 prints post-parse argv[0])
+        if self.files:
+            self.opts.pat_errfile_hint = self.files[0]
         # checksg/preprocess/maskgen run BEFORE exec's compat() in the
         # reference (agrep.c:3169-3226 vs :3342): engine selection sees
         # the PRE-compat flags (-c -n still counts as LINENUM for the

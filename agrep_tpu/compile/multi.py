@@ -12,11 +12,18 @@ fall back to the host matcher.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
 WORD = 32
+
+# prepf limits (newmgrep.c:48-56)
+MAXHASH = 32768
+MASK5 = 32767
+HBITS = 5
+MAXPATFILE = 600000
+MAX_NUM = 40000
 
 
 @dataclass
@@ -113,3 +120,144 @@ def _build_group(ids: list[int], terms: list[bytes],
     )
     return TermGroup(mask=mask, consts=consts, term_ids=list(ids),
                      term_bits=term_bits, term_lens=term_lens)
+
+
+# ---------------------------------------------------------------------
+# One-pass q-gram filter (the scalable many-pattern path)
+# ---------------------------------------------------------------------
+#
+# The reference handles up to 40,000 patterns in ONE corpus pass with a
+# hashed Boyer-Moore skip table (newmgrep.c:1725-1851 f_prep/f_prep1:
+# SHIFT1 over 2/3-char tr1-folded grams of each pattern's p_size-char
+# prefix, HASH buckets for candidate verification).  Skipping is a
+# scalar-CPU idiom; the TPU-native equivalent keeps the *filter*
+# structure but evaluates it densely: one vectorized pass computes the
+# gram hash at every anchor position and tests membership in the set of
+# pattern-tail hashes; only member positions reach the (sparse,
+# per-bucket) exact verify.  Soundness: an occurrence of term t at
+# start s implies tr-equality on its first p_size bytes, hence
+# tr1-equality of the anchor gram, hence membership -- the filter is a
+# strict superset of true matches and the verify makes it exact.
+
+
+@dataclass
+class QgramTables:
+    p_size: int
+    long_: int                 # LONG (3-char gram), newmgrep.c:355
+    short: bool                # SHORT (p_size == 1), newmgrep.c:356
+    member: np.ndarray         # bool[MAXHASH] (or [256] when short)
+    buckets: dict = field(default_factory=dict)   # hash -> [term ids]
+    hash_id: np.ndarray = None  # int32[len(member)]: dense bucket index
+    bucket_list: list = None    # bucket index -> np.ndarray term ids
+
+
+def _term_hash(tb: np.ndarray, p_size: int, long_: int, short: bool,
+               tr: np.ndarray, tr1: np.ndarray) -> int:
+    if short:
+        return int(tr[tb[0]])
+    j = p_size - 1
+    h = int(tr1[tb[j]])
+    h = (h << HBITS) + int(tr1[tb[j - 1]])
+    if long_:
+        h = (h << HBITS) + int(tr1[tb[j - 2]])
+    return h & MASK5
+
+
+def build_qgram_tables(terms: list[bytes], tr: np.ndarray) -> QgramTables:
+    """prepf's filter tables, dense-membership form (newmgrep.c:192-375)."""
+    nz = [(i, t) for i, t in enumerate(terms) if t]
+    p_size = min(len(t) for _, t in nz)
+    multilen = sum(len(t) + 1 for _, t in nz)
+    long_ = 1 if (multilen > 400 and p_size > 2) else 0
+    short = p_size == 1
+    tr1 = (tr.astype(np.int64) & 31)
+    buckets: dict = {}
+    for i, t in nz:
+        tb = np.frombuffer(t, dtype=np.uint8)
+        h = _term_hash(tb, p_size, long_, short, tr, tr1)
+        buckets.setdefault(h, []).append(i)
+    size = 256 if short else MAXHASH
+    member = np.zeros(size, dtype=bool)
+    hash_id = np.full(size, -1, dtype=np.int32)
+    bucket_list = []
+    for h in sorted(buckets):
+        member[h] = True
+        hash_id[h] = len(bucket_list)
+        bucket_list.append(np.asarray(buckets[h], dtype=np.int64))
+    return QgramTables(p_size=p_size, long_=long_, short=short,
+                       member=member, buckets=buckets, hash_id=hash_id,
+                       bucket_list=bucket_list)
+
+
+def qgram_hashes(stream: np.ndarray, tb: QgramTables,
+                 tr: np.ndarray) -> np.ndarray:
+    """Hash at every anchor a in [p_size-1, n-1]; index i = a-(p_size-1)."""
+    n = len(stream)
+    p = tb.p_size
+    if n < p:
+        return np.zeros(0, dtype=np.int64)
+    if tb.short:
+        return tr.astype(np.int64)[stream]
+    f1 = (tr.astype(np.int64)[stream] & 31)
+    h = (f1[p - 1:] << HBITS) + f1[p - 2:n - 1]
+    if tb.long_:
+        h = (h << HBITS) + f1[p - 3:n - 2]
+        h &= MASK5
+    return h
+
+
+def qgram_occurrences(stream: np.ndarray, terms: list[bytes],
+                      tr: np.ndarray, tb: QgramTables,
+                      cand_anchor_rel: np.ndarray | None = None) -> dict:
+    """Exact start positions per term id, ONE pass over the stream.
+
+    cand_anchor_rel: optional precomputed candidate indices (relative
+    anchor positions, e.g. from the device filter kernel); when None
+    the vectorized host filter runs here."""
+    n = len(stream)
+    occ = {i: np.zeros(0, dtype=np.int64) for i in range(len(terms))}
+    p = tb.p_size
+    if n < p:
+        return occ
+    h = qgram_hashes(stream, tb, tr)
+    if cand_anchor_rel is None:
+        cand = np.flatnonzero(tb.member[h])
+    else:
+        cand = cand_anchor_rel
+    if not len(cand):
+        return occ
+    folded = tr[stream]
+    # group candidates by bucket: stable sort keeps anchors ascending
+    bid = tb.hash_id[h[cand]]
+    order = np.argsort(bid, kind="stable")
+    bid_s = bid[order]
+    cand_s = cand[order]
+    edges = np.flatnonzero(np.diff(bid_s)) + 1
+    group_starts = np.concatenate([[0], edges, [len(bid_s)]])
+    for gi in range(len(group_starts) - 1):
+        lo, hi = group_starts[gi], group_starts[gi + 1]
+        if lo == hi:
+            continue
+        b = int(bid_s[lo])
+        # hash index i maps to anchor a = i + p - 1, and the match
+        # start is a - (p - 1) = i (for short, a == i == start)
+        starts_all = cand_s[lo:hi]
+        # verify each DISTINCT byte string once; duplicate pattern
+        # lines share the result.  Progressive filtering: each char
+        # test shrinks the candidate set before the next gather.
+        distinct: dict = {}
+        for tid in tb.bucket_list[b]:
+            distinct.setdefault(terms[tid], []).append(int(tid))
+        for t, tids in distinct.items():
+            L = len(t)
+            s = starts_all
+            if starts_all[-1] + L > n:
+                s = s[s + L <= n]
+            tf = tr[np.frombuffer(t, dtype=np.uint8)]
+            for k in range(L):
+                if not len(s):
+                    break
+                s = s[folded[s + k] == tf[k]]
+            for tid in tids:
+                occ[tid] = s
+    return occ

@@ -256,12 +256,65 @@ def _compile_regex(pattern, rw, opts, lut) -> CompiledQuery:
 
 
 def _compile_multi(pattern, opts, lut) -> CompiledQuery:
+    from . import multi as multi_mod
+
+    cap = (multi_mod.MAXPATFILE + 2 * multi_mod.MAX_NUM) // 2
+
+    def _file_err(first_line: str):
+        # prepf failure flow (newmgrep.c:215-232 + agrep.c:2855-2862):
+        # prepf's own stderr line, then agrep_init's trailer naming the
+        # first remaining argv entry (the first input file, or the
+        # pattern file itself when no files follow)
+        hint = getattr(opts, "pat_errfile_hint", None) or opts.pat_file
+        raise AgrepError("%s\n%s: error in processing pattern file: %s"
+                         % (first_line, PROGNAME, hint))
+
     if opts.pat_file is not None:
+        import os
+        import stat as statmod
+        try:
+            st = os.stat(opts.pat_file)
+        except OSError:
+            _file_err("%s: cannot stat file: %s"
+                      % (PROGNAME, opts.pat_file))
+        if not statmod.S_ISREG(st.st_mode):
+            _file_err("%s: pattern file not regular file: %s"
+                      % (PROGNAME, opts.pat_file))
+        if st.st_size * 2 > multi_mod.MAXPATFILE + 2 * multi_mod.MAX_NUM:
+            _file_err("%s: pattern file too large (> %d B): %s"
+                      % (PROGNAME, cap, opts.pat_file))
         with open(opts.pat_file, "rb") as f:
             raw = f.read()
-        terms = [t.decode("latin-1") for t in raw.split(b"\n") if t]
+        segs = raw.split(b"\n")
+        if not segs[-1]:
+            segs = segs[:-1]   # prepf appends the final '\n' itself
+        # interior empty lines DO consume pattern slots (observable in
+        # -P indices; prepf's split loop, newmgrep.c:276-281)
+        terms = [t.decode("latin-1") for t in segs]
+        if len(terms) + 1 > multi_mod.MAX_NUM:
+            # newmgrep.c:284-293 as WRITTEN; the compiled reference
+            # UB-optimizes this check away (gcc deduces p < max_num
+            # from the patt[p] OOB write) and corrupts memory past
+            # 40,000 patterns -- we keep the intended diagnostic
+            # (documented divergence, docs/CONFORMANCE.md)
+            _file_err("%s: maximum number of patterns is %d"
+                      % (PROGNAME, multi_mod.MAX_NUM))
     else:
-        terms = [t for t in opts.pat_buffer.split("\n") if t]
+        braw = opts.pat_buffer.encode("latin-1")
+        if len(braw) * 2 > multi_mod.MAXPATFILE + 2 * multi_mod.MAX_NUM:
+            raise AgrepError(
+                "%s: pattern buffer too large (> %d B)\n"
+                "%s: error in processing pattern buffer"
+                % (PROGNAME, cap, PROGNAME))
+        segs = braw.split(b"\n")
+        if segs and not segs[-1]:
+            segs = segs[:-1]
+        terms = [t.decode("latin-1") for t in segs]
+        if len(terms) + 1 > multi_mod.MAX_NUM:
+            raise AgrepError(
+                "%s: maximum number of patterns is %d\n"
+                "%s: error in processing pattern buffer"
+                % (PROGNAME, multi_mod.MAX_NUM, PROGNAME))
     q = CompiledQuery(
         opts=opts, pattern=pattern or "", engine_class="mgrep", D=opts.D,
         lut=lut, terminals=terms, bool_tree=None, bool_op="or")

@@ -1050,6 +1050,7 @@ class Executor:
                       file=sys.stderr)
                 continue
             bytes_scanned += len(data)
+            tl0 = getattr(self.engine, "total_line", 0)
             if (size > stream_min
                     and hasattr(self.engine, "supports_streaming")
                     and self.engine.supports_streaming()):
@@ -1061,6 +1062,12 @@ class Executor:
                 nomatch = False
                 sink.files_matched += 1
             if o.count and not o.fileout:
+                if o.invert and q.engine_class == "mgrep":
+                    # INVERSE multi-pattern counts LINES not matched:
+                    # total_line - (num_of_matched - prev) --
+                    # agrep.c:3445-3486, countline newmgrep.c:518,694
+                    nfile = (getattr(self.engine, "total_line", 0)
+                             - tl0 - nfile)
                 self._emit_count_line(nfile)
             if o.fileout and nfile:
                 self._file_out(path)
@@ -1087,9 +1094,13 @@ class Executor:
     def run_buffer(self, data: np.ndarray) -> int:
         q, o, sink = self.q, self.q.opts, self.sink
         sink.fname = o.always_filename
+        tl0 = getattr(self.engine, "total_line", 0)
         self.engine.search_stream(data, sink, q.D, memory_mode=True)
         nfile = sink.num_matched - sink.prev_num_matched
         if o.count:
+            if o.invert and q.engine_class == "mgrep":
+                nfile = (getattr(self.engine, "total_line", 0)
+                         - tl0 - nfile)
             self._emit_count_line(nfile)
         sink.finish()
         return sink.num_matched

@@ -16,6 +16,7 @@ numpy compares.
 
 from __future__ import annotations
 
+import bisect as _bisect
 import sys
 
 import numpy as np
@@ -25,6 +26,11 @@ from ..options import AgrepError, PROGNAME
 from .output import Sink
 
 MAXLINE = 1024
+
+# Term count at which occurrence-finding switches to the one-pass
+# q-gram filter (below it, packed word groups need few enough passes
+# that the exact no-verify device scan wins).
+ONE_PASS_MIN = 24
 
 
 def _fold_tr(nocase: bool) -> np.ndarray:
@@ -91,14 +97,28 @@ class MgrepEngine:
         self.p_size = min(len(t) for t in self.terms if t)
         self.tr = _fold_tr(o.nocase is not None)
         self.total_line = 0
+        self._qgram_tables = None
 
     def _all_occurrences(self, stream: np.ndarray) -> dict:
-        """Start positions per term.  Large scans use the packed
-        bit-parallel machine (compile/multi.py): all terms of a word
-        group are matched in ONE dense device pass; the reference's
-        hashed skip loop (newmgrep.c SHIFT1) has no TPU analog worth
-        keeping.  Small scans / oversized terms use the native host
-        matcher."""
+        """Start positions per term.
+
+        Three strategies by term count (newmgrep.c handles all sizes
+        with ONE hashed skip loop; dense TPU scanning splits by shape):
+        * many terms (>= ONE_PASS_MIN live): the one-pass q-gram
+          member filter + sparse bucket verify (compile/multi.py
+          qgram_occurrences) -- one corpus pass regardless of pattern
+          count, the rebuild of SHIFT1/HASH (newmgrep.c:1725-1851);
+        * few terms, large scan: packed bit-parallel word groups, one
+          dense device pass per <=31-position group;
+        * few terms, small scan: vectorized per-term host compares."""
+        n_live = sum(1 for t in self.terms if t)
+        if n_live >= ONE_PASS_MIN:
+            from ..compile import multi as multi_mod
+            if self._qgram_tables is None:
+                self._qgram_tables = multi_mod.build_qgram_tables(
+                    self.terms, self.tr)
+            return multi_mod.qgram_occurrences(
+                stream, self.terms, self.tr, self._qgram_tables)
         occ = {}
         use_device = len(stream) >= (1 << 16)
         groups, leftover = ([], None)
@@ -181,46 +201,79 @@ class MgrepEngine:
             occ = {k: v - dl for k, v in occ.items()}
         else:
             occ = self._all_occurrences(stream)
-        anchors = []
+        # ---- vectorized occurrence table: (anchor, idx, s, tl) columns
+        # sorted by (anchor, idx) -- the per-occurrence tuple loop this
+        # replaces dominated wall time past ~10^5 occurrences
+        isaln = _ISALNUM_TAB
+        a_parts, i_parts, s_parts = [], [], []
+        term_len = np.asarray([len(t) for t in self.terms],
+                              dtype=np.int64)
         for idx, t in enumerate(self.terms):
             if not t:
                 continue
-            starts = occ[idx]
+            starts = np.asarray(occ[idx], dtype=np.int64)
+            if not len(starts):
+                continue
             if o.wordbound:
-                keep = []
-                for s in starts:
-                    s = int(s)
-                    after = int(stream[s + len(t)]) if s + len(t) < N else 0
-                    if s - 1 >= 0:
-                        before = int(stream[s - 1])
-                    elif q.delimiter_opt and dl + (s - 1) >= 0:
-                        before = q.delim[dl + (s - 1)]
-                    else:
-                        before = 0
-                    if not _isalnum(after) and not _isalnum(before):
-                        keep.append(s)
-                starts = np.asarray(keep, dtype=np.int64)
-            for s in starts:
-                s = int(s)
-                anchor = s + m1
-                if anchor < m1 - 1 or s < -dl:
-                    continue       # before the first scanned position
-                if q.delimiter_opt and not memory_mode and delim_marks:
-                    # each scan region's buffer holds data[b_prev..]
-                    # preceded by the memcpy'd delimiter (the residue
-                    # copy truncates backward context): a hit whose
-                    # start precedes its region's lower boundary
-                    # survives only if the missing prefix coincides
-                    # with the delimiter tail
-                    import bisect
-                    ki = bisect.bisect_left(delim_marks, anchor)
-                    lb = delim_marks[ki - 1] if ki > 0 else None
-                    if lb is not None and s < lb:
-                        k = lb - s
+                ap = starts + len(t)
+                after = np.where(ap < N, stream[np.minimum(ap, N - 1)], 0)
+                bp = starts - 1
+                before = np.where(bp >= 0,
+                                  stream[np.maximum(bp, 0)], 0)
+                if q.delimiter_opt:
+                    dref = np.frombuffer(q.delim, dtype=np.uint8)
+                    neg = (bp < 0) & (dl + bp >= 0)
+                    if neg.any():
+                        before = before.copy()
+                        before[neg] = dref[(dl + bp)[neg]]
+                keep = ~isaln[after] & ~isaln[before]
+                starts = starts[keep]
+                if not len(starts):
+                    continue
+            anchor = starts + m1
+            ok = (anchor >= m1 - 1) & (starts >= -dl)
+            starts = starts[ok]
+            anchor = anchor[ok]
+            if q.delimiter_opt and not memory_mode and delim_marks \
+                    and len(starts):
+                # each scan region's buffer holds data[b_prev..]
+                # preceded by the memcpy'd delimiter (the residue copy
+                # truncates backward context): a hit whose start
+                # precedes its region's lower boundary survives only
+                # if the missing prefix coincides with the delimiter
+                # tail
+                dm = np.asarray(delim_marks, dtype=np.int64)
+                ki = np.searchsorted(dm, anchor, side="left")
+                lb = np.where(ki > 0, dm[np.maximum(ki - 1, 0)],
+                              np.int64(-1) << 40)
+                kk = lb - starts
+                bad = kk > 0
+                if bad.any():
+                    sel = np.flatnonzero(bad)
+                    keep2 = np.ones(len(starts), dtype=bool)
+                    for ii in sel:
+                        k = int(kk[ii])
                         if k > dl or t[:k] != q.delim[dl - k:]:
-                            continue
-                anchors.append((anchor, idx, s, len(t)))
-        anchors.sort()
+                            keep2[ii] = False
+                    starts = starts[keep2]
+                    anchor = anchor[keep2]
+            if len(starts):
+                a_parts.append(anchor)
+                i_parts.append(np.full(len(starts), idx, dtype=np.int64))
+                s_parts.append(starts)
+        if a_parts:
+            occ_a = np.concatenate(a_parts)
+            occ_i = np.concatenate(i_parts)
+            occ_s = np.concatenate(s_parts)
+            # same anchor == same match start; the bucket is probed in
+            # DESCENDING pattern-index order (f_prep1 fills slots
+            # top-down, newmgrep.c:1783-1813), so the highest index
+            # wins the -P decoration and the AND trigger
+            order = np.lexsort((-occ_i, occ_a))
+            occ_a, occ_i, occ_s = occ_a[order], occ_i[order], occ_s[order]
+        else:
+            occ_a = occ_i = occ_s = np.zeros(0, dtype=np.int64)
+        n_occ = len(occ_a)
 
         nl = np.flatnonzero(stream == 0x0A)
         delim_ends = _find_delims_arr(stream, q.delim) \
@@ -272,10 +325,8 @@ class MgrepEngine:
                 if cbo_override is not None:
                     cbo = cbo_override
                 else:
-                    drift = 0
-                    for mk in cbo_marks:
-                        if mk + base < anchor - m1 + 1:
-                            drift += 1
+                    drift = _bisect.bisect_left(
+                        cbo_marks, anchor - m1 + 1 - base)
                     cbo = anchor - base - m1 + 1 + short_drift[0] + drift
                 if o.bytecount:
                     sink.write_str("%d= " % cbo)
@@ -325,7 +376,6 @@ class MgrepEngine:
                 and trim_end is not None:
             final_end += 1          # one appended delim byte (:576)
 
-        import bisect as _bisect
         r_cur = 0
 
         def _region_start(i):
@@ -373,10 +423,15 @@ class MgrepEngine:
             # HASH slots top-down); one entry processed per candidate
             # (the hit path goto-exits the bucket loop)
             occ_first = {}
-            for (a_, i_, s_, l_) in anchors:
-                cur = occ_first.get(a_)
-                if cur is None or i_ > cur[0]:
-                    occ_first[a_] = (i_, s_, l_)
+            if n_occ:
+                # sorted by (anchor, -idx): the FIRST row per anchor
+                # carries the max pattern index
+                first = np.flatnonzero(np.concatenate(
+                    [[True], occ_a[1:] != occ_a[:-1]]))
+                for j in first:
+                    occ_first[int(occ_a[j])] = (
+                        int(occ_i[j]), int(occ_s[j]),
+                        int(term_len[occ_i[j]]))
             nz_terms = np.asarray([bool(t) for t in self.terms])
             # hash context: the bytes before each scan start are the
             # memcpy'd delimiter (newmgrep.c:511)
@@ -531,44 +586,76 @@ class MgrepEngine:
                             stream[lastout:final_end])))
             return
 
+        # ---- per-record walks over the sorted occurrence table.
+        # Semantics identical to the reference's sequential scan, but
+        # iteration count is O(matched records), not O(occurrences):
+        # record-group boundaries come from searchsorted jumps.
         stop = False
-        for (anchor, idx, s, tl) in anchors:
-            if stop:
-                break
-            if anchor < resume_at:
-                continue
-            if in_record and anchor >= cur_end:
-                # crossed the record boundary: flush complex verdict
+        if o.multi_output and not (is_and or is_complex):
+            # MULTI_OUTPUT: per-occurrence resume (rare; glimpse flag)
+            pos = 0
+            while pos < n_occ and not stop:
+                anchor = int(occ_a[pos])
+                s = int(occ_s[pos])
+                idx = int(occ_i[pos])
+                tl = int(term_len[idx])
+                if anchor < resume_at:
+                    pos += 1
+                    continue
+                cur_begin, cur_end = record_span(anchor, s, tl)
+                stop = do_output(idx, anchor, cur_begin, cur_end, True)
+                resume_at = s + tl - 1
+                pos += 1
+        elif not (is_and or is_complex):
+            # flat OR: first hit per record, then jump past the record
+            pos = 0
+            while pos < n_occ and not stop:
+                anchor = int(occ_a[pos])
+                idx = int(occ_i[pos])
+                cur_begin, cur_end = record_span(
+                    anchor, int(occ_s[pos]), int(term_len[idx]))
+                stop = do_output(idx, anchor, cur_begin, cur_end, True)
+                if self.p_size == 1:
+                    short_drift[0] += 1
+                pos = max(int(np.searchsorted(occ_a, cur_end,
+                                              side="left")), pos + 1)
+        else:
+            # AND / complex tree: group occurrences into records (the
+            # crossing test `anchor >= cur_end` == searchsorted jump),
+            # accumulate per-record terminal hits, then evaluate
+            pos = 0
+            while pos < n_occ and not stop:
+                anchor = int(occ_a[pos])
+                cur_anchor = anchor
+                cur_begin, cur_end = record_span(
+                    anchor, int(occ_s[pos]), int(term_len[occ_i[pos]]))
+                g_end = max(int(np.searchsorted(occ_a, cur_end,
+                                                side="left")), pos + 1)
+                g_idx = occ_i[pos:g_end]
                 if is_complex:
+                    matched_terms[:] = False
+                    matched_terms[g_idx] = True
                     hits = matched_terms[None, :]
                     if boolean.eval_tree_vec(q.bool_tree, "or", hits)[0]:
-                        stop = do_output(0, cur_anchor, cur_begin, cur_end,
-                                         False)
-                in_record = False
-                matched_terms[:] = False
-            if not in_record:
-                cur_begin, cur_end = record_span(anchor, s, tl)
-                cur_anchor = anchor
-                in_record = True
-            matched_terms[idx] = True
-            if is_complex:
-                continue
-            if is_and and not matched_terms.all():
-                continue
-            stop = do_output(idx, anchor, cur_begin, cur_end, True)
-            if o.multi_output:
-                resume_at = s + tl - 1
-                continue
-            if self.p_size == 1:
-                short_drift[0] += 1
-            resume_at = cur_end
-            in_record = False
-            matched_terms[:] = False
-
-        if not stop and in_record and is_complex:
-            hits = matched_terms[None, :]
-            if boolean.eval_tree_vec(q.bool_tree, "or", hits)[0]:
-                do_output(0, cur_anchor, cur_begin, cur_end, False)
+                        stop = do_output(0, cur_anchor, cur_begin,
+                                         cur_end, False)
+                    pos = g_end
+                else:
+                    # AND: output at the first prefix position that
+                    # covers every terminal (the triggering entry's
+                    # idx/anchor feed the decorations)
+                    first_pos = np.full(n_terms, -1, dtype=np.int64)
+                    rel = np.arange(g_end - pos, dtype=np.int64)
+                    # reversed assignment keeps the FIRST entry per term
+                    first_pos[g_idx[::-1]] = rel[::-1]
+                    if (first_pos >= 0).all():
+                        tpos = pos + int(first_pos.max())
+                        stop = do_output(int(occ_i[tpos]),
+                                         int(occ_a[tpos]),
+                                         cur_begin, cur_end, True)
+                        if self.p_size == 1:
+                            short_drift[0] += 1
+                    pos = g_end
 
         if o.invert and not o.count and not stop:
             inv_advance(len(bounds))
@@ -578,6 +665,10 @@ class MgrepEngine:
 
 def _isalnum(b: int) -> bool:
     return (48 <= b <= 57) or (65 <= b <= 90) or (97 <= b <= 122)
+
+
+_ISALNUM_TAB = np.zeros(256, dtype=bool)
+_ISALNUM_TAB[48:58] = _ISALNUM_TAB[65:91] = _ISALNUM_TAB[97:123] = True
 
 
 def _find_delims_arr(stream: np.ndarray, delim: bytes) -> np.ndarray:

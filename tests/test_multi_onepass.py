@@ -1,0 +1,151 @@
+"""One-pass q-gram multi-pattern engine: equivalence + conformance.
+
+The scalable -f path (compile/multi.py build_qgram_tables /
+qgram_occurrences) rebuilds newmgrep.c's SHIFT1/HASH filter as a dense
+membership test + sparse bucket verify; these tests pin (a) exact
+equivalence with the per-term host matcher on random inputs across the
+SHORT/LONG/nocase table shapes, and (b) CLI conformance vs the oracle
+at 100+ patterns (VERDICT round-1 item #4).
+"""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+from agrep_tpu.compile.multi import (MAX_NUM, MAXPATFILE,
+                                     build_qgram_tables,
+                                     qgram_occurrences)
+from agrep_tpu.runtime.mgrep import _find_occurrences, _fold_tr
+
+from .oracle import compare, run_oracle, run_ours
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("nocase", [False, True])
+def test_qgram_equals_host_matcher(seed, nocase):
+    rng = np.random.default_rng(seed)
+    alpha = b"abcDeF \nxy"
+    n_terms = int(rng.integers(2, 40))
+    # seed-dependent min length exercises SHORT (p_size==1), the
+    # 2-gram (p_size==2), and LONG (3-gram) table shapes
+    min_len = int(rng.integers(1, 4))
+    terms = []
+    for _ in range(n_terms):
+        L = int(rng.integers(min_len, 12))
+        terms.append(bytes(alpha[i] for i in
+                           rng.integers(0, 6, L)))
+    terms.append(b"")          # empty slots consume indices only
+    stream = np.frombuffer(
+        bytes(alpha[i] for i in rng.integers(0, len(alpha), 8000)),
+        dtype=np.uint8).copy()
+    for t in terms[:6]:
+        if t:
+            off = int(rng.integers(0, len(stream) - len(t)))
+            stream[off:off + len(t)] = np.frombuffer(t, dtype=np.uint8)
+
+    tr = _fold_tr(nocase)
+    tb = build_qgram_tables(terms, tr)
+    got = qgram_occurrences(stream, terms, tr, tb)
+    for i, t in enumerate(terms):
+        want = (_find_occurrences(stream, t, tr) if t
+                else np.zeros(0, dtype=np.int64))
+        assert np.array_equal(got[i], want), (i, t)
+
+
+def _write_corpus(path, n_lines=4000, seed=7):
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "Theta", "iota", "kappa", "Lambda", "search", "pattern",
+             "match", "engine", "kernel", "device"]
+    rnd = random.Random(seed)
+    with open(path, "w") as f:
+        for _ in range(n_lines):
+            f.write(" ".join(rnd.choices(words,
+                                         k=rnd.randint(3, 9))) + "\n")
+    return words
+
+
+@pytest.fixture(scope="module")
+def corpus100(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mp100")
+    corpus = str(d / "corpus.txt")
+    words = _write_corpus(corpus)
+    rnd = random.Random(11)
+    pats = []
+    for i in range(100):
+        r = i % 3
+        if r == 0:
+            pats.append(rnd.choice(words))
+        elif r == 1:
+            pats.append("nosuch%03d" % i)
+        else:
+            pats.append(rnd.choice(words)[:3] + rnd.choice(words)[-3:])
+    patfile = str(d / "pats.txt")
+    open(patfile, "w").write("".join(p + "\n" for p in pats))
+    return corpus, patfile
+
+
+@pytest.mark.parametrize("flags", [
+    [], ["-c"], ["-n"], ["-b"], ["-i"], ["-w"], ["-P"],
+    ["-v", "-c"], ["-c", "-v", "-i"], ["-l"], ["-P", "-w"],
+])
+def test_conformance_100_patterns(corpus100, flags):
+    corpus, patfile = corpus100
+    compare(flags + ["-f", patfile, corpus])
+
+
+def test_conformance_600_patterns_one_pass(corpus100, tmp_path):
+    # The reference OOB-writes amatched_terminals[pat_index-1] (a
+    # char[16], agrep.c:186) for EVERY match in monkey1/m_short
+    # (newmgrep.c:898), so matches on pattern indices > 16 corrupt
+    # adjacent globals; with an enlarged array the reference agrees
+    # with us byte-for-byte (docs/CONFORMANCE.md).  Keeping all
+    # matchable patterns in the first 16 slots makes the stock oracle
+    # sane while still driving the one-pass filter with 600 terms.
+    corpus, _ = corpus100
+    rnd = random.Random(3)
+    words = ["alpha", "beta", "kernel", "device", "zeta"]
+    pats = [rnd.choice(words) for _ in range(10)]
+    pats += ["qz" + rnd.choice(words) + str(i % 97) for i in range(590)]
+    pf = str(tmp_path / "p600.txt")
+    open(pf, "w").write("".join(p + "\n" for p in pats))
+    compare(["-c", "-f", pf, corpus])
+    compare(["-P", "-f", pf, corpus])
+
+
+def test_empty_pattern_lines_consume_indices(tmp_path):
+    corpus = str(tmp_path / "c.txt")
+    open(corpus, "w").write("foo baz\nbar quux\n")
+    pf = str(tmp_path / "p.txt")
+    open(pf, "w").write("foo\n\nbar\n")
+    compare(["-P", "-f", pf, corpus])
+
+
+def test_pattern_file_too_large(tmp_path):
+    corpus = str(tmp_path / "c.txt")
+    open(corpus, "w").write("hello\n")
+    pf = str(tmp_path / "big.txt")
+    cap = (MAXPATFILE + 2 * MAX_NUM) // 2
+    open(pf, "w").write("x" * (cap + 1) + "\n")
+    o_out, o_err, o_rc = run_oracle(["-f", pf, corpus])
+    m_out, m_err, m_rc = run_ours(["-f", pf, corpus])
+    assert m_rc == o_rc == 255
+    assert m_out == o_out
+    assert b"pattern file too large (> 340000 B)" in m_err
+    assert b"error in processing pattern file" in m_err
+
+
+def test_max_patterns_documented_divergence(tmp_path):
+    # newmgrep.c:284-293 as written; the compiled reference
+    # UB-optimizes the check away (gcc deduces p < max_num from the
+    # patt[p] OOB write) and corrupts memory / segfaults instead.
+    # Pinned: OUR build prints the intended diagnostic and exits 255
+    # (docs/CONFORMANCE.md).
+    corpus = str(tmp_path / "c.txt")
+    open(corpus, "w").write("hello\n")
+    pf = str(tmp_path / "many.txt")
+    open(pf, "w").write("".join("p%05d\n" % i for i in range(MAX_NUM)))
+    m_out, m_err, m_rc = run_ours(["-f", pf, corpus])
+    assert m_rc == 255
+    assert b"maximum number of patterns is 40000" in m_err
