@@ -110,11 +110,30 @@ def scan_records(lines: np.ndarray, line_len: np.ndarray, mc,
     index of the trailing newline.  Lane 0 starts from first_states
     (post-sentinel), others from cont_states (post-reset).
     Returns matched bool[R] (verdict at each lane's newline)."""
-    if backend == "jax":
-        return _scan_records_jax(lines, line_len, mc, first_states,
-                                 cont_states)
+    if backend in ("jax", "interpret"):
+        # production path: the Pallas lanes kernel (renfa_kernel.py) on
+        # TPU, or the same kernel through the interpreter in tests;
+        # regex_engine always passes identical first/cont states, which
+        # the kernel requires
+        interp = backend == "interpret"
+        same_init = all(int(a) == int(b) for a, b in
+                        zip(first_states, cont_states))
+        if same_init and (interp or _on_tpu()):
+            from . import renfa_kernel
+            out = renfa_kernel.pallas_scan_records(
+                lines, line_len, mc, interpret=interp)
+            if out is not None:
+                return out
+        if not interp:
+            return _scan_records_jax(lines, line_len, mc, first_states,
+                                     cont_states)
     return _scan_records_np(lines, line_len, mc, first_states,
                             cont_states)
+
+
+def _on_tpu() -> bool:
+    from . import scan as scan_ops
+    return scan_ops._on_tpu()
 
 
 def _scan_records_np(lines, line_len, mc, first_states, cont_states):

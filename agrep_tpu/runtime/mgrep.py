@@ -421,17 +421,14 @@ class MgrepEngine:
                         SHIFT1[h] = p_size - 1 - jj
             # bucket order is descending pattern index (f_prep1 fills
             # HASH slots top-down); one entry processed per candidate
-            # (the hit path goto-exits the bucket loop)
-            occ_first = {}
+            # (the hit path goto-exits the bucket loop).  Sorted by
+            # (anchor, -idx), the FIRST row per anchor carries the
+            # winning (max) pattern index.
             if n_occ:
-                # sorted by (anchor, -idx): the FIRST row per anchor
-                # carries the max pattern index
                 first = np.flatnonzero(np.concatenate(
                     [[True], occ_a[1:] != occ_a[:-1]]))
-                for j in first:
-                    occ_first[int(occ_a[j])] = (
-                        int(occ_i[j]), int(occ_s[j]),
-                        int(term_len[occ_i[j]]))
+            else:
+                first = np.zeros(0, dtype=np.int64)
             nz_terms = np.asarray([bool(t) for t in self.terms])
             # hash context: the bytes before each scan start are the
             # memcpy'd delimiter (newmgrep.c:511)
@@ -442,8 +439,45 @@ class MgrepEngine:
 
             cbo_base = [0]
 
+            # ---- anchor-driven replay.  The per-byte skip walk's
+            # observable effects happen only at verified-match anchors
+            # (occ_first), at DOW crossing flushes, and through the
+            # m_short CBO carry; everything between is stepping, which
+            # matters ONLY for flush timing ("does some visit land in
+            # [cure-1, anchor)?").  Stepping never skips an anchor (an
+            # occurrence's interior grams bound SHIFT1 below the
+            # distance to its anchor -- the BM safety invariant), so
+            # iterating anchors with searchsorted jumps is exact; the
+            # skip-phase is resolved per-step only inside the rare
+            # ambiguity window [cure-1, cure-1+max_shift).
+            if n_occ:
+                wa = occ_a[first]
+                wi = occ_i[first]
+                ws = occ_s[first]
+                wl = term_len[occ_i[first]]
+            else:
+                wa = wi = ws = wl = np.zeros(0, dtype=np.int64)
+            if not short_mode:
+                n_s = len(stream)
+                padh = np.concatenate(
+                    [np.zeros(2, dtype=np.int64), hsrc])
+                h_all = ((padh[dl + 2:dl + 2 + n_s] << HB)
+                         + padh[dl + 1:dl + 1 + n_s])
+                if LONG:
+                    h_all = (h_all << HB) + padh[dl:dl + n_s]
+                sh_all = SHIFT1[h_all].astype(np.int64)
+                MAXS = max(m1w - LONG, 1)
+
+                def first_visit_ge(t, X):
+                    # skip-walk phase: first visited position >= X
+                    # starting from exact position t (candidate
+                    # positions step by 1: `if(!MATCHED) shift=1`)
+                    while t < X:
+                        t += max(int(sh_all[t]), 1)
+                    return t
+
             def walk_region(r):
-                nonlocal lastout
+                nonlocal lastout, r_cur
                 if o.invert and not o.count:
                     # each block call resets its complement pointer to
                     # its own region start BEFORE scanning (m_short
@@ -452,125 +486,153 @@ class MgrepEngine:
                     inv_advance(r)
                 tb_region = _region_start(r)
                 te = _region_end_excl(r) - 1      # inclusive textend
-                text = tb_region if short_mode else tb_region + m1w - 1
-                cbo = cbo_base[0]   # CurrentByteOffset (m_short carries
-                                    # it exactly; the text-- quirk makes
-                                    # it drift ahead of the position)
+                drift = 0       # m_short outputs: `text--` without
+                                # CurrentByteOffset--, +1 each
                 DOW = False
                 amatched = np.zeros(len(self.terms), dtype=bool)
-                MATCHED = False
                 curb = cure = cur_anchor = 0
                 tb_jump = tb_region
+                cbo_tail = None   # post-jump cbo when nv overshoots te
 
-                def flush_cross():
+                def cbo_at(t):
+                    return cbo_base[0] + (t - tb_region + 1) + drift
+
+                def flush(v_cbo):
                     nonlocal DOW
-                    if DOW and text >= cure - 1:
-                        DOW = False
-                        if is_complex and boolean.eval_tree_vec(
-                                q.bool_tree, "or", amatched[None, :])[0]:
-                            if do_output(0, cur_anchor, curb, cure,
-                                         False,
-                                         cbo if short_mode else None):
-                                return True
-                        amatched[:] = False
+                    DOW = False
+                    if is_complex and boolean.eval_tree_vec(
+                            q.bool_tree, "or", amatched[None, :])[0]:
+                        if do_output(0, cur_anchor, curb, cure, False,
+                                     v_cbo if short_mode else None):
+                            return True
+                    amatched[:] = False
                     return False
 
-                while text <= te:
-                    if short_mode:
-                        cbo += 1     # `while (++text...) CBO++`
-                        sh = 0       # m_short visits every byte
-                    else:
-                        h = int(hsrc[text + dl])
-                        h = (h << HB) + int(hsrc[text + dl - 1])
-                        if LONG:
-                            h = (h << HB) + int(hsrc[text + dl - 2])
-                        sh = int(SHIFT1[h])
-                    if sh == 0:
-                        hit = occ_first.get(text)
-                        if hit is not None:
-                            idx, s_, tl_ = hit
-                            if short_mode and text >= te:
-                                # m_short aborts the whole block scan
-                                # on a hit at textend (newmgrep.c:1345)
-                                # BEFORE any registration or output --
-                                # its return 0 also skips the block's
-                                # INVERSE tail print
-                                if o.invert and not o.count:
-                                    nonlocal r_cur
-                                    inv_advance(r)
-                                    r_cur = r + 1
-                                    lastout = (_region_start(r + 1)
-                                               if r + 1 <= len(bounds)
-                                               else final_end)
-                                return False
-                            if not DOW:
-                                # record extraction bounded by the
-                                # advancing textbegin (monkey1:885-886)
-                                i2 = int(np.searchsorted(
-                                    de_arr, text - 1, "right")) - 1
-                                curb = tb_jump
-                                while i2 >= 0:
-                                    de = int(de_arr[i2])
-                                    ds = de - dl + 1
-                                    if ds >= tb_jump and ds + dl <= text:
-                                        curb = ds + dl if q.outtail \
-                                            else ds
-                                        break
-                                    if de < tb_jump:
-                                        break
-                                    i2 -= 1
-                                j2 = int(np.searchsorted(
-                                    de_arr, text + dl, "left"))
-                                cure = te + 1
-                                while j2 < len(de_arr):
-                                    de = int(de_arr[j2])
-                                    ds = de - dl + 1
-                                    if ds >= text + 1 and ds <= te - dl:
-                                        cure = ds + dl if q.outtail \
-                                            else ds
-                                        break
-                                    if ds > te - dl:
-                                        break
-                                    j2 += 1
-                                if (not q.outtail) or o.invert:
-                                    tb_jump = cure
-                                else:
-                                    tb_jump = cure - dl
-                                DOW = True
-                                cur_anchor = text
-                            amatched[idx] = True
-                            if is_complex:
-                                cbo += tl_ - 1
-                                text = text + tl_ - 1
-                                MATCHED = False
-                            elif (not is_and
-                                  or bool(amatched[nz_terms].all())):
-                                MATCHED = True
-                                if do_output(idx, text, curb, cure, True,
-                                             cbo if short_mode else None):
-                                    return True
-                                if o.multi_output:
-                                    cbo += (text + tl_ - 1) - text
-                                    text = text + tl_ - 1
-                                    MATCHED = False
-                                else:
-                                    cbo += tb_jump - text
-                                    text = tb_jump
-                        if not MATCHED:
-                            sh = 1
-                        elif short_mode:
-                            # `if (MATCHED) text--` cancels the loop's
-                            # ++ without touching CurrentByteOffset:
-                            # cbo drifts ahead of the position
-                            MATCHED = False
-                            sh = 0
+                nv = tb_region if short_mode else tb_region + m1w - 1
+                j = int(np.searchsorted(wa, nv, side="left"))
+                while True:
+                    a = int(wa[j]) if j < len(wa) else None
+                    if a is not None and a > te:
+                        a = None
+                    if DOW:
+                        if a is None:
+                            # no more events: the crossing flush fires
+                            # at the first visit >= cure-1 (every
+                            # region ends with text walking past te,
+                            # so it always fires; cure <= te+1)
+                            if short_mode:
+                                v = max(nv, cure - 1)
+                                vc = (cbo_at(min(v, te)) if v <= te
+                                      else (cbo_tail if cbo_tail
+                                            is not None else cbo_at(te)))
+                            else:
+                                vc = None
+                            if flush(vc):
+                                return True
+                            break
+                        flush_before = False
+                        if nv >= cure - 1:
+                            flush_before = nv < a
+                        elif a >= cure - 1:
+                            if short_mode or a >= cure - 1 + MAXS:
+                                flush_before = True
+                            else:
+                                flush_before = first_visit_ge(
+                                    nv, cure - 1) < a
+                        if flush_before:
+                            v = max(nv, cure - 1)
+                            if flush(cbo_at(v) if short_mode else None):
+                                return True
+                    if a is None:
+                        break
+                    # ---- process the event at anchor a
+                    idx, s_, tl_ = int(wi[j]), int(ws[j]), int(wl[j])
+                    if short_mode and a >= te:
+                        # m_short aborts the whole block scan on a hit
+                        # at textend (newmgrep.c:1345) BEFORE any
+                        # registration or output -- its return 0 also
+                        # skips the block's INVERSE tail print
+                        if o.invert and not o.count:
+                            inv_advance(r)
+                            r_cur = r + 1
+                            lastout = (_region_start(r + 1)
+                                       if r + 1 <= len(bounds)
+                                       else final_end)
+                        return False
+                    if not DOW:
+                        # record extraction bounded by the advancing
+                        # textbegin (monkey1:885-886)
+                        i2 = int(np.searchsorted(
+                            de_arr, a - 1, "right")) - 1
+                        curb = tb_jump
+                        while i2 >= 0:
+                            de = int(de_arr[i2])
+                            ds = de - dl + 1
+                            if ds >= tb_jump and ds + dl <= a:
+                                curb = ds + dl if q.outtail else ds
+                                break
+                            if de < tb_jump:
+                                break
+                            i2 -= 1
+                        j2 = int(np.searchsorted(
+                            de_arr, a + dl, "left"))
+                        cure = te + 1
+                        while j2 < len(de_arr):
+                            de = int(de_arr[j2])
+                            ds = de - dl + 1
+                            if ds >= a + 1 and ds <= te - dl:
+                                cure = ds + dl if q.outtail else ds
+                                break
+                            if ds > te - dl:
+                                break
+                            j2 += 1
+                        if (not q.outtail) or o.invert:
+                            tb_jump = cure
                         else:
-                            MATCHED = False
-                            sh = m1w - 1 if m1w - 1 > 0 else 1
-                    if flush_cross():
-                        return True
-                    text += sh
-                return flush_cross()
+                            tb_jump = cure - dl
+                        DOW = True
+                        cur_anchor = a
+                    amatched[idx] = True
+                    cbo_post = None   # C's cbo value at the post-event
+                                      # flush check (short mode only)
+                    if is_complex:
+                        post = a + tl_ - 1
+                        nv = post + 1             # then shift=1
+                        cbo_post = cbo_at(post)
+                    elif (not is_and
+                          or bool(amatched[nz_terms].all())):
+                        cbo_out = cbo_at(a)
+                        if do_output(idx, a, curb, cure, True,
+                                     cbo_out if short_mode else None):
+                            return True
+                        if o.multi_output:
+                            post = a + tl_ - 1
+                            nv = post + 1
+                            cbo_post = cbo_out + tl_ - 1
+                        else:
+                            post = tb_jump
+                            cbo_post = cbo_out + (post - a)
+                            if short_mode:
+                                drift += 1        # text-- w/o CBO--
+                                nv = post         # revisit (shift 0)
+                            else:
+                                nv = post + (m1w - 1 if m1w - 1 > 0
+                                             else 1)
+                    else:
+                        post = a                  # registered, shift=1
+                        nv = a + 1
+                        cbo_post = cbo_at(a)
+                    # m_short carry past region end: no further
+                    # iterations resync cbo, keep the exit value
+                    cbo_tail = cbo_post if (short_mode and post > te) \
+                        else None
+                    # same-iteration crossing check at the post-event
+                    # position (flush_cross after the hit block)
+                    if DOW and post >= cure - 1:
+                        if flush(cbo_post if short_mode else None):
+                            return True
+                    j = int(np.searchsorted(wa, nv, side="left"))
+                return False
 
             for r in range(len(bounds) + 1):
                 stop_all = walk_region(r)

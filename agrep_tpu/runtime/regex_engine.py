@@ -72,7 +72,9 @@ class RegexEngine:
             line_end = s_nl[1:]                # index of trailing '\n'
             line_len = (line_end - line_start).astype(np.int64)
             order = np.argsort(line_len, kind="stable")
-            backend = ("jax" if scan_ops._BACKEND == "jax" else "numpy")
+            backend = (scan_ops._BACKEND
+                       if scan_ops._BACKEND in ("jax", "interpret")
+                       else "numpy")
             i = 0
             while i < len(order):
                 L = 1
