@@ -233,9 +233,20 @@ def split_pattern(pattern: str) -> BoolSplit | None:
     if op is None:
         return None  # single plain term -> normal processing
     if len(terminals) > MAXNUM_PAT:
+        # aparse_flat rejects the 17th terminal (asplit.c:95-98); the
+        # caller then falls through to normal mask processing, which
+        # reports the pattern as over-long
+        import sys
+        print("boolean expression has too many terms", file=sys.stderr)
         return None
     if not terminals or not _terms_simple(terminals):
         return None
+    if len(terminals) >= MAXNUM_PAT:
+        # asplit_terminal keeps the first 16 words and warns
+        # (asplit.c:391-394)
+        import sys
+        print("Warning: too many words in pattern (> %d): ignoring..."
+              % MAXNUM_PAT, file=sys.stderr)
     return BoolSplit(terminals=terminals, tree=None, op=op)
 
 

@@ -345,6 +345,14 @@ def parse_args(argv: list[str], env: dict | None = None):
 
     if pattern is not None:
         pattern = _escape_bare_pattern(pattern, opts)
+        if len(pattern) > MAXPAT - 1:
+            # agrep_search's buffer-fit check (agrep.c:3001-3005) with
+            # pattern_len = MAXPAT; M counts the dash-escaped pattern.
+            # The reference already corrupted Pattern[MAXPAT] by this
+            # point and segfaults past ~260 chars -- we always report
+            # the intended diagnostic (docs/CONFORMANCE.md)
+            raise AgrepError("%s: pattern '%s' does not fit in "
+                             "specified buffer" % (PROGNAME, pattern))
 
     return opts, pattern, files
 
@@ -378,10 +386,14 @@ def _escape_bare_pattern(pattern: str, opts: Options) -> str:
         ch = pattern[i]
         o = ord(ch) & 0xFF
         if o in table_meta and not warned:
+            # the reference BREAKS the whole escape loop at the first
+            # metasymbol byte (agrep.c:2985-2987): the rest of the
+            # pattern keeps its bare dashes
             _warn(opts, "Warning: pattern has some meta-characters "
                         "interpreted by agrep!")
             warned = True
-            out.append(ch)
+            out.append(pattern[i:])
+            break
         elif ch == "\\":
             out.append(ch)
             if i + 1 < len(pattern):

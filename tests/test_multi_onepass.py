@@ -149,3 +149,35 @@ def test_max_patterns_documented_divergence(tmp_path):
     m_out, m_err, m_rc = run_ours(["-f", pf, corpus])
     assert m_rc == 255
     assert b"maximum number of patterns is 40000" in m_err
+
+
+def test_boolean_term_limit_diagnostics(tmp_path):
+    """asplit.c:95-98 (17+ terms) and :391-394 (exactly 16)."""
+    corpus = str(tmp_path / "c.txt")
+    open(corpus, "w").write("hello\n")
+    p17 = ";".join("t%02d" % i for i in range(17))
+    o_out, o_err, o_rc = run_oracle([p17, corpus])
+    m_out, m_err, m_rc = run_ours([p17, corpus])
+    assert m_rc == o_rc == 255 and m_out == o_out
+    assert b"boolean expression has too many terms" in m_err
+    assert b"pattern too long (has > 32 chars)" in m_err
+    p16 = ";".join("t%02d" % i for i in range(16))
+    o_out, o_err, o_rc = run_oracle(["-c", p16, corpus])
+    m_out, m_err, m_rc = run_ours(["-c", p16, corpus])
+    assert m_rc == o_rc and m_out == o_out
+    assert b"too many words in pattern (> 16): ignoring" in m_err
+    assert b"too many words" in o_err
+
+
+def test_pattern_buffer_fit(tmp_path):
+    """agrep.c:3001-3005; the reference segfaults past ~260 chars --
+    ours reports the intended diagnostic at every over-long length."""
+    corpus = str(tmp_path / "c.txt")
+    open(corpus, "w").write("hello\n")
+    for n in (256, 300):
+        m_out, m_err, m_rc = run_ours(["-c", "a" * n, corpus])
+        assert m_rc == 255
+        assert b"does not fit in specified buffer" in m_err
+    # at 256 the reference's own check still fires -- compare directly
+    o_out, o_err, o_rc = run_oracle(["-c", "a" * 256, corpus])
+    assert o_rc == 255 and b"does not fit in specified buffer" in o_err
