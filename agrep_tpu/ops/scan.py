@@ -129,8 +129,28 @@ def scan_event_list(reader, n: int, mask_table: np.ndarray, consts: dict,
         g1 = min(n, g0 + chunk)
         lo = g0 - W if g0 >= W else 0
         text = reader(lo, g1)
-        ev = scan_events(text, mask_table, consts, D, variant, costs,
-                         tile)
+        # failure recovery (SURVEY.md section 5): a chunk whose device
+        # scan dies (preemption, tunnel drop) is re-queued -- retried
+        # once on the device, then re-run on the host backend, which
+        # is exact by construction.  Chunks are idempotent.
+        try:
+            ev = scan_events(text, mask_table, consts, D, variant,
+                             costs, tile)
+        except Exception:
+            try:
+                ev = scan_events(text, mask_table, consts, D, variant,
+                                 costs, tile)
+            except Exception:
+                cvec = np.asarray([
+                    consts.get("init0", 0), consts.get("init1_ns", 0),
+                    consts.get("noerr", 0), consts.get("d_endpos", 0),
+                    consts.get("endpos", 0),
+                    consts.get("d_mask", 0xFFFFFFFF), 0, 0],
+                    dtype=np.uint32)
+                windows, _ = _pad_and_window(text, W, tile)
+                ev = np.asarray(_scan_windows_np(
+                    windows, mask_table, cvec, D, W, variant,
+                    costs))[:, W:].reshape(-1)[:len(text)]
         ev = ev[g0 - lo:]
         p = np.flatnonzero(ev)
         yield p.astype(np.int64) + g0, ev[p]
@@ -373,8 +393,46 @@ def _scan_windows_np(windows, mask_table, cvec, D, W, variant, costs):
 
 def _scan_windows_jax(windows, mask_table, cvec, D, W, variant, costs):
     import jax
+    n_dev = jax.device_count()
+    if n_dev > 1 and windows.shape[0] >= 2 * n_dev:
+        out = _scan_windows_jax_sharded(windows, mask_table, cvec, D,
+                                        W, variant, costs, n_dev)
+        if out is not None:
+            return out
     return np.asarray(jax.device_get(_scan_windows_jit(
         windows, mask_table, cvec, D, W, variant, costs)))
+
+
+def _scan_windows_jax_sharded(windows, mask_table, cvec, D, W, variant,
+                              costs, n_dev):
+    """Data-parallel scan over every visible device: tiles are already
+    independent (each carries its own halo), so the mesh partition is
+    just a sharding annotation on the tile axis -- XLA runs the same
+    compiled scan per shard with zero communication (SURVEY.md section
+    5: collectives only at reduction, which here is the host merge).
+    Tile padding rows are dropped before returning, so results are
+    byte-identical to the single-device path by construction."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    try:
+        T = windows.shape[0]
+        Tp = -(-T // n_dev) * n_dev
+        wp = windows
+        if Tp != T:
+            wp = np.zeros((Tp, windows.shape[1]), windows.dtype)
+            wp[:T] = windows
+        mesh = Mesh(np.asarray(jax.devices()), ("shards",))
+        sh = NamedSharding(mesh, P("shards", None))
+        wd = jax.device_put(jnp.asarray(wp), sh)
+        fn = _get_jit()
+        ev = fn(wd, jnp.asarray(mask_table), jnp.asarray(cvec), D, W,
+                variant, costs)
+        return np.asarray(jax.device_get(ev))[:T]
+    except Exception:
+        # any partitioning failure falls back to the single-device
+        # path (shard retry semantics: the work is re-run, not lost)
+        return None
 
 
 @functools.cache
