@@ -195,10 +195,11 @@ def qgram_hashes(stream: np.ndarray, tb: QgramTables,
     n = len(stream)
     p = tb.p_size
     if n < p:
-        return np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.int32)
     if tb.short:
-        return tr.astype(np.int64)[stream]
-    f1 = (tr.astype(np.int64)[stream] & 31)
+        return tr[stream].astype(np.int32)
+    # tr1[c] == tr[c] & 31 == c & 31 (case folding only flips bit 5)
+    f1 = (stream & np.uint8(31)).astype(np.int32)
     h = (f1[p - 1:] << HBITS) + f1[p - 2:n - 1]
     if tb.long_:
         h = (h << HBITS) + f1[p - 3:n - 2]
@@ -219,16 +220,37 @@ def qgram_occurrences(stream: np.ndarray, terms: list[bytes],
     p = tb.p_size
     if n < p:
         return occ
-    h = qgram_hashes(stream, tb, tr)
     if cand_anchor_rel is None:
+        h = qgram_hashes(stream, tb, tr)
         cand = np.flatnonzero(tb.member[h])
+        hv = h[cand]
     else:
-        cand = cand_anchor_rel
+        # device-filter candidates (a sound superset, e.g. the 2-gram
+        # projection of a LONG 3-gram set): compute hashes only at the
+        # candidate anchors and drop false positives here
+        cand = np.asarray(cand_anchor_rel, dtype=np.int64)
+        cand = cand[(cand >= 0) & (cand <= n - p)]
+        if len(cand):
+            a = cand + (0 if tb.short else p - 1)
+            if tb.short:
+                hv = tr[stream[a]].astype(np.int32)
+            else:
+                f1a = (stream[a] & np.uint8(31)).astype(np.int32)
+                f1b = (stream[a - 1] & np.uint8(31)).astype(np.int32)
+                hv = (f1a << HBITS) + f1b
+                if tb.long_:
+                    f1c = (stream[a - 2]
+                           & np.uint8(31)).astype(np.int32)
+                    hv = ((hv << HBITS) + f1c) & MASK5
+            keep = tb.member[hv]
+            cand, hv = cand[keep], hv[keep]
+        else:
+            hv = np.zeros(0, dtype=np.int64)
     if not len(cand):
         return occ
     folded = tr[stream]
     # group candidates by bucket: stable sort keeps anchors ascending
-    bid = tb.hash_id[h[cand]]
+    bid = tb.hash_id[hv]
     order = np.argsort(bid, kind="stable")
     bid_s = bid[order]
     cand_s = cand[order]
@@ -261,3 +283,21 @@ def qgram_occurrences(stream: np.ndarray, terms: list[bytes],
             for tid in tids:
                 occ[tid] = s
     return occ
+
+
+def member_projection_1024(tb: QgramTables) -> np.ndarray | None:
+    """2-gram membership set for the device filter kernel
+    (ops/qgram_kernel.py): exact for the non-LONG tables, the sound
+    tail-2-gram projection for LONG (h15 >> 5 recovers the full 10-bit
+    2-gram: the &MASK5 truncation only drops 3rd-char bits).  None for
+    SHORT tables (single-char sets have no gram structure)."""
+    if tb.short:
+        return None
+    if not tb.long_:
+        # non-LONG hashes are 10-bit; the table is allocated MAXHASH
+        # wide but only the first 1024 slots can be set
+        return tb.member[:1024].copy()
+    m = np.zeros(1024, dtype=bool)
+    marked = np.flatnonzero(tb.member)
+    m[marked >> HBITS] = True
+    return m

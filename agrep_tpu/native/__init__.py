@@ -78,6 +78,11 @@ def get_lib():
     lib.a_monkey_block.restype = i64
     lib.a_monkey_block.argtypes = [u8p, i64, i64, i64, u8p, i64, i64,
                                    u8p, i64p, i64]
+    lib.qgram_first_per_line.restype = i64
+    lib.qgram_first_per_line.argtypes = [
+        u8p, i64, u8p, i32p, i64p, i64p, u8p, i64p, u8p, i64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i64p, i64p,
+        i64]
     _lib = lib
     return lib
 
@@ -171,3 +176,29 @@ def agrep_count_walk(events: np.ndarray, rec_ends: np.ndarray,
         np.ascontiguousarray(rec_ends, dtype=np.int64), len(events),
         np.ascontiguousarray(cands.reshape(-1), dtype=np.int64),
         len(cands), lo_g, m_pat, D))
+
+
+def qgram_first_per_line(stream: np.ndarray, member: np.ndarray,
+                         hash_id: np.ndarray, bucket_off: np.ndarray,
+                         bucket_tids: np.ndarray, term_bytes: np.ndarray,
+                         term_off: np.ndarray, tr: np.ndarray, p: int,
+                         longf: bool, shortf: bool, wordbound: bool):
+    """First verified (anchor, term_id) per newline record; None when
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = int(np.count_nonzero(stream == 0x0A)) + 1
+    out_a = np.empty(cap, dtype=np.int64)
+    out_t = np.empty(cap, dtype=np.int64)
+    cnt = lib.qgram_first_per_line(
+        np.ascontiguousarray(stream), len(stream),
+        np.ascontiguousarray(member.astype(np.uint8)),
+        np.ascontiguousarray(hash_id.astype(np.int32)),
+        np.ascontiguousarray(bucket_off.astype(np.int64)),
+        np.ascontiguousarray(bucket_tids.astype(np.int64)),
+        np.ascontiguousarray(term_bytes),
+        np.ascontiguousarray(term_off.astype(np.int64)),
+        np.ascontiguousarray(tr), p, int(longf), int(shortf),
+        int(wordbound), out_a, out_t, cap)
+    return out_a[:cnt], out_t[:cnt]

@@ -464,4 +464,81 @@ int64_t a_monkey_block(const uint8_t* buf, int64_t buflen, int64_t start,
     return cnt;
 }
 
+
+// ---------------------------------------------------------------
+// One-pass multi-pattern: first verified match per newline record
+// ---------------------------------------------------------------
+//
+// The dense q-gram member filter + bucket verify of
+// compile/multi.py::qgram_occurrences, restricted to flat-OR
+// semantics: at most ONE winning (anchor, term) pair per line (the
+// first anchor that verifies; ties at an anchor go to the highest
+// pattern index, newmgrep.c f_prep1 bucket order), then jump to the
+// line end.  This is the host-speed twin of the TPU q-gram kernel
+// path; Python-side spec: runtime/mgrep.py::_first_match_occurrences.
+//
+// member: u8[32768] (u8[256] when shortf); hash_id: i32 per hash ->
+// bucket index; buckets CSR: bucket_off[i64, nb+1] -> bucket_tids
+// (ascending); terms CSR: term_off[i64, nterm+1] -> term_bytes.
+// Returns number of (anchor, tid) pairs written (<= number of lines).
+int64_t qgram_first_per_line(
+    const uint8_t* buf, int64_t n, const uint8_t* member,
+    const int32_t* hash_id, const int64_t* bucket_off,
+    const int64_t* bucket_tids, const uint8_t* term_bytes,
+    const int64_t* term_off, const uint8_t* tr, int64_t p,
+    int32_t longf, int32_t shortf, int32_t wordbound,
+    int64_t* out_anchor, int64_t* out_tid, int64_t cap) {
+    int64_t cnt = 0;
+    if (n < p) return 0;
+    auto isaln = [](uint8_t c) {
+        return (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z')
+            || (c >= 'a' && c <= 'z');
+    };
+    int64_t a = p - 1;
+    while (a < n && cnt < cap) {
+        uint32_t h;
+        if (shortf) {
+            h = tr[buf[a]];
+        } else {
+            h = ((uint32_t)(buf[a] & 31) << 5) | (buf[a - 1] & 31);
+            if (longf)
+                h = ((h << 5) | (buf[a - 2] & 31)) & 32767u;
+        }
+        if (member[h]) {
+            int32_t b = hash_id[h];
+            int64_t won = -1;
+            // highest pattern index first
+            for (int64_t j = bucket_off[b + 1] - 1;
+                 j >= bucket_off[b]; j--) {
+                int64_t tid = bucket_tids[j];
+                const uint8_t* t = term_bytes + term_off[tid];
+                int64_t L = term_off[tid + 1] - term_off[tid];
+                int64_t s = a - (p - 1);
+                if (s + L > n) continue;
+                int64_t k = 0;
+                while (k < L && tr[buf[s + k]] == tr[t[k]]) k++;
+                if (k < L) continue;
+                if (wordbound) {
+                    uint8_t after = (s + L < n) ? buf[s + L] : 0;
+                    uint8_t before = (s > 0) ? buf[s - 1] : 0;
+                    if (isaln(after) || isaln(before)) continue;
+                }
+                won = tid;
+                break;
+            }
+            if (won >= 0) {
+                out_anchor[cnt] = a;
+                out_tid[cnt] = won;
+                cnt++;
+                const void* nl = memchr(buf + a, '\n', (size_t)(n - a));
+                if (nl == nullptr) break;
+                a = (int64_t)((const uint8_t*)nl - buf) + p;
+                continue;
+            }
+        }
+        a++;
+    }
+    return cnt;
+}
+
 }  // extern "C"

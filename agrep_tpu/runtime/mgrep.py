@@ -98,6 +98,191 @@ class MgrepEngine:
         self.tr = _fold_tr(o.nocase is not None)
         self.total_line = 0
         self._qgram_tables = None
+        self._qgram_csr = None
+
+    def _fast_or_applicable(self, o, q) -> bool:
+        """Flat-OR searches over newline records only need the FIRST
+        verified match per line (monkey1 jumps to the record end after
+        a hit) -- with many terms, enumerating every occurrence is the
+        dominant cost, so _first_match_occurrences prunes instead."""
+        if q.bool_tree is not None or q.bool_op == "and":
+            return False
+        if o.multi_output or q.delimiter_opt:
+            return False
+        n_live = sum(1 for t in self.terms if t)
+        if n_live < ONE_PASS_MIN:
+            return False
+        return not any(t and b"\n" in t for t in self.terms)
+
+    def _verify_at(self, stream, tb, anchors):
+        """Winning term per candidate anchor: max pattern index whose
+        occurrence (tr-folded, wordbound-checked when -w) ends its
+        p_size prefix at the anchor.  Returns int64[len(anchors)] term
+        ids, -1 where nothing verifies."""
+        from ..compile import multi as multi_mod
+        o = self.q.opts
+        n = len(stream)
+        p = tb.p_size
+        best = np.full(len(anchors), -1, dtype=np.int64)
+        starts0 = anchors - (p - 1)
+        ok0 = starts0 >= 0
+        idxs = np.flatnonzero(ok0)
+        if not len(idxs):
+            return best
+        a = anchors[idxs]
+        if tb.short:
+            hv = self.tr[stream[a]].astype(np.int32)
+        else:
+            f1a = (stream[a] & np.uint8(31)).astype(np.int32)
+            f1b = (stream[a - 1] & np.uint8(31)).astype(np.int32)
+            hv = (f1a << multi_mod.HBITS) + f1b
+            if tb.long_:
+                f1c = (stream[a - 2] & np.uint8(31)).astype(np.int32)
+                hv = ((hv << multi_mod.HBITS) + f1c) & multi_mod.MASK5
+        keep = tb.member[hv]
+        idxs, a, hv = idxs[keep], a[keep], hv[keep]
+        if not len(idxs):
+            return best
+        folded = self.tr[stream]
+        bid = tb.hash_id[hv]
+        order = np.argsort(bid, kind="stable")
+        bid_s, idxs_s, a_s = bid[order], idxs[order], a[order]
+        edges = np.flatnonzero(np.diff(bid_s)) + 1
+        gs = np.concatenate([[0], edges, [len(bid_s)]])
+        isaln = _ISALNUM_TAB
+        for gi in range(len(gs) - 1):
+            lo, hi = gs[gi], gs[gi + 1]
+            if lo == hi:
+                continue
+            b = int(bid_s[lo])
+            sub_i = idxs_s[lo:hi]
+            starts_all = a_s[lo:hi] - (p - 1)
+            distinct: dict = {}
+            for tid in tb.bucket_list[b]:
+                distinct.setdefault(self.terms[tid], []).append(int(tid))
+            for t, tids in distinct.items():
+                L = len(t)
+                okm = starts_all + L <= n
+                s = starts_all
+                sel = np.flatnonzero(okm)
+                s = s[sel]
+                tf = self.tr[np.frombuffer(t, dtype=np.uint8)]
+                for k in range(L):
+                    if not len(s):
+                        break
+                    m = folded[s + k] == tf[k]
+                    s, sel = s[m], sel[m]
+                if not len(sel):
+                    continue
+                if o.wordbound:
+                    ap = s + L
+                    after = np.where(ap < n, stream[np.minimum(ap, n - 1)],
+                                     0)
+                    bp = s - 1
+                    before = np.where(bp >= 0,
+                                      stream[np.maximum(bp, 0)], 0)
+                    wok = ~isaln[after] & ~isaln[before]
+                    sel = sel[wok]
+                if not len(sel):
+                    continue
+                tid_max = max(tids)
+                tgt = sub_i[sel]
+                cur = best[tgt]
+                best[tgt] = np.where(cur > tid_max, cur, tid_max)
+        return best
+
+    def _first_match_occurrences(self, stream: np.ndarray, tb) -> dict:
+        """Reduced occurrence table for flat-OR: ONLY the winning
+        (first-anchor, max-idx) entry of each matched line.  The
+        downstream record walk selects exactly these lines, so output
+        is identical to the full table, but verification cost is
+        O(matched lines x tries), not O(occurrences) -- the vectorized
+        analog of monkey1's record jump."""
+        from ..compile import multi as multi_mod
+        from ..ops import scan as scan_ops
+        n = len(stream)
+        occ = {i: np.zeros(0, dtype=np.int64)
+               for i in range(len(self.terms))}
+        p = tb.p_size
+        if n < p:
+            return occ
+        # native twin: the same dense filter + bucket verify + line
+        # jump as one C pass (agrep_host.cpp qgram_first_per_line)
+        from .. import native
+        if native.get_lib() is not None:
+            if self._qgram_csr is None:
+                bl = tb.bucket_list or []
+                b_off = np.zeros(len(bl) + 1, dtype=np.int64)
+                for i, ids in enumerate(bl):
+                    b_off[i + 1] = b_off[i] + len(ids)
+                b_tids = (np.concatenate(bl).astype(np.int64)
+                          if bl else np.zeros(0, dtype=np.int64))
+                t_off = np.zeros(len(self.terms) + 1, dtype=np.int64)
+                for i, t in enumerate(self.terms):
+                    t_off[i + 1] = t_off[i] + len(t)
+                t_bytes = np.frombuffer(
+                    b"".join(self.terms), dtype=np.uint8).copy()
+                if not len(t_bytes):
+                    t_bytes = np.zeros(1, dtype=np.uint8)
+                self._qgram_csr = (b_off, b_tids, t_bytes, t_off)
+            b_off, b_tids, t_bytes, t_off = self._qgram_csr
+            out = native.qgram_first_per_line(
+                stream, tb.member, tb.hash_id, b_off, b_tids,
+                t_bytes, t_off, self.tr, p, bool(tb.long_),
+                bool(tb.short), bool(self.q.opts.wordbound))
+            if out is not None:
+                res_a, res_i = out
+                for tid in np.unique(res_i):
+                    tid = int(tid)
+                    occ[tid] = res_a[res_i == tid] - (p - 1)
+                return occ
+        anchors = None
+        if n >= (1 << 16):
+            proj = multi_mod.member_projection_1024(tb)
+            interp = scan_ops._BACKEND == "interpret"
+            if proj is not None and (interp or (
+                    scan_ops._BACKEND == "jax" and scan_ops._on_tpu())):
+                from ..ops import qgram_kernel
+                try:
+                    anchors = qgram_kernel.qgram_candidates(
+                        stream, proj, interpret=interp)
+                    anchors = anchors[anchors >= p - 1]
+                except Exception:
+                    anchors = None
+        if anchors is None:
+            h = multi_mod.qgram_hashes(stream, tb, self.tr)
+            rel = np.flatnonzero(tb.member[h])
+            anchors = rel + (0 if tb.short else p - 1)
+        if not len(anchors):
+            return occ
+        nl = np.flatnonzero(stream == 0x0A)
+        line_of = np.searchsorted(nl, anchors + 1, side="left")
+        uline, off = np.unique(line_of, return_index=True)
+        cnt = np.diff(np.append(off, len(anchors)))
+        res_a = np.full(len(uline), -1, dtype=np.int64)
+        res_i = np.full(len(uline), -1, dtype=np.int64)
+        pending = np.arange(len(uline))
+        k = 0
+        while len(pending):
+            sel = off[pending] + k
+            valid = sel < off[pending] + cnt[pending]
+            pending, sel = pending[valid], sel[valid]
+            if not len(pending):
+                break
+            a = anchors[sel]
+            best = self._verify_at(stream, tb, a)
+            hit = best >= 0
+            res_a[pending[hit]] = a[hit]
+            res_i[pending[hit]] = best[hit]
+            pending = pending[~hit]
+            k += 1
+        won = res_i >= 0
+        res_a, res_i = res_a[won], res_i[won]
+        for tid in np.unique(res_i):
+            tid = int(tid)
+            # downstream computes anchor = start + (p_size - 1)
+            occ[tid] = res_a[res_i == tid] - (p - 1)
+        return occ
 
     def _all_occurrences(self, stream: np.ndarray) -> dict:
         """Start positions per term.
@@ -113,12 +298,39 @@ class MgrepEngine:
         * few terms, small scan: vectorized per-term host compares."""
         n_live = sum(1 for t in self.terms if t)
         if n_live >= ONE_PASS_MIN:
+            if self._qgram_tables is None:
+                from ..compile import multi as multi_mod2
+                self._qgram_tables = multi_mod2.build_qgram_tables(
+                    self.terms, self.tr)
+            if self._fast_or_applicable(self.q.opts, self.q):
+                return self._first_match_occurrences(
+                    stream, self._qgram_tables)
+        if n_live >= ONE_PASS_MIN:
             from ..compile import multi as multi_mod
+            from ..ops import scan as scan_ops
             if self._qgram_tables is None:
                 self._qgram_tables = multi_mod.build_qgram_tables(
                     self.terms, self.tr)
+            tb = self._qgram_tables
+            cand = None
+            if len(stream) >= (1 << 16):
+                proj = multi_mod.member_projection_1024(tb)
+                interp = scan_ops._BACKEND == "interpret"
+                if proj is not None and (interp or (
+                        scan_ops._BACKEND == "jax"
+                        and scan_ops._on_tpu())):
+                    # device q-gram filter: one Pallas pass marks the
+                    # candidate anchors; the host verifies sparsely
+                    from ..ops import qgram_kernel
+                    try:
+                        pos = qgram_kernel.qgram_candidates(
+                            stream, proj, interpret=interp)
+                    except Exception:
+                        pos = None
+                    if pos is not None:
+                        cand = pos - (tb.p_size - 1)
             return multi_mod.qgram_occurrences(
-                stream, self.terms, self.tr, self._qgram_tables)
+                stream, self.terms, self.tr, tb, cand_anchor_rel=cand)
         occ = {}
         use_device = len(stream) >= (1 << 16)
         groups, leftover = ([], None)
@@ -668,6 +880,34 @@ class MgrepEngine:
                 stop = do_output(idx, anchor, cur_begin, cur_end, True)
                 resume_at = s + tl - 1
                 pos += 1
+        elif (not (is_and or is_complex) and not q.delimiter_opt
+              and n_occ and not bool((stream[occ_a] == 0x0A).any())):
+            # flat OR over newline records, no anchor ON a newline:
+            # the greedy record jump selects exactly the first anchor
+            # of each distinct line -- fully vectorized (an anchor on
+            # a '\n' makes the record span TWO lines and the jump can
+            # hop the next line's anchors; that shape takes the
+            # sequential loop below)
+            line_id = np.searchsorted(nl, occ_a + 1, side="left")
+            uniq, first_idx = np.unique(line_id, return_index=True)
+            if (o.count and not o.invert and not o.filename_only
+                    and not o.silent and o.limit_output <= 0
+                    and o.limit_per_file <= 0):
+                sink.num_matched += len(first_idx)
+            else:
+                safe_e = np.minimum(uniq, len(nl) - 1)
+                ends = np.where(uniq < len(nl), nl[safe_e] + 1, N)
+                bj = np.searchsorted(nl, occ_a[first_idx] - 1,
+                                     side="right") - 1
+                begins = np.where(bj >= 0, nl[np.maximum(bj, 0)] + 1, 0)
+                for t in range(len(first_idx)):
+                    k = int(first_idx[t])
+                    stop = do_output(int(occ_i[k]), int(occ_a[k]),
+                                     int(begins[t]), int(ends[t]), True)
+                    if self.p_size == 1:
+                        short_drift[0] += 1
+                    if stop:
+                        break
         elif not (is_and or is_complex):
             # flat OR: first hit per record, then jump past the record
             pos = 0

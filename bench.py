@@ -59,10 +59,28 @@ def bench_scan(text: np.ndarray) -> float:
     from agrep_tpu.ops import kernels as K
     from agrep_tpu.ops.scan import _pad_and_window
 
-    opts = Options(D=2, approx=True, linenum=True)
+    return bench_mask_machine(text, D=2)
+
+
+def bench_mask_machine(text: np.ndarray, D: int,
+                       costs: tuple | None = None) -> float:
+    """Device time of the D-error Pallas mask-machine scan (optionally
+    with non-uniform -D/-I/-S costs); returns bytes/sec."""
+    import jax
+    import jax.numpy as jnp
+    from agrep_tpu.options import Options
+    from agrep_tpu.compile.query import compile_query
+    from agrep_tpu.ops import kernels as K
+    from agrep_tpu.ops.scan import _pad_and_window
+
+    opts = Options(D=D, approx=D > 0, linenum=True)
+    if costs is not None:
+        ci, cs, cd = costs
+        opts.jump = True
+        opts.cost_insert, opts.cost_subst, opts.cost_delete = ci, cs, cd
     q = compile_query("matching", opts)
     c = q.consts
-    D, W = 2, 48
+    W = 48
     windows, _ = _pad_and_window(text, W, 2048 - W)
     wt = K.pack_windows(windows)
     del windows
@@ -70,7 +88,8 @@ def bench_scan(text: np.ndarray) -> float:
     cvec = np.asarray([c["init0"], c["init1_ns"], c["noerr"],
                        c["d_endpos"], c["endpos"], c["d_mask"], 0, 0],
                       dtype=np.uint32)
-    run = K._get_pallas_scan(D, W, br)
+    run = K._get_pallas_scan(D, W, br, "bitap", (), False, K.ROWS,
+                             q.costs)
     bdev = jax.device_put(jnp.asarray(wt))
     jax.block_until_ready(bdev)
     del wt
@@ -98,8 +117,93 @@ def bench_scan(text: np.ndarray) -> float:
     return len(text) / per_exec
 
 
-def bench_reference(path: str) -> float:
-    """Bytes/s of the reference binary at k=2 on the same corpus."""
+def bench_regex(text: np.ndarray) -> float:
+    """Device time of the regex-with-errors lanes kernel (D=2);
+    bytes/sec over a record bucket built from the corpus shape."""
+    import jax
+    import jax.numpy as jnp
+    from agrep_tpu.options import Options
+    from agrep_tpu.compile.query import compile_query
+    from agrep_tpu.ops import renfa_kernel as RK
+
+    q = compile_query("wo(r|t)king", Options(D=2, approx=True))
+    mc = q.re_mc
+    br = RK.ranges_wide(mc["mask"].astype(np.uint32))
+    Rb, Lb = 64 * RK.GLANES, 512
+    nbytes = Rb * Lb
+    lanes = np.ascontiguousarray(text[:nbytes]).reshape(Rb, Lb).copy()
+    lanes[lanes == 0x0A] = 0x20      # one record per lane
+    lanes[:, Lb - 2] = 0x0A
+    run = RK._get_lanes_kernel(
+        int(mc["D"]), int(mc["M"]), br,
+        tuple(int(v) for v in mc["follow_bits"]),
+        int(mc["head_bit"]), int(mc["init1"]), int(mc["no_err"]),
+        tuple(int(v) for v in mc["inits"]), bool(mc["tail"]),
+        False, RK.ROWS)
+    S = -(-Lb // RK.ROWS) * RK.ROWS
+    G = Rb // RK.GLANES
+    lp = np.zeros((Rb, S), dtype=np.uint8)
+    lp[:, :Lb] = lanes
+    lanes_t = np.ascontiguousarray(
+        lp.reshape(G, RK.SUB, RK.LANE, S).transpose(3, 0, 1, 2))
+    lv = np.full((1, G, RK.SUB, RK.LANE), Lb - 2, dtype=np.int32)
+    lt = jax.device_put(jnp.asarray(lanes_t))
+    lvt = jax.device_put(jnp.asarray(lv))
+
+    def many(args, k):
+        lt, lvt = args
+        s = jnp.uint32(0)
+        for i in range(k):
+            out = run(lt.at[0, 0, 0, 0].set(np.uint8(i)), lvt)
+            s = s + jnp.sum(out)
+        return s
+
+    f = jax.jit(many, static_argnums=1)
+    times = {}
+    for k in (1, 5):
+        int(f((lt, lvt), k))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            int(f((lt, lvt), k))
+            ts.append(time.perf_counter() - t0)
+        times[k] = min(ts)
+    per = (times[5] - times[1]) / 4
+    return nbytes / per
+
+
+def bench_f100(path: str, patfile: str) -> float:
+    """End-to-end bytes/s of the one-pass 100-pattern -f search (host
+    filter + device candidates when a TPU is present)."""
+    import io
+    from agrep_tpu.api import fileagrep
+    t0 = time.perf_counter()
+    fileagrep(["-c", "-f", patfile, path], output=io.BytesIO())
+    dt = time.perf_counter() - t0
+    return os.path.getsize(path) / dt
+
+
+def make_patfile(dirpath: str) -> str:
+    import random
+    rnd = random.Random(11)
+    words = ["the", "quick", "brown", "matching", "pattern",
+             "approximate", "search", "hello", "world", "lorem"]
+    pats = []
+    for i in range(100):
+        r = i % 3
+        if r == 0:
+            pats.append(rnd.choice(words))
+        elif r == 1:
+            pats.append("nosuch%03d" % i)
+        else:
+            pats.append(rnd.choice(words)[:3] + rnd.choice(words)[-3:])
+    p = os.path.join(dirpath, "bench_pats.txt")
+    open(p, "w").write("".join(x + "\n" for x in pats))
+    return p
+
+
+def bench_reference(path: str, args: list | None = None) -> float:
+    """Bytes/s of the reference binary on the same corpus."""
     exe = os.path.join(REPO, ".oracle", "agrep")
     if not os.path.exists(exe):
         try:
@@ -108,37 +212,73 @@ def bench_reference(path: str) -> float:
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
         except Exception:
             return 0.0
+    if args is None:
+        args = ["-2", "-c", "matching"]
     t0 = time.perf_counter()
-    subprocess.run([exe, "-2", "-c", "matching", path],
-                   capture_output=True)
+    subprocess.run([exe] + args + [path], capture_output=True)
     dt = time.perf_counter() - t0
     return os.path.getsize(path) / dt
 
 
-def main():
-    text = make_text(SIZE_MB << 20)
-    # the remote-TPU tunnel occasionally drops a request mid-compile;
-    # a transient failure must not zero out the round's benchmark
+def _retry(fn, *args, tries=3):
+    """The remote-TPU tunnel occasionally drops a request mid-compile;
+    a transient failure must not zero out the round's benchmark."""
     last_err = None
-    bps = 0.0
-    for attempt in range(3):
+    for attempt in range(tries):
         try:
-            bps = bench_scan(text)
-            break
+            return fn(*args)
         except Exception as e:   # noqa: BLE001 -- retry any backend error
             last_err = e
             time.sleep(30 * (attempt + 1))
-    if bps == 0.0 and last_err is not None:
-        print("bench failed after retries: %r" % last_err, file=sys.stderr)
+    print("bench %s failed after retries: %r" % (fn.__name__, last_err),
+          file=sys.stderr)
+    return 0.0
 
-    ref_bps = 0.0
-    try:
-        f = tempfile.NamedTemporaryFile(delete=False, suffix=".txt")
-        ref_mb = min(SIZE_MB, 64)
+
+def main():
+    text = make_text(SIZE_MB << 20)
+
+    # reference corpus on disk (bounded size: the C binary is ~0.25GB/s)
+    ref_mb = min(SIZE_MB, 64)
+    tmpd = tempfile.mkdtemp(prefix="agrep_bench_")
+    path = os.path.join(tmpd, "corpus.txt")
+    with open(path, "wb") as f:
         f.write(text[:ref_mb << 20].tobytes())
-        f.close()
-        ref_bps = bench_reference(f.name)
-        os.unlink(f.name)
+    patfile = make_patfile(tmpd)
+
+    # headline: k=2 mask-machine Pallas scan
+    bps = _retry(bench_scan, text)
+
+    # BASELINE config breadth (VERDICT round-1 item #6): every config
+    # class gets a number; sub-rows ride inside the single JSON line
+    configs = {}
+
+    def cfg(name, ours_bps, ref_args):
+        ref = 0.0
+        try:
+            ref = bench_reference(path, ref_args)
+        except Exception:
+            pass
+        configs[name] = {
+            "gbs": round(ours_bps / 1e9, 3),
+            "ref_gbs": round(ref / 1e9, 4),
+            "vs_ref": round(ours_bps / ref, 1) if ref > 0 else 0.0,
+        }
+
+    cfg("exact_k0", _retry(bench_mask_machine, text, 0),
+        ["-c", "matching"])
+    cfg("costs_k3_D2I1S1", _retry(bench_mask_machine, text, 3,
+                                  (1, 1, 2)),
+        ["-3", "-D2", "-I1", "-S1", "-c", "matching"])
+    cfg("regex_k2", _retry(bench_regex, text),
+        ["-2", "-c", "wo(r|t)king"])
+    cfg("f100_onepass", _retry(bench_f100, path, patfile),
+        ["-c", "-f", patfile])
+
+    ref_bps = bench_reference(path)
+    try:
+        import shutil
+        shutil.rmtree(tmpd)
     except Exception:
         pass
 
@@ -149,6 +289,7 @@ def main():
         "value": round(gbs, 3),
         "unit": "GB/s",
         "vs_baseline": round(vs, 2),
+        "configs": configs,
     }))
 
 

@@ -181,3 +181,56 @@ def test_pattern_buffer_fit(tmp_path):
     # at 256 the reference's own check still fires -- compare directly
     o_out, o_err, o_rc = run_oracle(["-c", "a" * 256, corpus])
     assert o_rc == 255 and b"does not fit in specified buffer" in o_err
+
+
+def test_device_qgram_filter_equivalence():
+    """The Pallas q-gram filter (interpret mode) x sparse verify must
+    reproduce the dense host filter exactly, for both the exact
+    (non-LONG) member set and the LONG tail-projection superset."""
+    from agrep_tpu.compile.multi import member_projection_1024
+    from agrep_tpu.ops.qgram_kernel import qgram_candidates
+    rng = np.random.default_rng(42)
+    alpha = b"abcdefgh \n"
+    for n_terms, tlen in ((30, (2, 6)), (60, (4, 10))):
+        terms = []
+        for _ in range(n_terms):
+            L = int(rng.integers(*tlen))
+            terms.append(bytes(alpha[i] for i in
+                               rng.integers(0, 8, L)))
+        stream = np.frombuffer(
+            bytes(alpha[i] for i in rng.integers(0, len(alpha), 80000)),
+            dtype=np.uint8).copy()
+        for t in terms[:8]:
+            off = int(rng.integers(0, len(stream) - len(t)))
+            stream[off:off + len(t)] = np.frombuffer(t, dtype=np.uint8)
+        tr = _fold_tr(False)
+        tb = build_qgram_tables(terms, tr)
+        proj = member_projection_1024(tb)
+        assert proj is not None
+        pos = qgram_candidates(stream, proj, interpret=True)
+        cand = pos - (tb.p_size - 1)
+        got = qgram_occurrences(stream, terms, tr, tb,
+                                cand_anchor_rel=cand)
+        want = qgram_occurrences(stream, terms, tr, tb)
+        for i in range(len(terms)):
+            assert np.array_equal(got[i], want[i]), (i, terms[i])
+
+
+def test_mgrep_cli_interpret_kernel_path(tmp_path):
+    """Full -f CLI through the interpret backend: the device q-gram
+    filter + packed-word machines drive occurrence finding."""
+    corpus = tmp_path / "c.txt"
+    rnd = random.Random(9)
+    words = ["alpha", "beta", "kernel", "device", "zeta", "engine"]
+    with open(corpus, "w") as f:
+        for _ in range(3000):
+            f.write(" ".join(rnd.choices(words,
+                                         k=rnd.randint(3, 8))) + "\n")
+    pats = [rnd.choice(words) for _ in range(10)]
+    pats += ["qx" + rnd.choice(words) + str(i) for i in range(30)]
+    pf = tmp_path / "p.txt"
+    pf.write_text("".join(p + "\n" for p in pats))
+    o_out, _, o_rc = run_oracle(["-c", "-f", str(pf), str(corpus)])
+    m_out, _, m_rc = run_ours(["-c", "-f", str(pf), str(corpus)],
+                              backend="interpret")
+    assert (m_out, m_rc) == (o_out, o_rc)
