@@ -10,6 +10,7 @@ divergence."""
 
 import os
 import sys
+import time
 
 from .version import __version__, REFERENCE_VERSION
 
@@ -31,7 +32,7 @@ _PAGE4 = '\nAGREP [-#cdehi[a|#]klnprstvwxyABDGIRS] [-f patternfile] [-H dir] pat
 
 _PAGE5 = '\nAGREP [-#cdehi[a|#]klnprstvwxyABDGIRS] [-f patternfile] [-H dir] pattern [files]\nAs of Sept 18, 2014, Webglimpse and Glimpse (AGREP is a part of it)\nare available under the ISC open source license, thanks to the\nUniversity of Arizona Office of Technology Transfer and all the developers,\nwho were more than happy to release it. http://opensource.org/licenses/ISC\n===============================================================================\nCopyright 1996, Arizona Board of Regents on behalf of The University of Arizona.\n\nPermission to use, copy, modify, and/or distribute this software for any\npurpose with or without fee is hereby granted, provided that the above\ncopyright notice and this permission notice appear in all copies.\n\nTHE SOFTWARE IS PROVIDED "AS IS" AND THE AUTHOR DISCLAIMS ALL WARRANTIES\nWITH REGARD TO THIS SOFTWARE INCLUDING ALL IMPLIED WARRANTIES OF\nMERCHANTABILITY AND FITNESS.\n\nIN NO EVENT SHALL THE AUTHOR BE LIABLE FOR ANY SPECIAL, DIRECT, INDIRECT,\nOR CONSEQUENTIAL DAMAGES OR ANY DAMAGES WHATSOEVER RESULTING FROM LOSS OF USE,\nDATA OR PROFITS, WHETHER IN AN ACTION OF CONTRACT, NEGLIGENCE OR OTHER\nTORTIOUS ACTION, ARISING OUT OF OR IN CONNECTION WITH THE USE OR PERFORMANCE\nOF THIS SOFTWARE.\n===============================================================================\n\n                                                                      1234<5>6Q'
 
-_PAGE6 = '\nAGREP [-#cdehi[a|#]klnprstvwxyABDGIRS] [-f patternfile] [-H dir] pattern [files]\nAGREP is a powerful tool for searching a file or many files for a string or\nregular expression, with approximate matching capabilities and user-definable\nrecords. AGREP was developed 1989-1991 by Sun Wu and Udi Manber and many others\n(please read CONTRIB.TXT and MANUAL.DOC).\n\nAGREP is the search engine and part of the GLIMPSE tool for searching and\nindexing whole file systems. GLIMPSE stands for GLobal IMPlicit SEarch and is\npart of the HARVEST Information Discovery and Access System.\n\nAGREP as of Aug 16 2026:\n===============================================\nThe home page for AGREP and GLIMPSE in general            http://webglimpse.net\nHome page AGREP                                      http://www.tgries.de/agrep\n\nThank you for using AGREP.\n                                                                      12345<6>Q'
+_PAGE6 = '\nAGREP [-#cdehi[a|#]klnprstvwxyABDGIRS] [-f patternfile] [-H dir] pattern [files]\nAGREP is a powerful tool for searching a file or many files for a string or\nregular expression, with approximate matching capabilities and user-definable\nrecords. AGREP was developed 1989-1991 by Sun Wu and Udi Manber and many others\n(please read CONTRIB.TXT and MANUAL.DOC).\n\nAGREP is the search engine and part of the GLIMPSE tool for searching and\nindexing whole file systems. GLIMPSE stands for GLobal IMPlicit SEarch and is\npart of the HARVEST Information Discovery and Access System.\n\nAGREP as of %(date)s:\n===============================================\nThe home page for AGREP and GLIMPSE in general            http://webglimpse.net\nHome page AGREP                                      http://www.tgries.de/agrep\n\nThank you for using AGREP.\n                                                                      12345<6>Q'
 
 
 
@@ -47,7 +48,18 @@ def _page(n: int) -> str:
         cpline = ("The current codepage could not be detected. "
                   "AGREP will use CP850 by default.")
         return _PAGE4 % dict(aopts=aopts, cpline=cpline, verbose=1)
-    return {1: _PAGE1, 2: _PAGE2, 3: _PAGE3, 5: _PAGE5, 6: _PAGE6}[n]
+    if n == 6:
+        # AGREP_DATE = __DATE__ (version.h:71, agrephlp.c:278): the
+        # reference prints its compile date; we have no compile step,
+        # so print today's in __DATE__ format ("Mmm dd yyyy", day
+        # space-padded) -- documented divergence when the oracle's
+        # build day differs
+        t = time.localtime()
+        date = "%s %2d %d" % (
+            ("Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov "
+             "Dec".split()[t.tm_mon - 1]), t.tm_mday, t.tm_year)
+        return _PAGE6 % dict(date=date)
+    return {1: _PAGE1, 2: _PAGE2, 3: _PAGE3, 5: _PAGE5}[n]
 
 
 def online_help(f=None, stdin=None) -> None:

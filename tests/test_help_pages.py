@@ -34,6 +34,9 @@ def _strip_banners(err: bytes) -> bytes:
     # as the previous page's footer -- strip as substrings, not lines
     import re
     err = re.sub(rb"AGREP 3\.41[^\n]*", b"", err)
+    # page 6 "AGREP as of __DATE__" is the binary's compile date
+    # (version.h:71) -- same documented divergence class as the banner
+    err = re.sub(rb"AGREP as of [^\n]*", b"", err)
     return re.sub(rb"AGREP-TPU[^\n]*", b"", err)
 
 
