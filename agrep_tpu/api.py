@@ -68,6 +68,15 @@ class Query:
         import os
         from .codepage import resolve_codepage
         o = self.opts
+        if o.verbose > 3:
+            # codepage resolution warning (agrep.c:2746-2754): on a
+            # POSIX build get_current_codepage() is absent, so with no
+            # -CP the detected number is always -1
+            from .codepage import _TABLES
+            j = o.codepage if o.codepage is not None else -1
+            if j not in _TABLES:
+                print("AGREP -- WARNING: The codepage (%d) is wrong "
+                      "or could not be detected." % j)
         if o.verbose > 2:
             opts_env = os.environ.get("AGREPOPTS")
             if opts_env is not None:
@@ -84,6 +93,32 @@ class Query:
             }
             print(msgs.get(o.nocase,
                            "AGREP -- INFO: case sensitive search"))
+        if o.verbose > 4:
+            self._lut_dump()
+
+    def _lut_dump(self) -> None:
+        """-V5 translation-table dump (agrep.c:2794-2818): 256 lines
+        showing every byte's -i/-ia/-i# folds from the CP table;
+        control bytes render as '.'."""
+        from .codepage import _TABLES, resolve_codepage
+        table = _TABLES[resolve_codepage(self.opts.codepage)]
+        out = sys.stdout.buffer
+        out.write(b"AGREP -- INFO: translation look-up tables for "
+                  b"-i, -ia and -i# options:\n")
+        for i in range(256):
+            l1, l2, l3, meta = table[i]
+            metatxt = (b" metasymbol; not searchable" if meta > 0
+                       else b"")
+            if i < 32:
+                cells = [b"."] * 4
+            else:
+                cells = [bytes([v]) for v in (i, l1, l2, l3)]
+            out.write(b"-i0: %s (%03d %02Xh) => -i: %s (%03d %02Xh)"
+                      b"  -ia: %s (%03d %02Xh)  -i#: %s (%03d %02Xh)"
+                      b" %s\n"
+                      % (cells[0], i, i, cells[1], l1, l1,
+                         cells[2], l2, l2, cells[3], l3, l3, metatxt))
+        out.flush()
 
     def search_files(self, files: list[str], output=None) -> int:
         """Search files; returns total number of matched records."""

@@ -94,6 +94,21 @@ def two_files(tmp_path_factory):
 @pytest.mark.parametrize("args", [
     ["-G"], ["-A"], ["-G", "-A"], ["-A", "-c"], ["-A", "-n"],
     ["-G", "-c"], ["-A", "-v", "-c"],
+    ["-O"], ["-O", "-A"], ["-O", "-n"], ["-G", "-O"], ["-M"],
 ])
-def test_G_A_combos(two_files, args):
+def test_G_A_O_combos(two_files, args):
     compare(args + ["hello"] + two_files)
+
+
+@pytest.mark.parametrize("args", [
+    ["-V4", "-c"],
+    ["-V5", "-i", "-c"],
+    ["-V5", "-ia"],
+    ["-V5", "-CP850", "-i#", "-c"],
+    ["-V5", "-CP437", "-c"],
+    ["-V4", "-CP999", "-c"],
+])
+def test_verbose_lut_dump(two_files, args):
+    """-V4 codepage warning (agrep.c:2754) and the -V5 256-line
+    translation-table dump (agrep.c:2794-2818), byte-exact."""
+    compare(args + ["hello", two_files[0]])

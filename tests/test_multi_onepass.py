@@ -114,6 +114,21 @@ def test_conformance_600_patterns_one_pass(corpus100, tmp_path):
     compare(["-P", "-f", pf, corpus])
 
 
+def test_conformance_5000_patterns_one_pass(corpus100, tmp_path):
+    # VERDICT item #4's upper gate: 5,000 patterns, still ONE corpus
+    # pass through the q-gram filter.  Matchable terms stay in the
+    # first 16 slots (amatched_terminals OOB, see the 600-pattern
+    # case above); the 4,990 misses drive the hash tables at scale.
+    corpus, _ = corpus100
+    rnd = random.Random(5)
+    words = ["alpha", "beta", "kernel", "device", "zeta"]
+    pats = [rnd.choice(words) for _ in range(10)]
+    pats += ["zq%04dx" % i for i in range(4990)]
+    pf = str(tmp_path / "p5000.txt")
+    open(pf, "w").write("".join(p + "\n" for p in pats))
+    compare(["-c", "-f", pf, corpus])
+
+
 def test_empty_pattern_lines_consume_indices(tmp_path):
     corpus = str(tmp_path / "c.txt")
     open(corpus, "w").write("foo baz\nbar quux\n")
