@@ -77,7 +77,10 @@ def get_lib():
                                  i64p, i64p, i64]
     lib.a_monkey_block.restype = i64
     lib.a_monkey_block.argtypes = [u8p, i64, i64, i64, u8p, i64, i64,
-                                   u8p, i64p, i64]
+                                   u8p, u8p, i64, i64p, i64]
+    lib.monkey4_block.restype = i64
+    lib.monkey4_block.argtypes = [u8p, i64, i64, i64, u8p, i64, i64,
+                                  i64p, u8p, i64, u8p, i64, i64p, i64]
     lib.qgram_first_per_line.restype = i64
     lib.qgram_first_per_line.argtypes = [
         u8p, i64, u8p, i32p, i64p, i64p, u8p, i64p, u8p, i64,
@@ -176,6 +179,59 @@ def agrep_count_walk(events: np.ndarray, rec_ends: np.ndarray,
         np.ascontiguousarray(rec_ends, dtype=np.int64), len(events),
         np.ascontiguousarray(cands.reshape(-1), dtype=np.int64),
         len(cands), lo_g, m_pat, D))
+
+
+def a_monkey_block(buf: np.ndarray, start: int, end: int, pat: bytes,
+                   D: int, member1: np.ndarray,
+                   d_pattern: bytes | None) -> np.ndarray | None:
+    """Match-end positions from a_monkey's filter walk over one block
+    (C twin of the sgrep_sim loop); None when the lib is unavailable.
+    d_pattern None means newline records."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(np.frombuffer(pat, dtype=np.uint8))
+    dp = np.ascontiguousarray(np.frombuffer(
+        d_pattern if d_pattern else b"\n", dtype=np.uint8))
+    dl = len(d_pattern) if d_pattern else 0
+    bufc = np.ascontiguousarray(buf)
+    mem = np.ascontiguousarray(member1.astype(np.uint8))
+    cap = 1024
+    while True:
+        out = np.empty(cap, dtype=np.int64)
+        n = lib.a_monkey_block(bufc, len(bufc), int(start), int(end),
+                               p, len(pat), int(D), mem, dp, dl, out,
+                               cap)
+        if n <= cap:
+            return out[:n].copy()
+        cap = int(n) + 16
+
+
+def monkey4_block(buf: np.ndarray, start: int, end: int, pat: bytes,
+                  D: int, char_map: np.ndarray, member: np.ndarray,
+                  hashmask: int,
+                  d_pattern: bytes | None) -> np.ndarray | None:
+    """Match-end positions from monkey4's DNA filter walk over one
+    block; None when the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(np.frombuffer(pat, dtype=np.uint8))
+    dp = np.ascontiguousarray(np.frombuffer(
+        d_pattern if d_pattern else b"\n", dtype=np.uint8))
+    dl = len(d_pattern) if d_pattern else 0
+    bufc = np.ascontiguousarray(buf)
+    cm = np.ascontiguousarray(char_map.astype(np.int64))
+    mem = np.ascontiguousarray(member.astype(np.uint8))
+    cap = 1024
+    while True:
+        out = np.empty(cap, dtype=np.int64)
+        n = lib.monkey4_block(bufc, len(bufc), int(start), int(end),
+                              p, len(pat), int(D), cm, mem,
+                              int(hashmask), dp, dl, out, cap)
+        if n <= cap:
+            return out[:n].copy()
+        cap = int(n) + 16
 
 
 def qgram_first_per_line(stream: np.ndarray, member: np.ndarray,

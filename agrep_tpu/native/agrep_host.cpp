@@ -415,16 +415,40 @@ int64_t verify_dp(int64_t m, int64_t n, int64_t D, const uint8_t* pat_in,
 // a_monkey filter walk (sgrep.c:1858-2067): match end positions.
 // ---------------------------------------------------------------
 
+// curtextend for a match at pos (sgrep_sim._record_end_buf,
+// a_monkey:1891-1894): newline records end one past the '\n';
+// delimiter records end where the delimiter STARTS (or textend+1).
+static int64_t record_end_buf(const uint8_t* buf, int64_t buflen,
+                              int64_t pos, int64_t textend,
+                              const uint8_t* dpat, int64_t dl) {
+    if (dl == 0) {  // newline records
+        int64_t t = pos + 1;
+        while (t < textend && buf[t] != '\n') t++;
+        if (t < buflen && buf[t] == '\n') t++;
+        return t;
+    }
+    int64_t t = pos + 1;
+    while (t + dl <= textend) {
+        if (memcmp(buf + t, dpat, (size_t)dl) == 0) return t;
+        t++;
+    }
+    return textend + 1;
+}
+
+// Returns the TOTAL number of match ends found (may exceed cap; only
+// the first cap are written -- callers retry with a larger buffer).
+// dl == 0 means newline records; dl > 0 is the -d delimiter.
 int64_t a_monkey_block(const uint8_t* buf, int64_t buflen, int64_t start,
                        int64_t end, const uint8_t* pat, int64_t m,
                        int64_t D, const uint8_t* member1,
+                       const uint8_t* dpat, int64_t dl,
                        int64_t* out, int64_t cap) {
     int64_t m1 = m - 1 - D;
     int64_t text = start;
     int64_t oldtext = text;
     int64_t cnt = 0;
     int64_t guard = 0;
-    int64_t guard_max = 4 * (end - start + 16) + 64;
+    int64_t guard_max = 4 * (end - start + 16);
     while (text < end) {
         text += m1;
         int64_t suffix_error = 0;
@@ -449,12 +473,69 @@ int64_t a_monkey_block(const uint8_t* buf, int64_t buflen, int64_t start,
             if (pos > 0) {
                 text = oldtext + pos;
                 if (text > end) break;
-                if (cnt < cap) out[cnt++] = text;
-                // jump to record end (newline case)
-                int64_t t = text + 1;
-                while (t < end && buf[t] != '\n') t++;
-                if (t < buflen && buf[t] == '\n') t++;
-                text = t;
+                if (cnt < cap) out[cnt] = text;
+                cnt++;
+                text = record_end_buf(buf, buflen, text, end, dpat, dl);
+            } else {
+                text = oldtext + m;
+            }
+        }
+        oldtext = text;
+    }
+    return cnt;
+}
+
+// monkey4 filter walk (sgrep.c:2345-2480): DNA 2-bit q-gram backward
+// filter + verify DP.  char_map/member/hashmask are prebuilt by the
+// Python caller (prep4 quirks live there).  Resumes one PAST the
+// record end after a match (sgrep.c:2441).  Same contract as
+// a_monkey_block.
+int64_t monkey4_block(const uint8_t* buf, int64_t buflen, int64_t start,
+                      int64_t end, const uint8_t* pat, int64_t m,
+                      int64_t D, const int64_t* char_map,
+                      const uint8_t* member, int64_t hashmask,
+                      const uint8_t* dpat, int64_t dl,
+                      int64_t* out, int64_t cap) {
+    const int LOG_DNA = 3;
+    int64_t m1 = m - 1 - D;
+    int64_t text = start;
+    int64_t oldtext = text;
+    int64_t cnt = 0;
+    int64_t guard = 0;
+    int64_t guard_max = 4 * (end - start + 16);
+    while (text < end) {
+        text += m1;
+        int64_t suffix_error = 0;
+        while (suffix_error <= D) {
+            if (text < 1) break;
+            int64_t h = (text < buflen) ? char_map[buf[text]] : 0;
+            text--;
+            h = ((h << LOG_DNA)
+                 + ((text < buflen) ? char_map[buf[text]] : 0))
+                & hashmask;
+            text--;
+            while (member[h]) {
+                if (text < 0) break;
+                h = ((h << LOG_DNA)
+                     + ((text < buflen) ? char_map[buf[text]] : 0))
+                    & hashmask;
+                text--;
+            }
+            suffix_error++;
+        }
+        if (++guard > guard_max) break;
+        if (text <= oldtext) {
+            int64_t wlen = 2 * m + D;
+            if (oldtext + wlen > buflen) wlen = buflen - oldtext;
+            int64_t pos = verify_dp(m, 2 * m + D, D, pat,
+                                    buf + oldtext, wlen);
+            if (pos > 0) {
+                text = oldtext + pos;
+                if (text > end) break;
+                if (cnt < cap) out[cnt] = text;
+                cnt++;
+                text = record_end_buf(buf, buflen, text, end, dpat, dl)
+                       + 1;
             } else {
                 text = oldtext + m;
             }

@@ -703,8 +703,15 @@ def a_monkey_scan(data: np.ndarray, pat: bytes, D: int,
     vb = VirtualSgrepBuffer(data, pat, delimiter, d_pattern)
     matches = []
     blocks = []
+    from .. import native
+    dp = d_pattern if delimiter else None
     for (start, end, gstart) in vb.blocks():
         buf = vb.buf
+        nm = native.a_monkey_block(buf, start, end, pat, D, member, dp)
+        if nm is not None:
+            matches.append([int(x) for x in nm])
+            blocks.append((start, end, gstart))
+            continue
         textend = end
         text = start
         oldtext = text
@@ -785,8 +792,16 @@ def monkey4_scan(data: np.ndarray, pat: bytes, D: int,
     vb = VirtualSgrepBuffer(data, pat, delimiter, d_pattern)
     matches = []
     blocks = []
+    from .. import native
+    dp = d_pattern if delimiter else None
     for (start, end, gstart) in vb.blocks():
         buf = vb.buf
+        nm = native.monkey4_block(buf, start, end, pat, D, char_map,
+                                  member, hashmask, dp)
+        if nm is not None:
+            matches.append([int(x) for x in nm])
+            blocks.append((start, end, gstart))
+            continue
         textend = end
         text = start
         oldtext = text
