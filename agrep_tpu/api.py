@@ -57,7 +57,10 @@ class Query:
         # the PRE-compat flags (-c -n still counts as LINENUM for the
         # fast-path bar; -c -B still bars it), while output honors the
         # post-compat mutations.
-        self.compiled: CompiledQuery = compile_query(self.pattern, self.opts)
+        from .runtime import trace
+        with trace.stage("compile"):
+            self.compiled: CompiledQuery = compile_query(self.pattern,
+                                                         self.opts)
         compat_check(self.opts, self.opts.pat_file is not None
                      or self.opts.pat_buffer is not None)
         self._verbose_info()

@@ -248,6 +248,9 @@ def qgram_occurrences(stream: np.ndarray, terms: list[bytes],
             hv = np.zeros(0, dtype=np.int64)
     if not len(cand):
         return occ
+    from ..runtime import trace
+    if trace.ENABLED:
+        trace.add("qgram_candidates", int(len(cand)))
     folded = tr[stream]
     # group candidates by bucket: stable sort keeps anchors ascending
     bid = tb.hash_id[hv]

@@ -69,6 +69,10 @@ def scan_events(text: np.ndarray, mask_table: np.ndarray, consts: dict,
     N = int(text.shape[0])
     if N == 0:
         return np.zeros(0, dtype=np.uint32)
+    from ..runtime import trace
+    if trace.ENABLED:
+        trace.add("device_scans")
+        trace.add("scan_bytes", N)
     m = consts.get("m", 32)
     W = min(max(m + D + 2, 48), tile)
     L = tile
@@ -78,6 +82,8 @@ def scan_events(text: np.ndarray, mask_table: np.ndarray, consts: dict,
                           variant, costs,
                           interpret=(_BACKEND == "interpret"))
         if out is not None:
+            if trace.ENABLED:
+                trace.add("pallas_scans")
             return out
         if _on_tpu():
             # Pallas-rejected shapes on TPU: the XLA lax.scan path's

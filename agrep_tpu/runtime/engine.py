@@ -1031,6 +1031,9 @@ class Executor:
         t0 = _time.perf_counter() if stats else 0.0
         bytes_scanned = 0
         nomatch = True
+        from . import trace
+        prof = trace.profiled()
+        prof.__enter__()
         stream_min = int(os.environ.get("AGREP_TPU_STREAM_MB",
                                         "64")) << 20
         for i, path in enumerate(files):
@@ -1051,12 +1054,13 @@ class Executor:
                 continue
             bytes_scanned += len(data)
             tl0 = getattr(self.engine, "total_line", 0)
-            if (size > stream_min
-                    and hasattr(self.engine, "supports_streaming")
-                    and self.engine.supports_streaming()):
-                self.engine.search_stream_chunked(data, sink, q.D)
-            else:
-                self.engine.search_stream(data, sink, q.D)
+            with trace.stage("scan"):
+                if (size > stream_min
+                        and hasattr(self.engine, "supports_streaming")
+                        and self.engine.supports_streaming()):
+                    self.engine.search_stream_chunked(data, sink, q.D)
+                else:
+                    self.engine.search_stream(data, sink, q.D)
             nfile = sink.num_matched - sink.prev_num_matched
             if nfile > 0:
                 nomatch = False
@@ -1075,6 +1079,7 @@ class Executor:
                     or (o.limit_total_file > 0
                         and sink.files_matched >= o.limit_total_file):
                 break
+        prof.__exit__(None, None, None)
         if stats:
             # the reference's implicit cost model made explicit
             # (SURVEY.md section 5, tracing): AGREP_TPU_STATS=1
@@ -1085,6 +1090,7 @@ class Executor:
                      sink.num_matched, dt,
                      bytes_scanned / max(dt, 1e-9) / 1e6,
                      scan_ops._BACKEND), file=sys.stderr)
+            trace.report()
 
         if nomatch and o.bestmatch:
             self._best_match(files)
