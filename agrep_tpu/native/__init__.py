@@ -90,6 +90,19 @@ def get_lib():
     return lib
 
 
+_SCRATCH: dict = {}
+
+
+def _scratch(key: str, min_len: int, dtype=np.int64) -> np.ndarray:
+    """Grow-only scratch buffer (avoids re-faulting fresh pages on
+    every call; see qgram_first_per_line)."""
+    buf = _SCRATCH.get(key)
+    if buf is None or len(buf) < min_len:
+        buf = np.empty(min_len, dtype=dtype)
+        _SCRATCH[key] = buf
+    return buf
+
+
 def find_occurrences(stream: np.ndarray, term: bytes,
                      tr: np.ndarray) -> np.ndarray | None:
     lib = get_lib()
@@ -238,16 +251,26 @@ def qgram_first_per_line(stream: np.ndarray, member: np.ndarray,
                          hash_id: np.ndarray, bucket_off: np.ndarray,
                          bucket_tids: np.ndarray, term_bytes: np.ndarray,
                          term_off: np.ndarray, tr: np.ndarray, p: int,
-                         longf: bool, shortf: bool, wordbound: bool):
+                         longf: bool, shortf: bool, wordbound: bool,
+                         count_only: bool = False):
     """First verified (anchor, term_id) per newline record; None when
-    the native library is unavailable."""
+    the native library is unavailable.  count_only returns just the
+    int total (no buffer growth, at most one corpus walk)."""
     lib = get_lib()
     if lib is None:
         return None
-    cap = int(np.count_nonzero(stream == 0x0A)) + 1
-    out_a = np.empty(cap, dtype=np.int64)
-    out_t = np.empty(cap, dtype=np.int64)
-    cnt = lib.qgram_first_per_line(
+    # grow-only cached output buffers: first-touch page faults on a
+    # fresh multi-MB allocation cost more than the scan itself on this
+    # class of host.  Returned slices are views into the scratch --
+    # callers consume them before the next call (single-threaded
+    # executor).  count_only passes cap=0: the C walk still counts
+    # every pair but never writes.
+    if count_only:
+        out_a = out_t = np.zeros(1, dtype=np.int64)
+    else:
+        out_a = _scratch("qgram_a", 1 << 20)
+        out_t = _scratch("qgram_t", 1 << 20)
+    args_fixed = (
         np.ascontiguousarray(stream), len(stream),
         np.ascontiguousarray(member.astype(np.uint8)),
         np.ascontiguousarray(hash_id.astype(np.int32)),
@@ -256,5 +279,16 @@ def qgram_first_per_line(stream: np.ndarray, member: np.ndarray,
         np.ascontiguousarray(term_bytes),
         np.ascontiguousarray(term_off.astype(np.int64)),
         np.ascontiguousarray(tr), p, int(longf), int(shortf),
-        int(wordbound), out_a, out_t, cap)
+        int(wordbound))
+    cap = 0 if count_only else len(out_a)
+    cnt = lib.qgram_first_per_line(*args_fixed, out_a, out_t, cap)
+    if count_only:
+        return int(cnt)
+    if cnt <= cap:
+        return out_a[:cnt], out_t[:cnt]
+    # the walk found more pairs than fit: one re-walk at exact size
+    out_a = _scratch("qgram_a", int(cnt) + 16)
+    out_t = _scratch("qgram_t", int(cnt) + 16)
+    cnt = lib.qgram_first_per_line(*args_fixed, out_a, out_t,
+                                   len(out_a))
     return out_a[:cnt], out_t[:cnt]

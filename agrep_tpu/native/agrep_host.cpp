@@ -561,7 +561,9 @@ int64_t monkey4_block(const uint8_t* buf, int64_t buflen, int64_t start,
 // member: u8[32768] (u8[256] when shortf); hash_id: i32 per hash ->
 // bucket index; buckets CSR: bucket_off[i64, nb+1] -> bucket_tids
 // (ascending); terms CSR: term_off[i64, nterm+1] -> term_bytes.
-// Returns number of (anchor, tid) pairs written (<= number of lines).
+// Returns the TOTAL number of (anchor, tid) pairs found; only the
+// first cap are written (callers either re-walk with a larger buffer
+// or, for count-only use, take the total as-is).
 int64_t qgram_first_per_line(
     const uint8_t* buf, int64_t n, const uint8_t* member,
     const int32_t* hash_id, const int64_t* bucket_off,
@@ -576,7 +578,7 @@ int64_t qgram_first_per_line(
             || (c >= 'a' && c <= 'z');
     };
     int64_t a = p - 1;
-    while (a < n && cnt < cap) {
+    while (a < n) {
         uint32_t h;
         if (shortf) {
             h = tr[buf[a]];
@@ -608,8 +610,10 @@ int64_t qgram_first_per_line(
                 break;
             }
             if (won >= 0) {
-                out_anchor[cnt] = a;
-                out_tid[cnt] = won;
+                if (cnt < cap) {
+                    out_anchor[cnt] = a;
+                    out_tid[cnt] = won;
+                }
                 cnt++;
                 const void* nl = memchr(buf + a, '\n', (size_t)(n - a));
                 if (nl == nullptr) break;

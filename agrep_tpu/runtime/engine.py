@@ -1042,9 +1042,12 @@ class Executor:
             sink.new_file = True
             try:
                 size = os.path.getsize(path)
-                if size > stream_min:
-                    # big file: read-only memmap; emulation walks fault
-                    # pages in sequentially, O(chunk) resident
+                if size > (4 << 20):
+                    # read-only memmap: pages come straight from the
+                    # page cache instead of first-touch-faulting a
+                    # fresh anonymous copy (fromfile); above stream_min
+                    # the chunked engines additionally walk it in
+                    # O(chunk) resident memory
                     data = open_bytes(path)
                 else:
                     data = np.fromfile(path, dtype=np.uint8)

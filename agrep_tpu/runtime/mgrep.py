@@ -191,6 +191,45 @@ class MgrepEngine:
                 best[tgt] = np.where(cur > tid_max, cur, tid_max)
         return best
 
+    def _qgram_csr_tables(self, tb):
+        """CSR-packed bucket/term tables for the native q-gram pass."""
+        if self._qgram_csr is None:
+            bl = tb.bucket_list or []
+            b_off = np.zeros(len(bl) + 1, dtype=np.int64)
+            for i, ids in enumerate(bl):
+                b_off[i + 1] = b_off[i] + len(ids)
+            b_tids = (np.concatenate(bl).astype(np.int64)
+                      if bl else np.zeros(0, dtype=np.int64))
+            t_off = np.zeros(len(self.terms) + 1, dtype=np.int64)
+            for i, t in enumerate(self.terms):
+                t_off[i + 1] = t_off[i] + len(t)
+            t_bytes = np.frombuffer(
+                b"".join(self.terms), dtype=np.uint8).copy()
+            if not len(t_bytes):
+                t_bytes = np.zeros(1, dtype=np.uint8)
+            self._qgram_csr = (b_off, b_tids, t_bytes, t_off)
+        return self._qgram_csr
+
+    def _first_match_count(self, stream: np.ndarray, tb) -> int | None:
+        """Matched-line COUNT via the native pass, no materialized
+        occurrence table (one corpus walk, no output growth); None when
+        the native library is unavailable."""
+        from .. import native
+        if native.get_lib() is None:
+            return None
+        if len(stream) < tb.p_size:
+            return 0
+        b_off, b_tids, t_bytes, t_off = self._qgram_csr_tables(tb)
+
+        def count_of(chunk):
+            return int(native.qgram_first_per_line(
+                chunk, tb.member, tb.hash_id, b_off, b_tids,
+                t_bytes, t_off, self.tr, tb.p_size, bool(tb.long_),
+                bool(tb.short), bool(self.q.opts.wordbound),
+                count_only=True))
+
+        return count_of(stream)
+
     def _first_match_occurrences(self, stream: np.ndarray, tb) -> dict:
         """Reduced occurrence table for flat-OR: ONLY the winning
         (first-anchor, max-idx) entry of each matched line.  The
@@ -210,22 +249,7 @@ class MgrepEngine:
         # jump as one C pass (agrep_host.cpp qgram_first_per_line)
         from .. import native
         if native.get_lib() is not None:
-            if self._qgram_csr is None:
-                bl = tb.bucket_list or []
-                b_off = np.zeros(len(bl) + 1, dtype=np.int64)
-                for i, ids in enumerate(bl):
-                    b_off[i + 1] = b_off[i] + len(ids)
-                b_tids = (np.concatenate(bl).astype(np.int64)
-                          if bl else np.zeros(0, dtype=np.int64))
-                t_off = np.zeros(len(self.terms) + 1, dtype=np.int64)
-                for i, t in enumerate(self.terms):
-                    t_off[i + 1] = t_off[i] + len(t)
-                t_bytes = np.frombuffer(
-                    b"".join(self.terms), dtype=np.uint8).copy()
-                if not len(t_bytes):
-                    t_bytes = np.zeros(1, dtype=np.uint8)
-                self._qgram_csr = (b_off, b_tids, t_bytes, t_off)
-            b_off, b_tids, t_bytes, t_off = self._qgram_csr
+            b_off, b_tids, t_bytes, t_off = self._qgram_csr_tables(tb)
             out = native.qgram_first_per_line(
                 stream, tb.member, tb.hash_id, b_off, b_tids,
                 t_bytes, t_off, self.tr, p, bool(tb.long_),
@@ -361,6 +385,28 @@ class MgrepEngine:
                       memory_mode: bool = False) -> None:
         q, o = self.q, self.q.opts
         dl = len(q.delim)
+        # ---- pure-count fast path: flat-OR -c with no inversion,
+        # decorations, or limits needs only the NUMBER of matched
+        # lines, which is exactly the winner count of the
+        # first-match-per-line pass.  Skipping the padded stream copy
+        # and the newline index drops two O(file) allocations whose
+        # first-touch page faults dominate wall time on large files.
+        if (not memory_mode and not q.delimiter_opt and self.p_size > 1
+                and o.count and not o.invert and not o.filename_only
+                and not o.silent and o.limit_output <= 0
+                and o.limit_per_file <= 0
+                and self._fast_or_applicable(o, q)):
+            if self._qgram_tables is None:
+                from ..compile import multi as multi_mod2
+                self._qgram_tables = multi_mod2.build_qgram_tables(
+                    self.terms, self.tr)
+            cnt = self._first_match_count(data, self._qgram_tables)
+            if cnt is None:
+                occ = self._first_match_occurrences(
+                    data, self._qgram_tables)
+                cnt = sum(len(v) for v in occ.values())
+            sink.num_matched += cnt
+            return
         trim_end = None      # block-trim boundary (stream coords)
         if memory_mode:
             stream = data
