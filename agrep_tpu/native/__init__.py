@@ -86,6 +86,15 @@ def get_lib():
         u8p, i64, u8p, i32p, i64p, i64p, u8p, i64p, u8p, i64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i64p, i64p,
         i64]
+    lib.qgram_occ_all.restype = i64
+    lib.qgram_occ_all.argtypes = [
+        u8p, i64, u8p, i32p, i64p, i64p, u8p, i64p, u8p, i64,
+        ctypes.c_int32, ctypes.c_int32, i64p, i64p, i64]
+    lib.qgram_first_per_anchor.restype = i64
+    lib.qgram_first_per_anchor.argtypes = [
+        u8p, i64, u8p, i32p, i64p, i64p, u8p, i64p, u8p, i64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        u8p, i64, i64p, i64, i64, i64p, i64p, i64]
     _lib = lib
     return lib
 
@@ -101,6 +110,24 @@ def _scratch(key: str, min_len: int, dtype=np.int64) -> np.ndarray:
         buf = np.empty(min_len, dtype=dtype)
         _SCRATCH[key] = buf
     return buf
+
+
+def find_delims_all(stream: np.ndarray,
+                    delim: bytes) -> np.ndarray | None:
+    """All (overlapping) delimiter END positions; None when the native
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(np.frombuffer(delim, dtype=np.uint8))
+    s = np.ascontiguousarray(stream)
+    out = _scratch("delims", 1 << 20)
+    while True:
+        cap = len(out)
+        n = lib.find_delims(s, len(s), d, len(d), out, cap)
+        if n < cap:
+            return out[:n].copy()
+        out = _scratch("delims", 2 * cap)
 
 
 def find_occurrences(stream: np.ndarray, term: bytes,
@@ -192,6 +219,78 @@ def agrep_count_walk(events: np.ndarray, rec_ends: np.ndarray,
         np.ascontiguousarray(rec_ends, dtype=np.int64), len(events),
         np.ascontiguousarray(cands.reshape(-1), dtype=np.int64),
         len(cands), lo_g, m_pat, D))
+
+
+def qgram_occ_all(stream: np.ndarray, member: np.ndarray,
+                  hash_id: np.ndarray, bucket_off: np.ndarray,
+                  bucket_tids: np.ndarray, term_bytes: np.ndarray,
+                  term_off: np.ndarray, tr: np.ndarray, p: int,
+                  longf: bool, shortf: bool):
+    """All verified (anchor, tid) pairs in one C pass; None when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out_a = _scratch("qgram_a", 1 << 20)
+    out_t = _scratch("qgram_t", 1 << 20)
+    args_fixed = (
+        np.ascontiguousarray(stream), len(stream),
+        np.ascontiguousarray(member.astype(np.uint8)),
+        np.ascontiguousarray(hash_id.astype(np.int32)),
+        np.ascontiguousarray(bucket_off.astype(np.int64)),
+        np.ascontiguousarray(bucket_tids.astype(np.int64)),
+        np.ascontiguousarray(term_bytes),
+        np.ascontiguousarray(term_off.astype(np.int64)),
+        np.ascontiguousarray(tr), p, int(longf), int(shortf))
+    cnt = lib.qgram_occ_all(*args_fixed, out_a, out_t, len(out_a))
+    if cnt > len(out_a):
+        out_a = _scratch("qgram_a", int(cnt) + 16)
+        out_t = _scratch("qgram_t", int(cnt) + 16)
+        cnt = lib.qgram_occ_all(*args_fixed, out_a, out_t, len(out_a))
+    return out_a[:cnt], out_t[:cnt]
+
+
+def qgram_first_per_anchor(stream: np.ndarray, member: np.ndarray,
+                           hash_id: np.ndarray, bucket_off: np.ndarray,
+                           bucket_tids: np.ndarray,
+                           term_bytes: np.ndarray,
+                           term_off: np.ndarray, tr: np.ndarray,
+                           p: int, longf: bool, shortf: bool,
+                           wordbound: bool,
+                           delim: bytes | None = None,
+                           marks: np.ndarray | None = None,
+                           maxs: int = 0):
+    """Highest-tid verified win per anchor; None when the native
+    library is unavailable.  delim+marks enable the replay-invisible
+    skip (see the C comment)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out_a = _scratch("qgram_a", 1 << 20)
+    out_t = _scratch("qgram_t", 1 << 20)
+    dp = np.ascontiguousarray(np.frombuffer(
+        delim if delim else b"\n", dtype=np.uint8))
+    dlen = len(delim) if delim else 0
+    mk = (np.ascontiguousarray(marks, dtype=np.int64)
+          if marks is not None else np.zeros(0, dtype=np.int64))
+    args_fixed = (
+        np.ascontiguousarray(stream), len(stream),
+        np.ascontiguousarray(member.astype(np.uint8)),
+        np.ascontiguousarray(hash_id.astype(np.int32)),
+        np.ascontiguousarray(bucket_off.astype(np.int64)),
+        np.ascontiguousarray(bucket_tids.astype(np.int64)),
+        np.ascontiguousarray(term_bytes),
+        np.ascontiguousarray(term_off.astype(np.int64)),
+        np.ascontiguousarray(tr), p, int(longf), int(shortf),
+        int(wordbound), dp, dlen, mk, len(mk), int(maxs))
+    cnt = lib.qgram_first_per_anchor(*args_fixed, out_a, out_t,
+                                     len(out_a))
+    if cnt > len(out_a):
+        out_a = _scratch("qgram_a", int(cnt) + 16)
+        out_t = _scratch("qgram_t", int(cnt) + 16)
+        cnt = lib.qgram_first_per_anchor(*args_fixed, out_a, out_t,
+                                         len(out_a))
+    return out_a[:cnt], out_t[:cnt]
 
 
 def a_monkey_block(buf: np.ndarray, start: int, end: int, pat: bytes,

@@ -308,6 +308,131 @@ class MgrepEngine:
             occ[tid] = res_a[res_i == tid] - (p - 1)
         return occ
 
+    def _all_occurrences_native(self, stream: np.ndarray,
+                                tb) -> dict | None:
+        """Full occurrence table via the one-pass C filter+verify
+        (native qgram_occ_all); None when the lib is unavailable."""
+        from .. import native
+        if native.get_lib() is None:
+            return None
+        occ = {i: np.zeros(0, dtype=np.int64)
+               for i in range(len(self.terms))}
+        if len(stream) < tb.p_size:
+            return occ
+        b_off, b_tids, t_bytes, t_off = self._qgram_csr_tables(tb)
+        out = native.qgram_occ_all(
+            stream, tb.member, tb.hash_id, b_off, b_tids, t_bytes,
+            t_off, self.tr, tb.p_size, bool(tb.long_), bool(tb.short))
+        if out is None:
+            return None
+        res_a, res_i = out
+        p = tb.p_size
+        order = np.argsort(res_i, kind="stable")
+        i_s = res_i[order]
+        a_s = res_a[order]
+        edges = np.flatnonzero(np.diff(i_s)) + 1
+        gs = np.concatenate([[0], edges, [len(i_s)]])
+        for gi in range(len(gs) - 1):
+            lo, hi = int(gs[gi]), int(gs[gi + 1])
+            if lo == hi:
+                continue
+            occ[int(i_s[lo])] = a_s[lo:hi] - (p - 1)
+        return occ
+
+    def _first_per_anchor_cols(self, stream: np.ndarray, dl: int, o,
+                               delim_marks=None, virt_append=False):
+        """-d flat-OR event stream straight from the native pass: the
+        replay consumes exactly one max-tid row per anchor (occ_first),
+        so the full per-term occurrence table, its python assembly
+        loop, and the lexsort are skipped entirely.
+
+        The main C pass runs directly over the stream (no whole-file
+        ext concatenate); two SMALL edge windows reproduce the leading
+        memcpy'd-delimiter context (start < p) and -- when the EOF
+        rescan's appended delimiter is kept virtual (virt_append) --
+        the tail crossings into it.  Returns (occ_a, occ_i, occ_s) in
+        stream coordinates (wordbound already applied), or None when
+        ineligible."""
+        q = self.q
+        if (q.bool_tree is not None or q.bool_op == "and"
+                or o.multi_output or self.p_size <= 1):
+            return None
+        from .. import native
+        if native.get_lib() is None:
+            return None
+        if self._qgram_tables is None:
+            from ..compile import multi as multi_mod
+            self._qgram_tables = multi_mod.build_qgram_tables(
+                self.terms, self.tr)
+        tb = self._qgram_tables
+        p = tb.p_size
+        n = len(stream)
+        m1 = self.p_size - 1
+        dref = np.frombuffer(q.delim, dtype=np.uint8)
+        maxlen = max((len(t) for t in self.terms if t), default=p)
+        b_off, b_tids, t_bytes, t_off = self._qgram_csr_tables(tb)
+
+        def cpass(buf, jump, marks=None):
+            return native.qgram_first_per_anchor(
+                buf, tb.member, tb.hash_id, b_off, b_tids, t_bytes,
+                t_off, self.tr, p, bool(tb.long_), bool(tb.short),
+                bool(o.wordbound), delim=(q.delim if jump else None),
+                marks=marks, maxs=self.p_size)
+
+        ctx_h = maxlen + p + dl + 8
+        if n <= ctx_h + 16:
+            # tiny stream: one legacy-shaped buffer covers everything
+            parts = [dref, stream] + ([dref] if virt_append else [])
+            buf = np.concatenate(parts)
+            out = cpass(buf, False)
+            if out is None:
+                return None
+            a_b, t_b = out
+            occ_s = (a_b - dl) - (p - 1)
+            occ_a = occ_s + m1
+            return occ_a, t_b.copy(), occ_s.copy()
+
+        marks = (np.asarray(delim_marks, dtype=np.int64)
+                 if delim_marks else None)
+        out = cpass(stream, True, marks)
+        if out is None:
+            return None
+        a_m, t_m = out
+        a_m, t_m = a_m.copy(), t_m.copy()     # scratch views
+        cut_h = p                              # starts below: window
+        keep = (a_m - (p - 1)) >= cut_h
+        a_m, t_m = a_m[keep], t_m[keep]
+
+        # head window: leading memcpy'd delimiter context
+        hbuf = np.concatenate([dref, stream[:ctx_h]])
+        ha, ht = cpass(hbuf, False)
+        h_s = (ha - dl) - (p - 1)
+        hk = h_s < cut_h
+        h_s, ht = h_s[hk].copy(), ht[hk].copy()
+
+        parts_s = [h_s, a_m - (p - 1)]
+        parts_t = [ht, t_m]
+
+        if virt_append:
+            # tail window: the EOF rescan's appended delimiter
+            ctx_t = maxlen + p + 8
+            lo2 = max(0, n - ctx_t - 1)
+            tbuf = np.concatenate([stream[lo2:], dref])
+            ta, tt = cpass(tbuf, False)
+            cut_t = lo2 + p                    # gram anchors >= : T's
+            keep_m = (parts_s[1] + (p - 1)) < cut_t
+            parts_s[1] = parts_s[1][keep_m]
+            parts_t[1] = parts_t[1][keep_m]
+            t_s = (ta + lo2) - (p - 1)
+            tk = (ta + lo2) >= cut_t
+            parts_s.append(t_s[tk].copy())
+            parts_t.append(tt[tk].copy())
+
+        occ_s = np.concatenate(parts_s)
+        occ_i = np.concatenate(parts_t)
+        occ_a = occ_s + m1
+        return occ_a, occ_i, occ_s
+
     def _all_occurrences(self, stream: np.ndarray) -> dict:
         """Start positions per term.
 
@@ -336,6 +461,9 @@ class MgrepEngine:
                 self._qgram_tables = multi_mod.build_qgram_tables(
                     self.terms, self.tr)
             tb = self._qgram_tables
+            occ_nat = self._all_occurrences_native(stream, tb)
+            if occ_nat is not None:
+                return occ_nat
             cand = None
             if len(stream) >= (1 << 16):
                 proj = multi_mod.member_projection_1024(tb)
@@ -408,6 +536,7 @@ class MgrepEngine:
             sink.num_matched += cnt
             return
         trim_end = None      # block-trim boundary (stream coords)
+        virt_append = False  # EOF-rescan delimiter kept virtual
         if memory_mode:
             stream = data
             base = 0
@@ -426,14 +555,37 @@ class MgrepEngine:
                 # delimiter appended (:573-575) only when >1 byte, so
                 # anchors past the final trim are seen only by that
                 # rescan.
-                ow, delim_marks, trim_end, live_append = \
+                ow, delim_marks, trim_end, live_append, raw_dends = \
                     _mgrep_blocks_delim(data, q.delim, q.outtail)
-                head = data.copy()
+                fname = getattr(data, "filename", None)
+                if fname is not None and not memory_mode:
+                    # copy-on-write map: only the pages dirtied by the
+                    # block-start overwrites get private copies --
+                    # data.copy() on a multi-GB file costs more in
+                    # first-touch faults than the entire scan
+                    head = np.memmap(fname, dtype=np.uint8,
+                                     mode="c")[:len(data)]
+                else:
+                    head = data.copy()
                 dpat = np.frombuffer(q.delim, dtype=np.uint8)
-                for off in ow:
-                    k = min(dl, len(data) - off)
-                    head[off:off + k] = dpat[:k]
-                if live_append:
+                if ow and dl == 1:
+                    head[np.asarray(ow, dtype=np.int64)] = dpat[0]
+                else:
+                    for off in ow:
+                        k = min(dl, len(data) - off)
+                        head[off:off + k] = dpat[:k]
+                # flat-OR count never slices records out of the
+                # stream, so the EOF-rescan delimiter can stay
+                # virtual: the event pass handles the tail in a small
+                # edge window instead of a whole-file concatenate
+                count_fast = (
+                    o.count and not o.invert and not o.filename_only
+                    and not o.silent and o.limit_output <= 0
+                    and o.limit_per_file <= 0 and self.p_size > 1
+                    and q.bool_tree is None and q.bool_op != "and"
+                    and not o.multi_output)
+                virt_append = live_append and count_fast
+                if live_append and not virt_append:
                     stream = np.concatenate([head, dpat])
                 else:
                     stream = head
@@ -452,11 +604,22 @@ class MgrepEngine:
         # With -d the scan buffer is preceded by a memcpy'd delimiter
         # (newmgrep.c:511): a term may match with its head inside those
         # bytes, so search over delim+stream and shift starts by -dl.
+        occ_cols = None
         if q.delimiter_opt and not memory_mode:
-            ext = np.concatenate(
-                [np.frombuffer(q.delim, dtype=np.uint8), stream])
-            occ = self._all_occurrences(ext)
-            occ = {k: v - dl for k, v in occ.items()}
+            occ_cols = self._first_per_anchor_cols(
+                stream, dl, o, delim_marks, virt_append)
+            if occ_cols is None:
+                if virt_append:
+                    # the fast path owned the virtual tail; the
+                    # legacy table path needs it materialized
+                    stream = np.concatenate([
+                        stream, np.frombuffer(q.delim,
+                                              dtype=np.uint8)])
+                    virt_append = False
+                ext = np.concatenate(
+                    [np.frombuffer(q.delim, dtype=np.uint8), stream])
+                occ = self._all_occurrences(ext)
+                occ = {k: v - dl for k, v in occ.items()}
         else:
             occ = self._all_occurrences(stream)
         # ---- vectorized occurrence table: (anchor, idx, s, tl) columns
@@ -466,7 +629,32 @@ class MgrepEngine:
         a_parts, i_parts, s_parts = [], [], []
         term_len = np.asarray([len(t) for t in self.terms],
                               dtype=np.int64)
-        for idx, t in enumerate(self.terms):
+        if occ_cols is not None:
+            # rows are already (first-per-anchor, max idx), anchor-
+            # ascending, wordbound-filtered; apply the range and
+            # trim-survival filters row-wise and skip the lexsort
+            occ_a, occ_i, occ_s = occ_cols
+            keep = (occ_a >= m1 - 1) & (occ_s >= -dl)
+            occ_a, occ_i, occ_s = occ_a[keep], occ_i[keep], occ_s[keep]
+            if delim_marks and len(occ_a):
+                dm = np.asarray(delim_marks, dtype=np.int64)
+                ki = np.searchsorted(dm, occ_a, side="left")
+                lb = np.where(ki > 0, dm[np.maximum(ki - 1, 0)],
+                              np.int64(-1) << 40)
+                kk = lb - occ_s
+                bad = kk > 0
+                if bad.any():
+                    keep2 = np.ones(len(occ_a), dtype=bool)
+                    for ii in np.flatnonzero(bad):
+                        k = int(kk[ii])
+                        t_ = self.terms[int(occ_i[ii])]
+                        if k > dl or t_[:k] != q.delim[dl - k:]:
+                            keep2[ii] = False
+                    occ_a = occ_a[keep2]
+                    occ_i = occ_i[keep2]
+                    occ_s = occ_s[keep2]
+            n_occ = len(occ_a)
+        for idx, t in enumerate(self.terms if occ_cols is None else []):
             if not t:
                 continue
             starts = np.asarray(occ[idx], dtype=np.int64)
@@ -519,23 +707,34 @@ class MgrepEngine:
                 a_parts.append(anchor)
                 i_parts.append(np.full(len(starts), idx, dtype=np.int64))
                 s_parts.append(starts)
-        if a_parts:
-            occ_a = np.concatenate(a_parts)
-            occ_i = np.concatenate(i_parts)
-            occ_s = np.concatenate(s_parts)
-            # same anchor == same match start; the bucket is probed in
-            # DESCENDING pattern-index order (f_prep1 fills slots
-            # top-down, newmgrep.c:1783-1813), so the highest index
-            # wins the -P decoration and the AND trigger
-            order = np.lexsort((-occ_i, occ_a))
-            occ_a, occ_i, occ_s = occ_a[order], occ_i[order], occ_s[order]
-        else:
-            occ_a = occ_i = occ_s = np.zeros(0, dtype=np.int64)
-        n_occ = len(occ_a)
+        if occ_cols is None:
+            if a_parts:
+                occ_a = np.concatenate(a_parts)
+                occ_i = np.concatenate(i_parts)
+                occ_s = np.concatenate(s_parts)
+                # same anchor == same match start; the bucket is probed
+                # in DESCENDING pattern-index order (f_prep1 fills
+                # slots top-down, newmgrep.c:1783-1813), so the highest
+                # index wins the -P decoration and the AND trigger
+                order = np.lexsort((-occ_i, occ_a))
+                occ_a, occ_i, occ_s = (occ_a[order], occ_i[order],
+                                       occ_s[order])
+            else:
+                occ_a = occ_i = occ_s = np.zeros(0, dtype=np.int64)
+            n_occ = len(occ_a)
 
-        nl = np.flatnonzero(stream == 0x0A)
-        delim_ends = _find_delims_arr(stream, q.delim) \
-            if q.delimiter_opt else None
+        # -d record spans never consult the newline index
+        nl = (np.flatnonzero(stream == 0x0A) if not q.delimiter_opt
+              else np.zeros(0, dtype=np.int64))
+        if not q.delimiter_opt:
+            delim_ends = None
+        elif memory_mode or (live_append and not virt_append):
+            delim_ends = _find_delims_arr(stream, q.delim)
+        else:
+            # derive from the raw scan + overwrite windows (saves a
+            # second whole-file pass)
+            delim_ends = _delim_ends_after_overwrite(
+                stream, raw_dends, ow, q.delim)
 
         n_terms = len(self.terms)
         # m_short's `if (MATCHED) text--` (newmgrep.c:1471) decrements
@@ -682,17 +881,29 @@ class MgrepEngine:
             # (the hit path goto-exits the bucket loop).  Sorted by
             # (anchor, -idx), the FIRST row per anchor carries the
             # winning (max) pattern index.
-            if n_occ:
+            if occ_cols is not None:
+                first = None         # rows are already one-per-anchor
+            elif n_occ:
                 first = np.flatnonzero(np.concatenate(
                     [[True], occ_a[1:] != occ_a[:-1]]))
             else:
                 first = np.zeros(0, dtype=np.int64)
             nz_terms = np.asarray([bool(t) for t in self.terms])
             # hash context: the bytes before each scan start are the
-            # memcpy'd delimiter (newmgrep.c:511)
-            hsrc = np.concatenate([
-                tr1[np.frombuffer(q.delim, dtype=np.uint8)],
-                tr1[stream]]).astype(np.int64)
+            # memcpy'd delimiter (newmgrep.c:511); folded lazily --
+            # _hs(i) = tr1 code of stream position i-dl
+            _dref = np.frombuffer(q.delim, dtype=np.uint8)
+            _n_st = len(stream)
+
+            def _hs(i):
+                j = i - dl
+                if j < 0:
+                    return int(tr1[_dref[i]])
+                if j < _n_st:
+                    return int(tr1[stream[j]])
+                # virtual EOF-rescan delimiter bytes
+                k = j - _n_st
+                return int(tr1[_dref[k]]) if k < dl else 0
             de_arr = delim_ends
 
             cbo_base = [0]
@@ -708,7 +919,10 @@ class MgrepEngine:
             # iterating anchors with searchsorted jumps is exact; the
             # skip-phase is resolved per-step only inside the rare
             # ambiguity window [cure-1, cure-1+max_shift).
-            if n_occ:
+            if first is None:
+                wa, wi, ws = occ_a, occ_i, occ_s
+                wl = None            # looked up lazily (term_len[wi])
+            elif n_occ:
                 wa = occ_a[first]
                 wi = occ_i[first]
                 ws = occ_s[first]
@@ -716,22 +930,25 @@ class MgrepEngine:
             else:
                 wa = wi = ws = wl = np.zeros(0, dtype=np.int64)
             if not short_mode:
-                n_s = len(stream)
-                padh = np.concatenate(
-                    [np.zeros(2, dtype=np.int64), hsrc])
-                h_all = ((padh[dl + 2:dl + 2 + n_s] << HB)
-                         + padh[dl + 1:dl + 1 + n_s])
-                if LONG:
-                    h_all = (h_all << HB) + padh[dl:dl + n_s]
-                sh_all = SHIFT1[h_all].astype(np.int64)
                 MAXS = max(m1w - LONG, 1)
+                # lazy per-position shift (delimiter context below 0);
+                # materializing SHIFT1 over the whole stream cost more
+                # in fresh-page faults than the entire walk
+
+                def _sh_at(t):
+                    i = dl + t
+                    h = _hs(i) << HB
+                    h += _hs(i - 1) if i >= 1 else 0
+                    if LONG:
+                        h = (h << HB) + (_hs(i - 2) if i >= 2 else 0)
+                    return int(SHIFT1[h])
 
                 def first_visit_ge(t, X):
                     # skip-walk phase: first visited position >= X
                     # starting from exact position t (candidate
                     # positions step by 1: `if(!MATCHED) shift=1`)
                     while t < X:
-                        t += max(int(sh_all[t]), 1)
+                        t += max(_sh_at(t), 1)
                     return t
 
             def walk_region(r):
@@ -804,7 +1021,9 @@ class MgrepEngine:
                     if a is None:
                         break
                     # ---- process the event at anchor a
-                    idx, s_, tl_ = int(wi[j]), int(ws[j]), int(wl[j])
+                    idx, s_ = int(wi[j]), int(ws[j])
+                    tl_ = (int(wl[j]) if wl is not None
+                           else int(term_len[idx]))
                     if short_mode and a >= te:
                         # m_short aborts the whole block scan on a hit
                         # at textend (newmgrep.c:1345) BEFORE any
@@ -1019,11 +1238,81 @@ _ISALNUM_TAB = np.zeros(256, dtype=bool)
 _ISALNUM_TAB[48:58] = _ISALNUM_TAB[65:91] = _ISALNUM_TAB[97:123] = True
 
 
+def _delim_ends_after_overwrite(stream: np.ndarray,
+                                all_dends: np.ndarray,
+                                ow, delim: bytes) -> np.ndarray:
+    """Delimiter END positions of `stream`, derived from the RAW
+    data's ends (all_dends) plus rescans of the small windows around
+    each block-start overwrite -- the overwrite can create or destroy
+    occurrences only where an occurrence intersects [bs, bs+dl).
+    Avoids a second whole-file scan."""
+    dl = len(delim)
+    n = len(stream)
+    if not ow:
+        return all_dends
+    bs = np.asarray(ow, dtype=np.int64)
+    # occurrences with start in (bs - dl, bs + dl) are affected;
+    # their END range is [bs - dl + dl - 1 + 1, bs + dl - 1 + dl - 1]
+    lo_e = bs                       # end >= (bs - dl + 1) + dl - 1 = bs
+    hi_e = bs + 2 * dl - 1          # end <  bs + 2dl - 1
+    ki = np.searchsorted(all_dends, lo_e, side="left")
+    kj = np.searchsorted(all_dends, hi_e, side="left")
+    # windows are 32KB apart, so the [ki, kj) ranges are disjoint:
+    # mark range edges with +/-1 and prefix-sum
+    delta = np.zeros(len(all_dends) + 1, dtype=np.int64)
+    np.add.at(delta, ki, 1)
+    np.add.at(delta, kj, -1)
+    keep = np.cumsum(delta[:-1]) == 0
+    kept = all_dends[keep]
+    # rescan the fixed-width windows on the overwritten stream in one
+    # gathered matrix; the (at most two) edge-clipped windows go the
+    # scalar way
+    dref = np.frombuffer(delim, dtype=np.uint8)
+    W = 3 * dl - 2
+    interior = bs[(bs - dl + 1 >= 0) & (bs + 2 * dl - 1 <= n)]
+    new_parts = []
+    if len(interior):
+        offs = np.arange(-dl + 1, 2 * dl - 1, dtype=np.int64)
+        mat = stream[(interior[:, None] + offs[None, :])]
+        hits = np.ones((len(interior), W - dl + 1), dtype=bool)
+        for k in range(dl):
+            hits &= mat[:, k:W - dl + 1 + k] == dref[k]
+        rows, cols = np.nonzero(hits)
+        if len(rows):
+            new_parts.append(interior[rows] + (cols - dl + 1)
+                             + dl - 1)
+    for b in bs[(bs - dl + 1 < 0) | (bs + 2 * dl - 1 > n)].tolist():
+        w_lo = max(b - dl + 1, 0)
+        w_hi = min(b + 2 * dl - 1, n)
+        if w_hi - w_lo < dl:
+            continue
+        win = stream[w_lo:w_hi]
+        hit = np.ones(len(win) - dl + 1, dtype=bool)
+        for k in range(dl):
+            hit &= win[k:len(win) - dl + 1 + k] == dref[k]
+        pos = np.flatnonzero(hit)
+        if len(pos):
+            new_parts.append(pos + w_lo + dl - 1)
+    if new_parts:
+        merged = np.concatenate([kept] + new_parts)
+        merged.sort()
+        return merged
+    return kept
+
+
 def _find_delims_arr(stream: np.ndarray, delim: bytes) -> np.ndarray:
-    if len(delim) == 1:
-        return np.flatnonzero(stream == delim[0])
     if len(stream) < len(delim):
         return np.zeros(0, dtype=np.int64)
+    if len(stream) >= (1 << 22):
+        # large input: the C scan writes end positions straight into
+        # one output array (the numpy path materializes several
+        # O(file) bool temporaries, whose first-touch faults dominate)
+        from .. import native
+        ends = native.find_delims_all(stream, delim)
+        if ends is not None:
+            return ends
+    if len(delim) == 1:
+        return np.flatnonzero(stream == delim[0])
     hit = np.ones(len(stream) - len(delim) + 1, dtype=bool)
     for k, b in enumerate(delim):
         hit &= stream[k:len(stream) - len(delim) + 1 + k] == b
@@ -1112,7 +1401,7 @@ def _mgrep_block_ends(data: np.ndarray) -> list:
 
 def _mgrep_blocks_delim(data, delim, outtail):
     """The -d block walk (newmgrep.c:480-567, :568-585): returns
-    (overwrites, marks, final_trim, live_append).
+    (overwrites, marks, final_trim, live_append, raw_delim_ends).
 
     overwrites: data offsets whose first dl bytes the loop replaces
     with the delimiter (every block's head); marks: duplicated bytes
@@ -1128,14 +1417,26 @@ def _mgrep_blocks_delim(data, delim, outtail):
     pos = 0
     trim_end = None
     live = False
+    # one global delimiter scan; per block, the last delimiter fully
+    # inside [pos, pos+num_read) comes from a searchsorted (the
+    # per-block rescan dominated -d setup on multi-MB files)
+    all_dends = _find_delims_arr(data, delim)
     while pos < N:
         num_read = min(BLK, N - pos)
         overwrites.append(pos)
-        blk = data[pos:pos + num_read]
-        dends = _find_delims_arr(blk, delim)
         t = None
-        if len(dends):
-            le_end = int(dends[-1])
+        j = int(np.searchsorted(all_dends, pos + num_read - 1,
+                                side="right")) - 1
+        le_end = -1
+        while j >= 0:
+            e = int(all_dends[j])
+            if e - dl + 1 >= pos:
+                le_end = e - pos       # block-relative, as before
+                break
+            if e < pos:
+                break
+            j -= 1
+        if le_end >= 0:
             le_start = le_end - dl + 1
             if outtail:
                 t = pos + le_end
@@ -1154,6 +1455,6 @@ def _mgrep_blocks_delim(data, delim, outtail):
             # untrimmed block: residue==1 still duplicates the last byte
             marks.append(pos + num_read - 1)
         pos += num_read
-    return overwrites, marks, trim_end, live
+    return overwrites, marks, trim_end, live, all_dends
 
 

@@ -202,6 +202,40 @@ def make_patfile(dirpath: str) -> str:
     return p
 
 
+def make_para_corpus(dirpath: str, n_mb: int = 64) -> str:
+    """'$$'-delimited paragraph corpus (BASELINE config 5 records)."""
+    import random
+    rnd = random.Random(3)
+    words = ["the", "quick", "brown", "matching", "pattern",
+             "approximate", "search", "hello", "world", "lorem"]
+    paras = []
+    tot = 0
+    while tot < (1 << 20):
+        p = "\n".join(" ".join(rnd.choices(words,
+                                           k=rnd.randint(4, 8)))
+                      for _ in range(rnd.randint(2, 5))) + "\n$$\n"
+        paras.append(p)
+        tot += len(p)
+    tmpl = "".join(paras).encode()
+    path = os.path.join(dirpath, "bench_para.txt")
+    with open(path, "wb") as f:
+        for _ in range(n_mb):
+            f.write(tmpl)
+    return path
+
+
+def bench_f100_records(para_path: str, patfile: str) -> float:
+    """End-to-end bytes/s of 100-pattern -f with -d '$$' records --
+    BASELINE config 5's exact shape (one-pass filter + replay walk)."""
+    import io
+    from agrep_tpu.api import fileagrep
+    t0 = time.perf_counter()
+    fileagrep(["-c", "-d", "$$", "-f", patfile, para_path],
+              output=io.BytesIO())
+    dt = time.perf_counter() - t0
+    return os.path.getsize(para_path) / dt
+
+
 def bench_reference(path: str, args: list | None = None) -> float:
     """Bytes/s of the reference binary on the same corpus."""
     exe = os.path.join(REPO, ".oracle", "agrep")
@@ -274,6 +308,16 @@ def main():
         ["-2", "-c", "wo(r|t)king"])
     cfg("f100_onepass", _retry(bench_f100, path, patfile),
         ["-c", "-f", patfile])
+    para = make_para_corpus(tmpd)
+    configs["f100_records"] = {
+        "gbs": round(_retry(bench_f100_records, para, patfile) / 1e9,
+                     3),
+        "ref_gbs": round(bench_reference(
+            para, ["-c", "-d", "$$", "-f", patfile]) / 1e9, 4),
+    }
+    c5 = configs["f100_records"]
+    c5["vs_ref"] = (round(c5["gbs"] / c5["ref_gbs"], 1)
+                    if c5["ref_gbs"] > 0 else 0.0)
 
     ref_bps = bench_reference(path)
     try:
