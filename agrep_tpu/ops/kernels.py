@@ -226,10 +226,15 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
                 r = w * 32 + b
                 row32 = blk[r, 0].astype(jnp.int32)
                 cm = cmask_row(row32)
-                g = i_col * rows + r
-                cold = ((g == W) & (i_grp == 0)).astype(jnp.uint32) * lane0
-                states = [(s & ~cold) | (init_level(k) & cold)
-                          for k, s in enumerate(states)]
+                if r == W % rows:
+                    # cold start: global lane 0's real data begins at
+                    # column W -- the blend is needed at exactly ONE
+                    # static unrolled step (g == W), not per byte
+                    g = i_col * rows + r
+                    cold = (((g == W) & (i_grp == 0))
+                            .astype(jnp.uint32) * lane0)
+                    states = [(s & ~cold) | (init_level(k) & cold)
+                              for k, s in enumerate(states)]
                 bit = jnp.uint32(1 << b)
                 if variant == "bitap":
                     new = levels(states, cm)

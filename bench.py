@@ -202,7 +202,7 @@ def make_patfile(dirpath: str) -> str:
     return p
 
 
-def make_para_corpus(dirpath: str, n_mb: int = 64) -> str:
+def make_para_corpus(dirpath: str, n_mb: int = 128) -> str:
     """'$$'-delimited paragraph corpus (BASELINE config 5 records)."""
     import random
     rnd = random.Random(3)
