@@ -19,6 +19,26 @@ Public API mirrors the reference library surface (agrep.c:3017-3313):
 fileagrep()/memagrep() two-phase init/search, plus a pythonic Query API.
 """
 
+def _tune_malloc() -> None:
+    """Keep large numpy temporaries on the retained heap.
+
+    glibc services every allocation above MMAP_THRESHOLD (128KB) with
+    a fresh mmap and returns it on free, so each multi-MB scan
+    temporary pays first-touch page faults -- on virtualized hosts
+    that costs more than the scan itself.  Raising the threshold and
+    the trim threshold makes the heap grow once and be reused
+    (M_MMAP_THRESHOLD = -3, M_TRIM_THRESHOLD = -1)."""
+    try:
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)
+        libc.mallopt(-1, 1 << 30)
+    except Exception:
+        pass
+
+
+_tune_malloc()
+
 from .version import __version__
 from .api import Query, fileagrep, memagrep, search_buffer, search_files
 

@@ -90,6 +90,19 @@ def get_lib():
     lib.qgram_occ_all.argtypes = [
         u8p, i64, u8p, i32p, i64p, i64p, u8p, i64p, u8p, i64,
         ctypes.c_int32, ctypes.c_int32, i64p, i64p, i64]
+    lib.pack_lines.restype = None
+    lib.pack_lines.argtypes = [u8p, i64, i64p, i64p, i64, i64, u8p]
+    u32 = ctypes.c_uint32
+    lib.bitap_scan_events.restype = i64
+    lib.bitap_scan_events.argtypes = [u8p, i64, u32p, u32, u32, u32,
+                                      u32, u32, u32, i64,
+                                      ctypes.c_int32, i64, i64, i64,
+                                      i64p, u32p, i64]
+    lib.renfa_scan_lines.restype = i64
+    lib.renfa_scan_lines.argtypes = [u8p, i64, u32p, u32p, u32p, i64,
+                                     i64, u32, u32, i64,
+                                     ctypes.c_int32, u32p, i64, u8p,
+                                     i64]
     lib.qgram_first_per_anchor.restype = i64
     lib.qgram_first_per_anchor.argtypes = [
         u8p, i64, u8p, i32p, i64p, i64p, u8p, i64p, u8p, i64,
@@ -110,6 +123,85 @@ def _scratch(key: str, min_len: int, dtype=np.int64) -> np.ndarray:
         buf = np.empty(min_len, dtype=dtype)
         _SCRATCH[key] = buf
     return buf
+
+
+def bitap_scan_events(text: np.ndarray, mask_table: np.ndarray,
+                      consts: dict, D: int, variant: str,
+                      costs) -> tuple | None:
+    """Sequential C scan of the bitap/sgrep machine; returns sparse
+    (positions i64, event words u32); None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ci, cs, cd = costs if costs is not None else (0, 0, 0)
+    mt = np.ascontiguousarray(mask_table.astype(np.uint32))
+    tx = np.ascontiguousarray(text)
+    args = (tx, len(tx), mt,
+            int(consts.get("init0", 0)) & 0xFFFFFFFF,
+            int(consts.get("init1_ns", 0)) & 0xFFFFFFFF,
+            int(consts.get("noerr", 0)) & 0xFFFFFFFF,
+            int(consts.get("d_endpos", 0)) & 0xFFFFFFFF,
+            int(consts.get("endpos", 0)) & 0xFFFFFFFF,
+            int(consts.get("d_mask", 0xFFFFFFFF)) & 0xFFFFFFFF,
+            int(D), 0 if variant == "bitap" else 1,
+            int(ci), int(cs), int(cd))
+    out_p = _scratch("ev_pos", 1 << 20)
+    out_w = _scratch("ev_word", 1 << 20, dtype=np.uint32)
+    cnt = lib.bitap_scan_events(*args, out_p, out_w, len(out_p))
+    if cnt < 0:
+        return None
+    if cnt > len(out_p):
+        out_p = _scratch("ev_pos", int(cnt) + 16)
+        out_w = _scratch("ev_word", int(cnt) + 16, dtype=np.uint32)
+        cnt = lib.bitap_scan_events(*args, out_p, out_w, len(out_p))
+    return out_p[:cnt], out_w[:cnt]
+
+
+def renfa_scan_lines(buf: np.ndarray, mc: dict, cont_states,
+                     inject: int = -1,
+                     n_lines_hint: int | None = None
+                     ) -> np.ndarray | None:
+    """Per-line regex-NFA verdicts over a stream that starts one past
+    a newline; None when the native library is unavailable.  inject
+    processes one extra 0x00 byte before buf[inject] (the re()
+    block-boundary glitch)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..ops.renfa import next_tables_arrays
+    lo_tab, hi_tab, h, rel = next_tables_arrays(mc)
+    if hi_tab is None:
+        hi_tab = np.zeros(1, dtype=np.uint32)
+    D = int(mc["D"])
+    cont = np.asarray([int(x) & 0xFFFFFFFF for x in cont_states],
+                      dtype=np.uint32)
+    cap = (n_lines_hint if n_lines_hint is not None
+           else int(np.count_nonzero(buf == 0x0A))) + 1
+    out = np.empty(max(cap, 1), dtype=np.uint8)
+    n = lib.renfa_scan_lines(
+        np.ascontiguousarray(buf), len(buf),
+        np.ascontiguousarray(mc["mask"].astype(np.uint32)),
+        np.ascontiguousarray(lo_tab), np.ascontiguousarray(hi_tab),
+        h, rel, int(mc["init1"]) & 0xFFFFFFFF,
+        int(mc["no_err"]) & 0xFFFFFFFF, D, int(bool(mc["tail"])),
+        cont, int(inject), out, len(out))
+    return out[:min(n, len(out))].astype(bool)
+
+
+def pack_lines(stream: np.ndarray, starts: np.ndarray,
+               lens: np.ndarray, L: int) -> np.ndarray | None:
+    """Zero-padded u8[R, L] lane matrix (returns a reused scratch
+    view); None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    R = len(starts)
+    flat = _scratch("lanes", R * L, dtype=np.uint8)
+    lib.pack_lines(np.ascontiguousarray(stream), len(stream),
+                   np.ascontiguousarray(starts, dtype=np.int64),
+                   np.ascontiguousarray(lens, dtype=np.int64),
+                   R, L, flat)
+    return flat[:R * L].reshape(R, L)
 
 
 def find_delims_all(stream: np.ndarray,

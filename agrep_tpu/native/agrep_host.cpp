@@ -726,6 +726,233 @@ int64_t qgram_first_per_anchor(
     return cnt;
 }
 
+// Sequential bit-parallel stream scan: the host twin of the windowed
+// numpy backend (ops/scan.py _scan_windows_np) for the bitap and
+// sgrep machines.  Valid when the machine's dependence window is
+// bounded (callers gate out sticky/wildcard shapes), where carrying
+// state sequentially equals the tile+halo restart.  Emits SPARSE
+// events: (position, event word) pairs for nonzero words.  Returns
+// the total pair count (writes at most cap).
+//
+// variant: 0 = bitap (asearch.c:100-115 transition, delimiter pulse
+// reset through d_mask), 1 = sgrep (inverted shift-or,
+// sgrep.c:1183-1186, newline state reset when D > 0).
+// costs: ci/cs/cd >= 1 enables the asearch1 wiring (pass 0,0,0 for
+// uniform).
+}  // extern "C" (templates below; reopened after)
+
+template <int DD, int VARIANT, bool JUMP>
+static int64_t bitap_scan_tpl(const uint8_t* buf, int64_t n,
+                              const uint32_t* mask, uint32_t init0,
+                              uint32_t init1_ns, uint32_t noerr,
+                              uint32_t d_endpos, uint32_t endpos,
+                              uint32_t d_mask, int64_t ci, int64_t cs,
+                              int64_t cd, int64_t* out_pos,
+                              uint32_t* out_word, int64_t cap) {
+    uint32_t st[DD + 1], nw[DD + 1], rs[DD + 1], ini[DD + 1];
+    if (VARIANT == 0) {
+        for (int k = 0; k <= DD; k++) ini[k] = init0;
+    } else {
+        uint32_t lvl = 0;
+        ini[0] = 0;
+        for (int k = 1; k <= DD; k++) {
+            lvl = ((lvl >> 1) | lvl | 0x80000000u);
+            ini[k] = lvl;
+        }
+    }
+    for (int k = 0; k <= DD; k++) st[k] = ini[k];
+    int64_t cnt = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t c = buf[i];
+        uint32_t cm = mask[c];
+        uint32_t ev;
+        if (VARIANT == 0) {
+            if (!JUMP) {
+                nw[0] = ((st[0] >> 1) & cm) | (init1_ns & st[0]);
+                for (int k = 1; k <= DD; k++) {
+                    uint32_t r2 = st[k - 1]
+                        | (((nw[k - 1] | st[k - 1]) >> 1) & noerr);
+                    nw[k] = ((st[k] >> 1) & cm) | (init1_ns & st[k])
+                            | r2;
+                }
+            } else {
+                for (int k = 0; k <= DD; k++) {
+                    uint32_t r = ((st[k] >> 1) & cm)
+                                 | (init1_ns & st[k]);
+                    if (k - ci >= 0) r |= st[k - ci];
+                    uint32_t err = 0;
+                    if (k - cd >= 0) err |= nw[k - cd];
+                    if (k - cs >= 0) err |= st[k - cs];
+                    r |= (err >> 1) & noerr;
+                    nw[k] = r;
+                }
+            }
+            ev = (nw[0] & d_endpos) | (nw[DD] & endpos);
+            if (__builtin_expect((nw[0] & d_endpos) != 0, 0)) {
+                // delimiter pulse: restart from init through d_mask
+                if (!JUMP) {
+                    rs[0] = ((init0 >> 1) & cm) | (init1_ns & init0);
+                    for (int k = 1; k <= DD; k++) {
+                        uint32_t r2 = init0
+                            | (((rs[k - 1] | init0) >> 1) & noerr);
+                        rs[k] = ((init0 >> 1) & cm)
+                                | (init1_ns & init0) | r2;
+                    }
+                } else {
+                    for (int k = 0; k <= DD; k++) {
+                        uint32_t r = ((init0 >> 1) & cm)
+                                     | (init1_ns & init0);
+                        if (k - ci >= 0) r |= init0;
+                        uint32_t err = 0;
+                        if (k - cd >= 0) err |= rs[k - cd];
+                        if (k - cs >= 0) err |= init0;
+                        r |= (err >> 1) & noerr;
+                        rs[k] = r;
+                    }
+                }
+                rs[0] &= d_mask;
+                for (int k = 0; k <= DD; k++) st[k] = rs[k];
+            } else {
+                for (int k = 0; k <= DD; k++) st[k] = nw[k];
+            }
+        } else {
+            if (DD > 0 && c == '\n') {
+                for (int k = 0; k <= DD; k++) st[k] = ini[k];
+            }
+            nw[0] = ((st[0] >> 1) | 0x80000000u) & cm;
+            for (int k = 1; k <= DD; k++) {
+                nw[k] = (((st[k] >> 1) | 0x80000000u) & cm)
+                        | st[k - 1]
+                        | (((nw[k - 1] | st[k - 1]) >> 1)
+                           | 0x80000000u);
+            }
+            ev = (nw[DD] & endpos) ? 1u : 0u;
+            for (int k = 0; k <= DD; k++) st[k] = nw[k];
+        }
+        if (__builtin_expect(ev != 0, 0)) {
+            if (cnt < cap) {
+                out_pos[cnt] = i;
+                out_word[cnt] = ev;
+            }
+            cnt++;
+        }
+    }
+    return cnt;
+}
+
+extern "C"
+int64_t bitap_scan_events(const uint8_t* buf, int64_t n,
+                          const uint32_t* mask, uint32_t init0,
+                          uint32_t init1_ns, uint32_t noerr,
+                          uint32_t d_endpos, uint32_t endpos,
+                          uint32_t d_mask, int64_t D, int32_t variant,
+                          int64_t ci, int64_t cs, int64_t cd,
+                          int64_t* out_pos, uint32_t* out_word,
+                          int64_t cap) {
+    bool jump = (ci | cs | cd) != 0;
+#define CASE(DV)                                                       \
+    case DV:                                                           \
+        if (variant == 0 && !jump)                                     \
+            return bitap_scan_tpl<DV, 0, false>(                       \
+                buf, n, mask, init0, init1_ns, noerr, d_endpos,        \
+                endpos, d_mask, ci, cs, cd, out_pos, out_word, cap);   \
+        if (variant == 0)                                              \
+            return bitap_scan_tpl<DV, 0, true>(                        \
+                buf, n, mask, init0, init1_ns, noerr, d_endpos,        \
+                endpos, d_mask, ci, cs, cd, out_pos, out_word, cap);   \
+        return bitap_scan_tpl<DV, 1, false>(                           \
+            buf, n, mask, init0, init1_ns, noerr, d_endpos, endpos,    \
+            d_mask, ci, cs, cd, out_pos, out_word, cap)
+    switch (D) {
+        CASE(0); CASE(1); CASE(2); CASE(3); CASE(4);
+        CASE(5); CASE(6); CASE(7); CASE(8);
+        default: return -1;
+    }
+#undef CASE
+}
+
+extern "C" {
+
+// Sequential regex-NFA stream scan: the host twin of the renfa lane
+// machine (ops/renfa.py _scan_records_np), using the tabulated
+// followpos transition (compute_next agrep.c:396-457; split half
+// tables like re1 :492-498).  buf must START one past a newline;
+// emits one verdict byte per '\n' encountered.  Returns the line
+// count (writes at most cap).
+// inject >= 0 processes one extra 0x00 byte just before buf[inject]
+// (the re() 2x-unroll block-boundary glitch, see regex_engine.py).
+int64_t renfa_scan_lines(const uint8_t* buf, int64_t n,
+                         const uint32_t* mask, const uint32_t* lo_tab,
+                         const uint32_t* hi_tab, int64_t h,
+                         int64_t rel, uint32_t init1, uint32_t noerr,
+                         int64_t D, int32_t tail, const uint32_t* cont,
+                         int64_t inject, uint8_t* out, int64_t cap) {
+    uint32_t st[16], nw[16];
+    for (int64_t k = 0; k <= D; k++) st[k] = cont[k];
+    uint64_t idx_mask = rel > 0 ? ((1ull << rel) - 1) : 0;
+    uint64_t lo_mask = h > 0 ? ((1ull << h) - 1) : 0;
+    auto nxt = [&](uint32_t s) -> uint32_t {
+        uint64_t i = ((uint64_t)s >> 1) & idx_mask;
+        if (h > 0) return lo_tab[i & lo_mask] | hi_tab[i >> h];
+        return lo_tab[i];
+    };
+    int64_t line = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t c;
+        if (i == inject) {
+            // synthesized stale-buffer byte: one ordinary transition
+            // on 0x00, then fall through to the real byte
+            uint32_t cm0 = mask[0];
+            nw[0] = (nxt(st[0]) & cm0) | (init1 & st[0]);
+            for (int64_t k = 1; k <= D; k++) {
+                uint32_t r0 = st[k - 1] | nw[k - 1];
+                nw[k] = (nxt(st[k]) & cm0)
+                        | ((st[k - 1] | nxt(r0)) & noerr)
+                        | (init1 & st[k]);
+            }
+            for (int64_t k = 0; k <= D; k++) st[k] = nw[k];
+        }
+        c = buf[i];
+        uint32_t cm = mask[c];
+        if (c == '\n') {
+            uint32_t ad = (nxt(st[D]) & cm) | (init1 & st[D]);
+            if (tail) ad = nxt(ad) | ad;
+            if (line < cap) out[line] = (uint8_t)(ad & 1u);
+            line++;
+            for (int64_t k = 0; k <= D; k++) st[k] = cont[k];
+            continue;
+        }
+        nw[0] = (nxt(st[0]) & cm) | (init1 & st[0]);
+        for (int64_t k = 1; k <= D; k++) {
+            uint32_t r0 = st[k - 1] | nw[k - 1];
+            nw[k] = (nxt(st[k]) & cm)
+                    | ((st[k - 1] | nxt(r0)) & noerr)
+                    | (init1 & st[k]);
+        }
+        for (int64_t k = 0; k <= D; k++) st[k] = nw[k];
+    }
+    return line;
+}
+
+// Pack variable-length lines into a zero-padded lane matrix
+// u8[R, L]: lens[r]+1 bytes (the line plus its trailing newline)
+// copied from starts[r], remainder zeroed.  One pass, no O(R*L)
+// temporaries (the numpy gather materializes several).
+void pack_lines(const uint8_t* buf, int64_t n, const int64_t* starts,
+                const int64_t* lens, int64_t R, int64_t L,
+                uint8_t* out) {
+    for (int64_t r = 0; r < R; r++) {
+        int64_t s = starts[r];
+        int64_t c = lens[r] + 1;
+        if (c > L) c = L;
+        if (s < 0) s = 0;
+        if (s + c > n) c = n - s;
+        if (c < 0) c = 0;
+        memcpy(out + r * L, buf + s, (size_t)c);
+        memset(out + r * L + c, 0, (size_t)(L - c));
+    }
+}
+
 // All verified (anchor, tid) pairs -- the full occurrence table of
 // compile/multi.py::qgram_occurrences at C speed (dense member filter
 // + bucket verify, NO first-per-line pruning, NO wordbound: callers

@@ -136,15 +136,60 @@ def _on_tpu() -> bool:
     return scan_ops._on_tpu()
 
 
+def next_tables_arrays(mc):
+    """Tabulated followpos transition -- the reference's own design
+    (compute_next agrep.c:396-457 for re, split half-tables for re1
+    :492-498).  nxt(s) depends only on state bits 1..M-1, so the
+    index is (s >> 1) & (2^(M-1) - 1); above 17 positions the index
+    splits into two gathers.  Returns (lo_tab, hi_tab_or_None, h,
+    rel)."""
+    M = mc["M"]
+    fb = mc["follow_bits"]
+    hb = np.uint32(int(mc["head_bit"]))
+    rel = max(M - 1, 0)
+
+    def build(lo_bit, n_bits):
+        tab = np.full(1 << n_bits, hb if lo_bit == 0 else 0,
+                      dtype=np.uint32)
+        ar = np.arange(1 << n_bits, dtype=np.int64)
+        for p in range(1, M):
+            b = (M - p - 1) - lo_bit        # index-space bit
+            if 0 <= b < n_bits:
+                tab[(ar & (1 << b)) != 0] |= np.uint32(fb[p])
+        return tab
+
+    if rel <= 17:
+        return build(0, rel), None, 0, rel
+    h = rel // 2
+    return build(0, h), build(h, rel - h), h, rel
+
+
+def _next_tables(mc):
+    lo_tab, hi_tab, h, rel = next_tables_arrays(mc)
+    if rel <= 0:
+        def nxt0(s):
+            return lo_tab[np.zeros(len(s), dtype=np.int64)]
+        return nxt0
+    idx_mask = np.int64((1 << rel) - 1)
+    if hi_tab is None:
+        def nxt(s):
+            return lo_tab[(s.astype(np.int64) >> 1) & idx_mask]
+        return nxt
+    lo_mask = np.int64((1 << h) - 1)
+
+    def nxt2(s):
+        i = (s.astype(np.int64) >> 1) & idx_mask
+        return lo_tab[i & lo_mask] | hi_tab[i >> h]
+    return nxt2
+
+
 def _scan_records_np(lines, line_len, mc, first_states, cont_states):
-    xp = np
     R, L = lines.shape
     D, M = mc["D"], mc["M"]
-    fb = mc["follow_bits"]
-    hb = mc["head_bit"]
     init1 = np.uint32(mc["init1"])
     noerr = np.uint32(mc["no_err"])
     cmasks = mc["mask"][lines].astype(np.uint32)
+    nxt = _next_tables(mc)
 
     states = np.empty((D + 1, R), dtype=np.uint32)
     for k in range(D + 1):
@@ -156,18 +201,15 @@ def _scan_records_np(lines, line_len, mc, first_states, cont_states):
         cm = cmasks[:, j]
         at_nl = line_len == j
         if at_nl.any():
-            ad = (_nxt_arr(xp, states[D], fb, M, hb) & cm) \
-                | (init1 & states[D])
+            ad = (nxt(states[D]) & cm) | (init1 & states[D])
             if mc["tail"]:
-                ad = _nxt_arr(xp, ad, fb, M, hb) | ad
+                ad = nxt(ad) | ad
             matched = np.where(at_nl, (ad & 1) != 0, matched)
-        new = [(_nxt_arr(xp, states[0], fb, M, hb) & cm)
-               | (init1 & states[0])]
+        new = [(nxt(states[0]) & cm) | (init1 & states[0])]
         for k in range(1, D + 1):
             r0 = states[k - 1] | new[k - 1]
-            new.append((_nxt_arr(xp, states[k], fb, M, hb) & cm)
-                       | ((states[k - 1]
-                           | _nxt_arr(xp, r0, fb, M, hb)) & noerr)
+            new.append((nxt(states[k]) & cm)
+                       | ((states[k - 1] | nxt(r0)) & noerr)
                        | (init1 & states[k]))
         states = np.stack(new)
     return matched

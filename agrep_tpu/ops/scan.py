@@ -95,6 +95,21 @@ def scan_events(text: np.ndarray, mask_table: np.ndarray, consts: dict,
                       "(costs/part-bits/mask shape); using vectorized "
                       "host backend", file=sys.stderr)
             use_numpy = True
+    if use_numpy and N >= (1 << 20):
+        # sequential C twin of the windowed machine: exact whenever
+        # the dependence window is bounded (no sticky/wildcard bits,
+        # i.e. init1_ns == init0; the sgrep machine is always bounded)
+        bounded = (variant == "sgrep"
+                   or consts.get("init1_ns") == consts.get("init0"))
+        if bounded:
+            from .. import native
+            pairs = native.bitap_scan_events(text, mask_table, consts,
+                                             D, variant, costs)
+            if pairs is not None:
+                pos, words = pairs
+                ev_out = np.zeros(N, dtype=np.uint32)
+                ev_out[pos] = words
+                return ev_out
     windows, T = _pad_and_window(text, W, L)
     cvec = np.asarray([
         consts.get("init0", 0), consts.get("init1_ns", 0),
@@ -130,11 +145,25 @@ def scan_event_list(reader, n: int, mask_table: np.ndarray, consts: dict,
         chunk = STREAM_CHUNK
     m = consts.get("m", 32)
     W = min(max(m + D + 2, 48), tile)
+    bounded = (variant == "sgrep"
+               or consts.get("init1_ns") == consts.get("init0"))
     g0 = 0
     while g0 < n:
         g1 = min(n, g0 + chunk)
         lo = g0 - W if g0 >= W else 0
         text = reader(lo, g1)
+        if _BACKEND == "numpy" and bounded:
+            # sparse C scan: skip the dense event array round-trip
+            from .. import native
+            pairs = native.bitap_scan_events(text, mask_table, consts,
+                                             D, variant, costs)
+            if pairs is not None:
+                pos, words = pairs
+                keep = pos >= (g0 - lo)
+                yield (pos[keep] + lo).astype(np.int64), \
+                    words[keep].copy()
+                g0 = g1
+                continue
         # failure recovery (SURVEY.md section 5): a chunk whose device
         # scan dies (preemption, tunnel drop) is re-queued -- retried
         # once on the device, then re-run on the host backend, which

@@ -1035,7 +1035,7 @@ class Executor:
         prof = trace.profiled()
         prof.__enter__()
         stream_min = int(os.environ.get("AGREP_TPU_STREAM_MB",
-                                        "64")) << 20
+                                        "8")) << 20
         for i, path in enumerate(files):
             sink.prev_num_matched = sink.num_matched
             sink.current_filename = str(i) if o.printfilenumber else path

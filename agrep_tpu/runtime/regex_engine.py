@@ -26,6 +26,25 @@ class RegexEngine:
     def search_stream(self, data: np.ndarray, sink: Sink, D: int,
                       memory_mode: bool = False) -> None:
         q, o, mc = self.q, self.q.opts, self.mc
+        # ---- pure-count host fast path: run the sequential C twin
+        # straight over the (memmapped) data -- no padded stream copy,
+        # no newline index.  The unterminated final line gets no
+        # verdict from C, matching r_output's appended-line guard.
+        from ..ops import scan as _so
+        if (not memory_mode and o.count and not o.filename_only
+                and not o.silent and o.limit_output <= 0
+                and o.limit_per_file <= 0
+                and _so._BACKEND not in ("jax", "interpret")):
+            from .. import native
+            if native.get_lib() is not None:
+                cont0, _ = renfa.step_newline(
+                    list(mc["inits"]), int(mc["mask"][0x0A]), mc)
+                inj = 49152 if len(data) > 49152 else -1
+                v = native.renfa_scan_lines(data, mc, cont0, inj)
+                if v is not None:
+                    sink.num_matched += int(
+                        np.count_nonzero(v ^ o.invert))
+                    return
         if memory_mode:
             stream = data
         else:
@@ -68,14 +87,31 @@ class RegexEngine:
         n_lines = len(nl) - 1
         verdicts = np.zeros(n_lines, dtype=bool)
         if n_lines:
+            backend = (scan_ops._BACKEND
+                       if scan_ops._BACKEND in ("jax", "interpret")
+                       else "numpy")
+            if backend == "numpy":
+                # host path: the sequential C twin (tabulated Next,
+                # reference re()/re1() shape) beats the lane matrices
+                # whose temporaries are O(lines x padded length)
+                from .. import native
+                v = native.renfa_scan_lines(
+                    scan_stream[int(s_nl[0]) + 1:], mc, cont_states)
+                if v is not None:
+                    verdicts = v[:n_lines]
+                    n_lines_done = True
+                else:
+                    n_lines_done = False
+            else:
+                n_lines_done = False
+        if n_lines and not n_lines_done:
             line_start = s_nl[:-1] + 1          # scan-stream coords
             line_end = s_nl[1:]                # index of trailing '\n'
             line_len = (line_end - line_start).astype(np.int64)
             order = np.argsort(line_len, kind="stable")
-            backend = (scan_ops._BACKEND
-                       if scan_ops._BACKEND in ("jax", "interpret")
-                       else "numpy")
             i = 0
+            CHUNK_R = 1 << 22           # bound lane-matrix memory
+            n_scan = len(scan_stream)
             while i < len(order):
                 L = 1
                 for b in MAXLINE_BUCKETS:
@@ -87,32 +123,41 @@ class RegexEngine:
                 j = i
                 while j < len(order) and line_len[order[j]] + 1 <= L:
                     j += 1
-                idxs = order[i:j]
-                R = len(idxs)
-                lanes = np.zeros((R, L), dtype=np.uint8)
-                lens = np.empty(R, dtype=np.int64)
-                for r, li in enumerate(idxs):
-                    s, e = int(line_start[li]), int(line_end[li])
-                    lanes[r, :e - s + 1] = scan_stream[s:e + 1]
-                    lens[r] = e - s
-                first = mc["inits"] if False else cont_states
-                fs = cont_states
-                if (idxs == 0).any():
-                    # lane for line 1 starts from the post-sentinel
-                    # state -- identical to cont_states (reset ignores
-                    # prior state), so nothing special needed.
-                    pass
-                got = renfa.scan_records(lanes, lens, mc, fs,
-                                         cont_states, backend=backend)
-                verdicts[idxs] = got
+                # lane for line 1 starts from the post-sentinel state
+                # -- identical to cont_states (the reset ignores prior
+                # state), so all lanes share one init.
+                offs = np.arange(L, dtype=np.int64)
+                for s0 in range(i, j, CHUNK_R):
+                    idxs = order[s0:min(s0 + CHUNK_R, j)]
+                    lens = line_len[idxs]
+                    from .. import native
+                    lanes = native.pack_lines(scan_stream,
+                                              line_start[idxs], lens, L)
+                    if lanes is None:
+                        pos = line_start[idxs][:, None] + offs[None, :]
+                        lanes = np.where(
+                            offs[None, :] <= lens[:, None],
+                            scan_stream[np.minimum(pos, n_scan - 1)],
+                            np.uint8(0)).astype(np.uint8)
+                    got = renfa.scan_records(lanes, lens, mc,
+                                             cont_states, cont_states,
+                                             backend=backend)
+                    verdicts[idxs] = got
                 i = j
-            _ = first
 
-        # output pass (r_output conventions)
-        for k in range(n_lines):
-            v = bool(verdicts[k]) ^ o.invert
-            if not v:
-                continue
+        # output pass (r_output conventions); iterate matches only
+        hit = verdicts ^ o.invert
+        if (o.count and not o.filename_only and o.limit_output <= 0
+                and o.limit_per_file <= 0):
+            # vectorized -c (the reference's j counter just sums)
+            if (not memory_mode and appended and n_lines
+                    and int(nl[n_lines]) == N - 1):
+                # r_output i >= end guard swallows the appended line
+                hit = hit.copy()
+                hit[n_lines - 1] = False
+            sink.num_matched += int(np.count_nonzero(hit))
+            return
+        for k in np.flatnonzero(hit).tolist():
             p = int(nl[k + 1])                 # stream pos of the '\n'
             if not memory_mode and appended and p == N - 1:
                 continue                       # r_output i >= end guard

@@ -1,0 +1,93 @@
+"""The sequential C host scanners must equal the windowed numpy
+backend bit-for-bit: bitap/sgrep machines (native bitap_scan_events
+vs ops/scan._scan_windows_np) and the regex NFA (renfa_scan_lines vs
+the lane runner).  The windowed backend is the conformance-pinned
+semantic reference."""
+
+import numpy as np
+import pytest
+
+import agrep_tpu.native as native
+from agrep_tpu.compile.query import compile_query
+from agrep_tpu.options import parse_args
+from agrep_tpu.ops import renfa
+from agrep_tpu.ops import scan as so
+
+pytestmark = pytest.mark.skipif(native.get_lib() is None,
+                                reason="native library unavailable")
+
+CASES = [
+    ["-2", "-c", "-n", "matching"],
+    ["-1", "-n", "br[ao]wn"],
+    ["-3", "-D2", "-I1", "-S1", "-n", "-c", "pattern"],
+    ["-c", "-d", "$$", "hello"],
+    ["-5", "-n", "-c", "abcdefghij"],
+    ["-2", "-c", "approximate"],
+    ["-1", "-c", "hello"],
+    ["-0", "-c", "-d", "xx", "hello"],
+]
+
+
+def _corpus(rng, n, plant):
+    text = rng.integers(32, 127, n).astype(np.uint8)
+    text[rng.integers(0, n, n // 50)] = 0x0A
+    for _ in range(5):
+        off = int(rng.integers(0, max(1, n - len(plant))))
+        text[off:off + len(plant)] = np.frombuffer(plant,
+                                                   dtype=np.uint8)
+    return text
+
+
+@pytest.mark.parametrize("args", CASES)
+@pytest.mark.parametrize("seed", range(3))
+def test_bitap_scan_events_equals_windowed(args, seed):
+    opts, pats, _ = parse_args(args + ["/dev/null"])
+    q = compile_query(pats, opts)
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5000, 150000))
+    plant = pats.encode("latin-1", "ignore").replace(b"[", b"") \
+                                            .replace(b"]", b"")
+    text = _corpus(rng, n, plant)
+    if q.engine_class == "sgrep":
+        mask, consts, variant = q.sg_mask, q.sg_consts, "sgrep"
+    elif q.engine_class == "bitap":
+        mask, consts, variant = q.folded_mask, q.consts, "bitap"
+    else:
+        pytest.skip("non-mask engine")
+    costs = getattr(q, "costs", None)
+    want = so.scan_events(text, mask, consts, q.D, variant, costs)
+    pairs = native.bitap_scan_events(text, mask, consts, q.D, variant,
+                                     costs)
+    got = np.zeros(n, dtype=np.uint32)
+    got[pairs[0]] = pairs[1]
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("pat", ["wo(r|t)king", "a(b|c)*d",
+                                 "he.lo", "x#y"])
+@pytest.mark.parametrize("seed", range(2))
+def test_renfa_scan_lines_equals_lanes(pat, seed):
+    opts, pats, _ = parse_args(["-2", "-n", pat, "/dev/null"])
+    q = compile_query(pats, opts)
+    if q.engine_class != "regex":
+        pytest.skip("not routed to the regex engine")
+    mc = q.re_mc
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(3000, 60000))
+    text = _corpus(rng, n, pat.encode("latin-1", "ignore"))
+    if text[-1] != 0x0A:
+        text = np.concatenate([text,
+                               np.frombuffer(b"\n", dtype=np.uint8)])
+    cont, _ = renfa.step_newline(list(mc["inits"]),
+                                 int(mc["mask"][0x0A]), mc)
+    got = native.renfa_scan_lines(text, mc, cont)
+    # lane-runner reference over the same stream
+    nlp = np.flatnonzero(text == 0x0A)
+    starts = np.concatenate([[0], nlp[:-1] + 1])
+    lens = nlp - starts
+    L = int(lens.max()) + 1
+    lanes = np.zeros((len(starts), L), dtype=np.uint8)
+    for r, (s, ln) in enumerate(zip(starts.tolist(), lens.tolist())):
+        lanes[r, :ln + 1] = text[s:s + ln + 1]
+    want = renfa._scan_records_np(lanes, lens, mc, cont, cont)
+    assert np.array_equal(np.asarray(got, dtype=bool), want)
