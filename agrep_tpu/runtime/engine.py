@@ -85,11 +85,12 @@ class BitapEngine:
         dl_off = dl if q.delimiter_opt else 1
         data_end = 1 + len(data) - 1
 
-        if (o.count and not o.invert and not o.filename_only
+        if (o.count and not o.filename_only
                 and not q.and_flag and o.limit_output == 0
                 and o.limit_per_file == 0):
-            # vectorized -c: count records with >= 1 part hit; the
-            # per-record Python walk below would dominate a 10GB scan
+            # vectorized -c (and -v -c): count records by hit segments;
+            # the per-record Python walk below would dominate a 10GB
+            # scan
             self._count_chunked(machine, outs, inject_at, sink, D)
             return
 
@@ -189,7 +190,8 @@ class BitapEngine:
                 starts[0] = 1
             # starts > pk - dl is the printer's empty-span early return
             # (output():3812 i1 > i2), which skips the count too
-            count += int(((seg > 0) & (starts < guard)
+            hitrec = (seg > 0) if not self.q.opts.invert else (seg == 0)
+            count += int((hitrec & (starts < guard)
                           & (starts <= pk - dl)).sum())
             last_delim_out = int(pk[-1])
         sink.num_matched += count
