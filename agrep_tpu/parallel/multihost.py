@@ -1,0 +1,109 @@
+"""Multi-host orchestration (SURVEY.md sections 2.3, 5).
+
+The scan itself never communicates (each shard carries its own halo,
+parallel/dist.py); multi-host runs only need
+  * jax.distributed initialization (one controller per host),
+  * a global mesh spanning every process's devices,
+  * a deterministic corpus/file partition so the host merge can impose
+    the reference's global ordering (file order x byte offset,
+    agrep.c:3229-3231),
+  * failure recovery: a file whose worker dies is re-queued and, on a
+    second failure, re-run on the exact host backend (scans are
+    stateless, so re-execution is idempotent) -- the file-level analog
+    of the chunk retry in ops/scan.py scan_event_list.
+
+Single-process runs degrade to no-ops: init_multihost() without a
+coordinator is a local-only init, global_mesh() is the local mesh.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def init_multihost(coordinator: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> tuple[int, int]:
+    """Initialize jax.distributed from args or the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+    Returns (process_id, num_processes); (0, 1) when single-process."""
+    import jax
+    coordinator = coordinator or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if coordinator is None:
+        return 0, 1
+    num_processes = num_processes or int(
+        os.environ.get("JAX_NUM_PROCESSES", "1"))
+    process_id = process_id if process_id is not None else int(
+        os.environ.get("JAX_PROCESS_ID", "0"))
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index(), jax.process_count()
+
+
+def global_mesh():
+    """Mesh over every device of every process (ICI within a host's
+    slice, DCN across hosts -- XLA owns the transport)."""
+    import jax
+    from jax.sharding import Mesh
+    return Mesh(np.asarray(jax.devices()), ("shards",))
+
+
+def assign_files(files: list[str], num_processes: int,
+                 process_id: int) -> list[tuple[int, str]]:
+    """Deterministic per-host file assignment: file i goes to process
+    i % num_processes.  Returns (global_index, path) pairs so each
+    host's results can be merged back in file order."""
+    return [(i, f) for i, f in enumerate(files)
+            if i % num_processes == process_id]
+
+
+def run_with_requeue(items: list, worker, fallback=None,
+                     retries: int = 1) -> list:
+    """Run worker(item) over items with failure re-queueing: a failed
+    item is retried `retries` times, then handed to `fallback` (the
+    exact host backend) -- SURVEY section 5 'a failed host's file
+    shards get re-queued'.  Returns results in item order; raises only
+    if the fallback also fails."""
+    results = [None] * len(items)
+    queue = [(i, 0) for i in range(len(items))]
+    while queue:
+        i, attempt = queue.pop(0)
+        try:
+            results[i] = worker(items[i])
+        except Exception:
+            if attempt < retries:
+                queue.append((i, attempt + 1))
+            elif fallback is not None:
+                results[i] = fallback(items[i])
+            else:
+                raise
+    return results
+
+
+def global_count(local_count: int, mesh=None) -> int:
+    """Reduce per-host match counts to the Grand Total with a psum
+    over the global mesh (single-process: identity)."""
+    import jax
+    if jax.process_count() == 1 and mesh is None:
+        return int(local_count)
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    mesh = mesh or global_mesh()
+    n = mesh.devices.size
+    local = np.zeros(n, dtype=np.int64)
+    # each process contributes its count on its first local device slot
+    import jax as _j
+    base = _j.process_index() * _j.local_device_count()
+    local[base] = local_count
+
+    def red(x):
+        return jax.lax.psum(x, "shards")
+
+    out = shard_map(red, mesh=mesh, in_specs=P("shards"),
+                    out_specs=P("shards"))(jnp.asarray(local))
+    return int(np.asarray(out)[0])
