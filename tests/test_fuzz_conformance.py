@@ -44,7 +44,9 @@ def _mutate(rng, word):
 
 
 FLAG_POOL = [[], ["-c"], ["-n"], ["-i"], ["-v"], ["-b"], ["-w"],
-             ["-c", "-v"], ["-h"], ["-i", "-c"], ["-n", "-b"]]
+             ["-c", "-v"], ["-h"], ["-i", "-c"], ["-n", "-b"],
+             ["-x"], ["-l"], ["-w", "-c"], ["-A", "-n"], ["-G"],
+             ["-u"], ["-x", "-c"], ["-v", "-n"], ["-i", "-w"]]
 
 
 @pytest.mark.parametrize("seed", range(12))
