@@ -74,8 +74,15 @@ def ranges_from_mask(mask_table: np.ndarray):
             ranges.append((lo, prev))
         if len(ranges) + len(folds) > 10:
             return None
-        total += len(ranges) + len(folds)
         out.append((int(bit), tuple(ranges), tuple(folds)))
+    # positions with identical byte sets (repeated pattern chars)
+    # share ONE compare: merge their bits
+    merged: dict = {}
+    for bit, ranges, folds in out:
+        key = (ranges, folds)
+        merged[key] = merged.get(key, 0) | bit
+    out = [(bits, r, f) for (r, f), bits in merged.items()]
+    total = sum(len(r) + len(f) for _, r, f in out)
     if total > 48:
         return None
     return tuple(out)
