@@ -1125,6 +1125,31 @@ class MgrepEngine:
                             stream[lastout:final_end])))
             return
 
+        # ---- vectorized flat-AND count: over newline records the
+        # walk's group == the line of the first anchor, so a record
+        # matches iff its line holds every terminal index.  (Terms
+        # containing '\n' could make an anchor cross its line; gate
+        # them to the sequential walk.)
+        if (is_and and not is_complex and not q.delimiter_opt
+                and o.count and not o.filename_only and not o.silent
+                and not o.multi_output and o.limit_output <= 0
+                and o.limit_per_file <= 0
+                and not any(t and b"\n" in t for t in self.terms)
+                and (n_occ == 0
+                     or not bool((stream[occ_a] == 0x0A).any()))):
+            if n_occ:
+                line_of = np.searchsorted(nl, occ_a + 1, side="left")
+                order2 = np.lexsort((occ_i, line_of))
+                lo_s, ti_s = line_of[order2], occ_i[order2]
+                fresh = np.concatenate(
+                    [[True], (lo_s[1:] != lo_s[:-1])
+                     | (ti_s[1:] != ti_s[:-1])])
+                uline, cnts = np.unique(lo_s[fresh],
+                                        return_counts=True)
+                sink.num_matched += int(
+                    np.count_nonzero(cnts == n_terms))
+            return
+
         # ---- per-record walks over the sorted occurrence table.
         # Semantics identical to the reference's sequential scan, but
         # iteration count is O(matched records), not O(occurrences):
