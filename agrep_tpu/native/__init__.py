@@ -93,6 +93,12 @@ def get_lib():
     lib.pack_lines.restype = None
     lib.pack_lines.argtypes = [u8p, i64, i64p, i64p, i64, i64, u8p]
     u32 = ctypes.c_uint32
+    lib.exact_scan_events.restype = i64
+    lib.exact_scan_events.argtypes = [u8p, i64, u8p, i64, i64p, u32p,
+                                      i64]
+    lib.folded_exact_scan.restype = i64
+    lib.folded_exact_scan.argtypes = [u8p, i64, u8p, i64, u8p, i64p,
+                                      u32p, i64]
     lib.bitap_scan_events.restype = i64
     lib.bitap_scan_events.argtypes = [u8p, i64, u32p, u32, u32, u32,
                                       u32, u32, u32, i64,
@@ -125,6 +131,67 @@ def _scratch(key: str, min_len: int, dtype=np.int64) -> np.ndarray:
     return buf
 
 
+def _exact_bytes_from_mask(mask_table: np.ndarray,
+                           m: int) -> bytes | None:
+    """Reconstruct the literal pattern when every sgrep-machine
+    position is matched by exactly ONE byte (no fold/class): position
+    p's byte is the unique c with bit (31 - p) set in mask[c]."""
+    mt = mask_table.astype(np.uint32)
+    out = bytearray()
+    for p in range(m):
+        bit = np.uint32(1 << (31 - p))
+        sel = np.flatnonzero((mt & bit) != 0)
+        if len(sel) != 1:
+            return None
+        out.append(int(sel[0]))
+    return bytes(out)
+
+
+def _folded_exact_from_mask(mask_table: np.ndarray, m: int):
+    """(pattern-under-fold, fold table u8[256]) when every position's
+    byte set is a singleton or a case pair {c, c^0x20}, with one
+    consistent global fold; None otherwise."""
+    mt = mask_table.astype(np.uint32)
+    fold_map: dict = {}
+    patf = bytearray()
+
+    def bind(b, target):
+        if fold_map.setdefault(b, target) != target:
+            raise ValueError
+
+    singles = set()
+    try:
+        for p in range(m):
+            bit = np.uint32(1 << (31 - p))
+            sel = np.flatnonzero((mt & bit) != 0)
+            if len(sel) == 1:
+                c = int(sel[0])
+                bind(c, c)
+                singles.add(c)
+                patf.append(c)
+            elif len(sel) == 2:
+                a, b = int(sel[0]), int(sel[1])
+                if a ^ b != 0x20:
+                    return None
+                lo = a | 0x20
+                bind(a, lo)
+                bind(b, lo)
+                patf.append(lo)
+            else:
+                return None
+    except ValueError:
+        return None
+    # a singleton's byte must not be the fold TARGET of any other
+    # byte, or the fold would admit that byte at the exact position
+    for b, t in fold_map.items():
+        if b != t and t in singles:
+            return None
+    fold = np.arange(256, dtype=np.uint8)
+    for b, t in fold_map.items():
+        fold[b] = t
+    return bytes(patf), fold
+
+
 def bitap_scan_events(text: np.ndarray, mask_table: np.ndarray,
                       consts: dict, D: int, variant: str,
                       costs) -> tuple | None:
@@ -133,6 +200,27 @@ def bitap_scan_events(text: np.ndarray, mask_table: np.ndarray,
     lib = get_lib()
     if lib is None:
         return None
+    if (variant == "sgrep" and D == 0
+            and int(consts.get("endpos", 0)) != 0):
+        m = int(consts.get("m", 0))
+        fx = _folded_exact_from_mask(mask_table, m) if m else None
+        if fx is not None:
+            patf, fold = fx
+            tx = np.ascontiguousarray(text)
+            pt = np.ascontiguousarray(np.frombuffer(patf,
+                                                    dtype=np.uint8))
+            fd = np.ascontiguousarray(fold)
+            out_p = _scratch("ev_pos", 1 << 20)
+            out_w = _scratch("ev_word", 1 << 20, dtype=np.uint32)
+            cnt = lib.folded_exact_scan(tx, len(tx), pt, m, fd,
+                                        out_p, out_w, len(out_p))
+            if cnt > len(out_p):
+                out_p = _scratch("ev_pos", int(cnt) + 16)
+                out_w = _scratch("ev_word", int(cnt) + 16,
+                                 dtype=np.uint32)
+                cnt = lib.folded_exact_scan(tx, len(tx), pt, m, fd,
+                                            out_p, out_w, len(out_p))
+            return out_p[:cnt], out_w[:cnt]
     ci, cs, cd = costs if costs is not None else (0, 0, 0)
     mt = np.ascontiguousarray(mask_table.astype(np.uint32))
     tx = np.ascontiguousarray(text)

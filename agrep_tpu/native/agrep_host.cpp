@@ -726,6 +726,73 @@ int64_t qgram_first_per_anchor(
     return cnt;
 }
 
+// Exact-pattern scan: memmem over the stream (what bm()'s skip loop
+// buys the reference), emitting event word 1 at each match END --
+// byte-identical to the D==0 sgrep machine when every pattern
+// position is a single byte (the python caller checks the mask).
+// Returns total matches (writes at most cap).
+int64_t exact_scan_events(const uint8_t* buf, int64_t n,
+                          const uint8_t* pat, int64_t m,
+                          int64_t* out_pos, uint32_t* out_word,
+                          int64_t cap) {
+    int64_t cnt = 0;
+    const uint8_t* p = buf;
+    const uint8_t* e = buf + n;
+    while (p + m <= e) {
+        const uint8_t* q = (const uint8_t*)memmem(p, (size_t)(e - p),
+                                                  pat, (size_t)m);
+        if (!q) break;
+        if (cnt < cap) {
+            out_pos[cnt] = (q - buf) + m - 1;
+            out_word[cnt] = 1u;
+        }
+        cnt++;
+        p = q + 1;            // overlapping matches, like the machine
+    }
+    return cnt;
+}
+
+// Exact match under a byte fold table (the sgrep mask's case pairs):
+// Boyer-Moore-Horspool on folded bytes, emitting event word 1 at each
+// match END.  Equivalent to the D==0 sgrep machine when every
+// position's byte set is {c} or the case pair {c, c^0x20} (python
+// gates).  Returns total matches (writes at most cap).
+int64_t folded_exact_scan(const uint8_t* buf, int64_t n,
+                          const uint8_t* patf, int64_t m,
+                          const uint8_t* fold, int64_t* out_pos,
+                          uint32_t* out_word, int64_t cap) {
+    if (m <= 0 || n < m) return 0;
+    int64_t shift[256];
+    for (int i = 0; i < 256; i++) shift[i] = m;
+    for (int64_t k = 0; k < m - 1; k++) {
+        // every byte folding to patf[k] skips to align position k
+        for (int c = 0; c < 256; c++)
+            if (fold[c] == patf[k]) shift[c] = m - 1 - k;
+    }
+    int64_t cnt = 0;
+    int64_t i = m - 1;
+    uint8_t last = patf[m - 1];
+    while (i < n) {
+        uint8_t c = fold[buf[i]];
+        if (c == last) {
+            int64_t k = m - 2;
+            while (k >= 0 && fold[buf[i - (m - 1 - k)]] == patf[k])
+                k--;
+            if (k < 0) {
+                if (cnt < cap) {
+                    out_pos[cnt] = i;
+                    out_word[cnt] = 1u;
+                }
+                cnt++;
+            }
+            i += 1;            // overlapping matches, like the machine
+        } else {
+            i += shift[buf[i]];
+        }
+    }
+    return cnt;
+}
+
 // Sequential bit-parallel stream scan: the host twin of the windowed
 // numpy backend (ops/scan.py _scan_windows_np) for the bitap and
 // sgrep machines.  Valid when the machine's dependence window is

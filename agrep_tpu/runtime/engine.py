@@ -495,17 +495,30 @@ class SgrepEngine:
                 # replay (chunk ends are 32KB-aligned, so the carried
                 # state at the takeover boundary is reconstructable)
                 takeover = None          # (trim_data, rb_data)
-                rb = max(1, (g0 - 1) // B2 + 1) * B2 + 1
-                while rb <= g1 and rb < N:
-                    blk = stream.read(rb - B2, rb)
-                    nls = np.flatnonzero(blk == 0x0A)
-                    trim = (rb - B2 + int(nls[-1])) if len(nls) \
-                        else rb - B2
-                    if (rb - 1) - trim + 1 > 1024:      # clobbered
+                rb0 = max(1, (g0 - 1) // B2 + 1) * B2 + 1
+                rbs = np.arange(rb0, min(g1, N - 1) + 1, B2,
+                                dtype=np.int64)
+                if len(rbs):
+                    # last newline before each boundary, from the
+                    # chunk's newline index (+ the carried last_nl for
+                    # windows reaching before this chunk) -- the
+                    # per-block rescan loop dominated exact -c
+                    k = np.searchsorted(nl, rbs, side="left")
+                    trims = np.where(k > 0,
+                                     nl[np.maximum(k - 1, 0)],
+                                     np.int64(-1))
+                    lo_w = rbs - B2
+                    trims = np.where(
+                        trims >= lo_w, trims,
+                        np.where(last_nl >= lo_w, np.int64(last_nl),
+                                 lo_w))
+                    bad = (rbs - 1) - trims + 1 > 1024
+                    bi = np.flatnonzero(bad)
+                    if len(bi):
+                        rb = int(rbs[bi[0]])
+                        trim = int(trims[bi[0]])
                         takeover = (trim - 1, rb - 1)
                         pos = pos[pos <= trim]
-                        break
-                    rb += B2
                 if len(pos):
                     ids = nl_before + np.searchsorted(nl, pos, "left")
                     ids = np.unique(ids)

@@ -25,6 +25,9 @@ CASES = [
     ["-2", "-c", "approximate"],
     ["-1", "-c", "hello"],
     ["-0", "-c", "-d", "xx", "hello"],
+    ["-c", "hello"],          # folded-exact BMH fast path
+    ["-c", "Hello"],
+    ["-c", "12a34"],
 ]
 
 
