@@ -95,6 +95,7 @@ class BitapEngine:
             return
 
         lasti = 1                      # record start (output coords)
+        prev_pk = None                 # previous delimiter position
         rec_k = 0                      # record ordinal (1-based)
         acc = 0
         any_hit = False
@@ -122,6 +123,8 @@ class BitapEngine:
                 acc = 0
                 any_hit = False
                 this_lasti = lasti
+                this_prev = prev_pk
+                prev_pk = pk
                 lasti = pk + 1 - dl
                 if not verdict:
                     continue
@@ -135,12 +138,29 @@ class BitapEngine:
                     continue
                 print_end = pk - dl
                 byte_offset = pk + 1 - dl_off + extra
-                if print_end - this_lasti > MAX_RECORD:
+                synth = None
+                if not q.delimiter_opt:
+                    p_ref = this_prev if this_prev is not None else 0
+                    synth = _bitap_clamped_synth(
+                        outs, p_ref, pk, asearch_mode=q.D > 0)
+                if synth is not None:
+                    sink.truncate = True
+                    output_bitap_record(
+                        sink, synth, 0, len(synth) - 1 - dl, j,
+                        byte_offset, dl, q.delimiter_opt, q.delim,
+                        q.outtail)
+                elif print_end - this_lasti > MAX_RECORD:
                     sink.truncate = True
                     this_lasti = print_end - MAX_RECORD
-                output_bitap_record(
-                    sink, outs, this_lasti, print_end, j, byte_offset,
-                    dl, q.delimiter_opt, q.delim, q.outtail)
+                    output_bitap_record(
+                        sink, outs, this_lasti, print_end, j,
+                        byte_offset, dl, q.delimiter_opt, q.delim,
+                        q.outtail)
+                else:
+                    output_bitap_record(
+                        sink, outs, this_lasti, print_end, j,
+                        byte_offset, dl, q.delimiter_opt, q.delim,
+                        q.outtail)
                 if _limits_reached(o, sink):
                     return
 
@@ -295,14 +315,119 @@ class BitapEngine:
             if lasti >= data_end:
                 continue
             byte_offset = pk + 1 - dl_off + int(P_extra[k])
-            if not memory_mode and print_end - lasti > MAX_RECORD:
+            synth = None
+            if not memory_mode and not q.delimiter_opt:
+                p_ref = int(P[k - 1]) if k > 0 else 0
+                synth = _bitap_clamped_synth(stream, p_ref, pk,
+                                             asearch_mode=q.D > 0)
+            if synth is not None:
                 sink.truncate = True
-                lasti = print_end - MAX_RECORD
-            output_bitap_record(
-                sink, stream, lasti, print_end, j, byte_offset, dl,
-                q.delimiter_opt, q.delim, q.outtail)
+                output_bitap_record(
+                    sink, synth, 0, len(synth) - 1 - dl, j,
+                    byte_offset, dl, q.delimiter_opt, q.delim,
+                    q.outtail)
+            else:
+                if not memory_mode and print_end - lasti > MAX_RECORD:
+                    sink.truncate = True
+                    lasti = print_end - MAX_RECORD
+                output_bitap_record(
+                    sink, stream, lasti, print_end, j, byte_offset,
+                    dl, q.delimiter_opt, q.delim, q.outtail)
             if _limits_reached(o, sink):
                 break
+
+
+BS_BITAP = 49152      # BlockSize == Max_record (agrep.h:48-49)
+
+
+def _bitap_clamped_synth(stream, p_ref: int, pk: int,
+                         asearch_mode: bool = False):
+    """The reference's residue clamp, simulated per record: when a
+    newline record outgrows the buffer, each block-end residue copy
+    keeps only Max_record bytes from `lasti` (bitap.c:286-297,
+    asearch.c:308-320), so output() prints a preserved head followed
+    by the final block's prefix with the middle silently gone.
+    asearch_mode replays asearch.c's `if (lasti == 0) lasti = 1`
+    (:319), which erodes the preserved head by one byte per further
+    clamp; bitap.c's `if (lasti < 0) lasti = 1` (:297) never fires.
+
+    Returns the synthesized print buffer starting AT the reference's
+    lasti slot and ending at this delimiter, or None when the record
+    never clamped (normal print).
+
+    stream = '\\n' + data (+ appended delimiter); p_ref/pk are stream
+    positions of the bounding delimiters (p_ref == 0 is the prefilled
+    newline, buffer[Max_record-1])."""
+    BS = BS_BITAP
+    p_d = p_ref - 1                 # data coords (-1 = prefill)
+    e_d = pk - 1
+    j1 = e_d // BS
+    B = BS if p_d < 0 else (p_d // BS + 1) * BS   # first copy point
+    if B > j1 * BS:
+        return None     # no block end inside the record: normal print
+    # pieces: the preserved bytes as STREAM ranges (stream[p_ref] is
+    # the previous delimiter byte, = buffer[lasti] at record start)
+    pieces = [(p_ref, p_ref + 1)]        # the delimiter slot itself
+    lasti_buf = BS - 1 if p_d < 0 else BS + (p_d % BS)
+    # buffer model: preserved pieces end at BS; current block follows
+    total_prev = 1                       # bytes in `pieces`
+    clamped = False
+    while B <= j1 * BS:
+        blk_lo_s = (B - BS) + 1          # stream coord of block start
+        blk_hi_s = B + 1
+        # source = buffer[lasti_buf:] = pieces tail ++ current block
+        src = []
+        if lasti_buf < BS:
+            drop = lasti_buf - (BS - total_prev)
+            rem = drop
+            for lo, hi in pieces:
+                ln = hi - lo
+                if rem >= ln:
+                    rem -= ln
+                    continue
+                src.append((lo + rem, hi))
+                rem = 0
+        else:
+            src.append((blk_lo_s + (lasti_buf - BS), blk_hi_s))
+        if lasti_buf < BS:
+            src.append((blk_lo_s, blk_hi_s))
+        residue = sum(hi - lo for lo, hi in src)
+        keep = min(residue, BS)
+        if residue > BS:
+            clamped = True
+            out, left = [], keep
+            for lo, hi in src:
+                take = min(hi - lo, left)
+                if take > 0:
+                    out.append((lo, lo + take))
+                    left -= take
+            src = out
+        pieces = src
+        total_prev = keep
+        lasti_buf = BS - keep
+        if asearch_mode:
+            if lasti_buf == 0:
+                lasti_buf = 1
+        else:
+            if lasti_buf < 0:
+                lasti_buf = 1
+        B += BS
+    if not clamped:
+        return None
+    # print span = buffer[lasti_buf .. delim]: preserved from
+    # lasti_buf, then the final block up to the delimiter
+    drop = lasti_buf - (BS - total_prev)
+    parts = []
+    rem = drop
+    for lo, hi in pieces:
+        ln = hi - lo
+        if rem >= ln:
+            rem -= ln
+            continue
+        parts.append(np.asarray(stream[lo + rem:hi]))
+        rem = 0
+    parts.append(np.asarray(stream[j1 * BS + 1:pk + 1]))
+    return np.concatenate(parts)
 
 
 def _sgrep_delim_trims(data: np.ndarray, delim: bytes,
@@ -454,6 +579,26 @@ class SgrepEngine:
 
         walker = None
         if D > 0:
+            # clamped residues (records > MAXLINE crossing 32KB block
+            # ends) make the count depend on the clobbered buffer --
+            # hand the whole file to the exact replay path
+            from .. import native
+            nld = native.find_delims_all(np.asarray(data), b"\n")
+            if nld is None:
+                nld = np.flatnonzero(np.asarray(data) == 0x0A)
+            B2 = 2 * 16384
+            ends = np.arange(B2, len(data), B2, dtype=np.int64)
+            if len(ends):
+                ki = np.searchsorted(nld, ends)
+                lastnl = np.where(ki > 0, nld[np.maximum(ki - 1, 0)],
+                                  np.int64(-1))
+                if bool(((ends - lastnl) > 1024).any()):
+                    from . import sgrep_sim
+                    layout = sgrep_sim.block_layout(
+                        np.asarray(data), None, q.outtail)
+                    if any(b.clobbered or b.fallback for b in layout):
+                        self.search_stream(np.asarray(data), sink, D)
+                        return
             from .sgrep_sim import AgrepCountWalker
             walker = AgrepCountWalker(data, q.sg_pattern, D)
         pend = np.empty(0, dtype=np.int64)  # events awaiting record end
@@ -726,7 +871,26 @@ class SgrepEngine:
         walk_spans = None
         if D > 0 and q.sg_sub == "agrep" and not memory_mode:
             from . import sgrep_sim
-            if (q.sg_m - D <= 2 or q.delimiter_opt) \
+            # records outgrowing the residue window (MAXLINE,
+            # sgrep.c:465-471) clobber the block buffer: candidates
+            # and record spans then depend on the clamped copies,
+            # which only the exact replay models.  Cheap pre-check:
+            # any 32KB block end more than MAXLINE past the last
+            # newline.
+            pathological = False
+            if not q.delimiter_opt and len(data) > 2 * 16384:
+                B2 = 2 * 16384
+                ends = np.arange(B2, len(data), B2, dtype=np.int64)
+                nld = nl - base
+                ki = np.searchsorted(nld, ends)
+                lastnl = np.where(ki > 0, nld[np.maximum(ki - 1, 0)],
+                                  np.int64(-1))
+                if bool(((ends - lastnl) > 1024).any()):
+                    layout = sgrep_sim.block_layout(data, None,
+                                                    q.outtail)
+                    pathological = any(b.clobbered or b.fallback
+                                       for b in layout)
+            if (q.sg_m - D <= 2 or q.delimiter_opt or pathological) \
                     and q.sg_m // (D + 1) >= 1:
                 # degenerate fragment lengths (m close to D) and -d
                 # records: which event triggers each output depends on
