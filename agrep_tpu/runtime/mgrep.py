@@ -99,6 +99,8 @@ class MgrepEngine:
         self.total_line = 0
         self._qgram_tables = None
         self._qgram_csr = None
+        self._vmode = False          # scanning a clamped virtual stream
+        self._vmode_marks = None
 
     def _fast_or_applicable(self, o, q) -> bool:
         """Flat-OR searches over newline records only need the FIRST
@@ -513,6 +515,37 @@ class MgrepEngine:
                       memory_mode: bool = False) -> None:
         q, o = self.q, self.q.opts
         dl = len(q.delim)
+        # ---- clamped residues (newmgrep.c:556-562): records larger
+        # than MAXLINE crossing 32KB block ends lose bytes from the
+        # scan; search the stitched stream the reference actually saw
+        if (not memory_mode and not q.delimiter_opt
+                and not self._vmode and len(data) > 2 * 16384):
+            B2 = 2 * 16384
+            darr = np.asarray(data)
+            ends = np.arange(B2, len(darr) + B2 - 1, B2,
+                             dtype=np.int64)
+            ends = np.minimum(ends, len(darr))
+            from .. import native
+            nld = native.find_delims_all(darr, b"\n")
+            if nld is None:
+                nld = np.flatnonzero(darr == 0x0A)
+            ki = np.searchsorted(nld, ends)
+            lastnl = np.where(ki > 0, nld[np.maximum(ki - 1, 0)],
+                              np.int64(-1))
+            if bool(((ends - lastnl) > 1024).any()):
+                V, marks, lossy = _mgrep_virtual_stream(darr)
+                if lossy:
+                    if o.invert and o.count:
+                        self.total_line += int(np.count_nonzero(
+                            darr == 0x0A))
+                    self._vmode = True
+                    self._vmode_marks = marks
+                    try:
+                        self.search_stream(V, sink, D)
+                    finally:
+                        self._vmode = False
+                        self._vmode_marks = None
+                    return
         # ---- pure-count fast path: flat-OR -c with no inversion,
         # decorations, or limits needs only the NUMBER of matched
         # lines, which is exactly the winner count of the
@@ -596,7 +629,9 @@ class MgrepEngine:
                     np.frombuffer(b"\n", dtype=np.uint8)])
                 base = 1
         N = len(stream)
-        if o.invert and o.count:
+        if o.invert and o.count and not self._vmode:
+            # countline runs over the RAW blocks (newmgrep.c:518): the
+            # vmode caller already counted the original data
             self.total_line += int(np.count_nonzero(data == 0x0A))
 
         m1 = self.p_size - 1
@@ -782,7 +817,9 @@ class MgrepEngine:
                 if cbo_override is not None:
                     cbo = cbo_override
                 else:
-                    drift = _bisect.bisect_left(
+                    # vmode streams embed the duplicate bytes, so the
+                    # stream offset IS the accumulated CBO
+                    drift = 0 if self._vmode else _bisect.bisect_left(
                         cbo_marks, anchor - m1 + 1 - base)
                     cbo = anchor - base - m1 + 1 + short_drift[0] + drift
                 if o.bytecount:
@@ -820,7 +857,8 @@ class MgrepEngine:
         cbo_marks = []
         if not memory_mode:
             if not q.delimiter_opt:
-                cbo_marks = _mgrep_block_ends(data)
+                cbo_marks = (list(self._vmode_marks) if self._vmode
+                             else _mgrep_block_ends(data))
             else:
                 cbo_marks = list(delim_marks)
         bounds = [m + base for m in cbo_marks]       # inclusive ends
@@ -1391,6 +1429,61 @@ def _mgrep_record_span(stream, nl, delim_ends, anchor, q, base,
             break
         j += 1
     return begin, end
+
+
+def _mgrep_virtual_stream(data: np.ndarray):
+    """The byte stream mgrep actually SCANS when a block residue
+    outgrows MAXLINE (newmgrep.c:556-562): `start = MAXLINE - residue`
+    goes negative, is forced to 1, and the next fill_buf clobbers every
+    residue byte past MAXLINE -- so the scan sees only the residue's
+    first MAXLINE-1 bytes stitched onto the next block, and whole spans
+    of the file silently vanish.
+
+    Returns (V, marks, lossy): V = the stitched scan stream (each
+    region re-scans its leading trim byte, so V embeds the duplicate
+    bytes the intact-path models with cbo drift marks); marks =
+    V-offsets of each region's trim byte (INVERSE region bounds);
+    lossy = whether any byte was dropped."""
+    MAXLINE = 1024
+    BLK = 2 * 16384
+    n = len(data)
+    pieces = []
+    marks = []
+    vlen = 0
+    res = np.zeros(0, dtype=np.uint8)    # starts with the trim byte
+    lossy = False
+    pos = 0
+    while pos < n:
+        num_read = min(BLK, n - pos)
+        block = np.asarray(data[pos:pos + num_read])
+        nls = np.flatnonzero(block == 0x0A)
+        # `end` walks back to the block start when no newline exists
+        # (newmgrep.c:499): the scan then covers res + one block byte
+        end_rel = int(nls[-1]) if len(nls) else 0
+        if len(res):
+            pieces.append(res)
+            vlen += len(res)
+        scanned = block[:end_rel + 1]
+        pieces.append(scanned)
+        vlen += len(scanned)
+        last_block = pos + num_read >= n
+        pos += num_read
+        residue_full = block[end_rel:]   # starts AT the trim byte
+        if not last_block or len(residue_full) > 1:
+            marks.append(vlen - 1)       # the trim byte's V offset
+        if len(residue_full) > MAXLINE:
+            lossy = True
+            res = residue_full[:MAXLINE - 1]
+        else:
+            res = residue_full
+    if len(res) > 1:
+        # EOF residue rescan (newmgrep.c:577): covers the surviving
+        # residue again, trim byte included
+        pieces.append(res)
+        vlen += len(res)
+    V = (np.concatenate(pieces) if pieces
+         else np.zeros(0, dtype=np.uint8))
+    return V, marks, lossy
 
 
 def _mgrep_block_ends(data: np.ndarray) -> list:

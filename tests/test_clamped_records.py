@@ -43,3 +43,16 @@ def corpora(tmp_path_factory):
                                   "mid", "nonl"])
 def test_clamped_record_conformance(corpora, flags, name):
     compare(flags + ["hello", corpora[name]], check_stderr=True)
+
+
+@pytest.mark.parametrize("pat", ["hello;tail", "hello,zzz",
+                                 "hello,world"])
+@pytest.mark.parametrize("flags", [["-c"], [], ["-n"], ["-b"],
+                                   ["-c", "-v"]])
+@pytest.mark.parametrize("name", ["longline", "megarec", "marked",
+                                  "mid"])
+def test_clamped_multipattern(corpora, pat, flags, name):
+    """mgrep's MAXLINE residue clamp (newmgrep.c:556-562): matches in
+    the clobbered spans are lost and records stitch across the hole --
+    the virtual-stream replay (_mgrep_virtual_stream) reproduces it."""
+    compare(flags + [pat, corpora[name]])
