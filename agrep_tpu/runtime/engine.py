@@ -149,7 +149,8 @@ class BitapEngine:
                         sink, synth, 0, len(synth) - 1 - dl, j,
                         byte_offset, dl, q.delimiter_opt, q.delim,
                         q.outtail)
-                elif print_end - this_lasti > MAX_RECORD:
+                elif (q.delimiter_opt
+                        and print_end - this_lasti > MAX_RECORD):
                     sink.truncate = True
                     this_lasti = print_end - MAX_RECORD
                     output_bitap_record(
@@ -327,7 +328,11 @@ class BitapEngine:
                     byte_offset, dl, q.delimiter_opt, q.delim,
                     q.outtail)
             else:
-                if not memory_mode and print_end - lasti > MAX_RECORD:
+                # unclamped records print whole, even past Max_record
+                # (the buffer holds residue + current block); only the
+                # -d block machinery keeps the legacy approximation
+                if (not memory_mode and q.delimiter_opt
+                        and print_end - lasti > MAX_RECORD):
                     sink.truncate = True
                     lasti = print_end - MAX_RECORD
                 output_bitap_record(
@@ -589,9 +594,13 @@ class SgrepEngine:
             B2 = 2 * 16384
             ends = np.arange(B2, len(data), B2, dtype=np.int64)
             if len(ends):
-                ki = np.searchsorted(nld, ends)
-                lastnl = np.where(ki > 0, nld[np.maximum(ki - 1, 0)],
-                                  np.int64(-1))
+                if len(nld):
+                    ki = np.searchsorted(nld, ends)
+                    lastnl = np.where(ki > 0,
+                                      nld[np.maximum(ki - 1, 0)],
+                                      np.int64(-1))
+                else:
+                    lastnl = np.full(len(ends), -1, dtype=np.int64)
                 if bool(((ends - lastnl) > 1024).any()):
                     from . import sgrep_sim
                     layout = sgrep_sim.block_layout(

@@ -101,6 +101,7 @@ class MgrepEngine:
         self._qgram_csr = None
         self._vmode = False          # scanning a clamped virtual stream
         self._vmode_marks = None
+        self._vmode_dirty = False
 
     def _fast_or_applicable(self, o, q) -> bool:
         """Flat-OR searches over newline records only need the FIRST
@@ -110,6 +111,10 @@ class MgrepEngine:
         if q.bool_tree is not None or q.bool_op == "and":
             return False
         if o.multi_output or q.delimiter_opt:
+            return False
+        if self._vmode_dirty:
+            # non-newline region trims split lines: first-per-line
+            # pruning would drop the follow-on region's record
             return False
         n_live = sum(1 for t in self.terms if t)
         if n_live < ONE_PASS_MIN:
@@ -529,9 +534,12 @@ class MgrepEngine:
             nld = native.find_delims_all(darr, b"\n")
             if nld is None:
                 nld = np.flatnonzero(darr == 0x0A)
-            ki = np.searchsorted(nld, ends)
-            lastnl = np.where(ki > 0, nld[np.maximum(ki - 1, 0)],
-                              np.int64(-1))
+            if len(nld):
+                ki = np.searchsorted(nld, ends)
+                lastnl = np.where(ki > 0, nld[np.maximum(ki - 1, 0)],
+                                  np.int64(-1))
+            else:
+                lastnl = np.full(len(ends), -1, dtype=np.int64)
             if bool(((ends - lastnl) > 1024).any()):
                 V, marks, lossy = _mgrep_virtual_stream(darr)
                 if lossy:
@@ -540,11 +548,17 @@ class MgrepEngine:
                             darr == 0x0A))
                     self._vmode = True
                     self._vmode_marks = marks
+                    # a trim that is NOT a newline (no-newline block)
+                    # splits a line across scan regions: per-line
+                    # pruning is then unsound
+                    self._vmode_dirty = any(
+                        int(V[mk]) != 0x0A for mk in marks)
                     try:
                         self.search_stream(V, sink, D)
                     finally:
                         self._vmode = False
                         self._vmode_marks = None
+                        self._vmode_dirty = False
                     return
         # ---- pure-count fast path: flat-OR -c with no inversion,
         # decorations, or limits needs only the NUMBER of matched
@@ -790,8 +804,21 @@ class MgrepEngine:
                 ki = bisect.bisect_left(delim_marks, anchor)
                 lo = delim_marks[ki - 1] if ki > 0 else None
                 hi = delim_marks[ki] if ki < len(delim_marks) else None
-            return _mgrep_record_span(stream, nl, delim_ends, anchor,
+            b, e = _mgrep_record_span(stream, nl, delim_ends, anchor,
                                       q, base, len(data), lo, hi)
+            if self._vmode and self._vmode_marks:
+                # records never cross a scan region (curtextbegin/end
+                # bounded by textbegin/textend, newmgrep.c:880-886)
+                mk = self._vmode_marks
+                r = _bisect.bisect_left(mk, anchor - base)
+                if r < len(mk):
+                    nl_trim = int(stream[mk[r] + base]) == 0x0A
+                    rend = mk[r] + base + (1 if nl_trim else 0)
+                else:
+                    rend = N
+                rbeg = (mk[r - 1] + 1 + base) if r > 0 else base
+                b, e = max(b, rbeg), min(e, rend)
+            return b, e
 
         def do_output(pat_index: int, anchor: int, begin: int, end: int,
                       change_text: bool, cbo_override=None) -> bool:
@@ -922,8 +949,15 @@ class MgrepEngine:
             if occ_cols is not None:
                 first = None         # rows are already one-per-anchor
             elif n_occ:
-                first = np.flatnonzero(np.concatenate(
-                    [[True], occ_a[1:] != occ_a[:-1]]))
+                if is_and or is_complex:
+                    # the bucket loop only `break`s once MATCHED
+                    # (newmgrep.c:978): until the boolean satisfies,
+                    # EVERY verifying entry at an anchor registers --
+                    # keep all rows (descending tid per anchor)
+                    first = np.arange(n_occ, dtype=np.int64)
+                else:
+                    first = np.flatnonzero(np.concatenate(
+                        [[True], occ_a[1:] != occ_a[:-1]]))
             else:
                 first = np.zeros(0, dtype=np.int64)
             nz_terms = np.asarray([bool(t) for t in self.terms])
@@ -1110,12 +1144,14 @@ class MgrepEngine:
                     amatched[idx] = True
                     cbo_post = None   # C's cbo value at the post-event
                                       # flush check (short mode only)
+                    out_fired = False
                     if is_complex:
                         post = a + tl_ - 1
                         nv = post + 1             # then shift=1
                         cbo_post = cbo_at(post)
                     elif (not is_and
                           or bool(amatched[nz_terms].all())):
+                        out_fired = True
                         cbo_out = cbo_at(a)
                         if do_output(idx, a, curb, cure, True,
                                      cbo_out if short_mode else None):
@@ -1146,7 +1182,15 @@ class MgrepEngine:
                     if DOW and post >= cure - 1:
                         if flush(cbo_post if short_mode else None):
                             return True
-                    j = int(np.searchsorted(wa, nv, side="left"))
+                    if ((is_and or is_complex) and not out_fired
+                            and j + 1 < len(wa)
+                            and int(wa[j + 1]) == a):
+                        # unsatisfied boolean: the bucket loop doesn't
+                        # break (newmgrep.c:978) -- register the next
+                        # entry at this same anchor
+                        j += 1
+                    else:
+                        j = int(np.searchsorted(wa, nv, side="left"))
                 return False
 
             for r in range(len(bounds) + 1):
@@ -1217,7 +1261,19 @@ class MgrepEngine:
             # hop the next line's anchors; that shape takes the
             # sequential loop below)
             line_id = np.searchsorted(nl, occ_a + 1, side="left")
-            uniq, first_idx = np.unique(line_id, return_index=True)
+            if self._vmode and self._vmode_marks:
+                # one anchor group per (line, scan region): a line
+                # split by a non-newline trim produces a record on
+                # each side (the jump stops at textend)
+                mkv = np.asarray(self._vmode_marks,
+                                 dtype=np.int64) + base
+                reg_all = np.searchsorted(mkv, occ_a, side="left")
+                key = line_id * (np.int64(len(mkv)) + 2) + reg_all
+            else:
+                mkv = None
+                key = line_id
+            uniq_k, first_idx = np.unique(key, return_index=True)
+            uniq = line_id[first_idx]
             if (o.count and not o.invert and not o.filename_only
                     and not o.silent and o.limit_output <= 0
                     and o.limit_per_file <= 0):
@@ -1228,6 +1284,20 @@ class MgrepEngine:
                 bj = np.searchsorted(nl, occ_a[first_idx] - 1,
                                      side="right") - 1
                 begins = np.where(bj >= 0, nl[np.maximum(bj, 0)] + 1, 0)
+                if mkv is not None:
+                    # curtextend consumes the trim byte only when it
+                    # is a newline (newmgrep.c:881-882)
+                    r = reg_all[first_idx]
+                    mk_i = np.minimum(r, len(mkv) - 1)
+                    is_nl = stream[mkv[mk_i]] == 0x0A
+                    rend = np.where(r < len(mkv),
+                                    mkv[mk_i] + is_nl.astype(np.int64),
+                                    N)
+                    rbeg = np.where(r > 0,
+                                    mkv[np.maximum(r - 1, 0)] + 1,
+                                    base)
+                    ends = np.minimum(ends, rend)
+                    begins = np.maximum(begins, rbeg)
                 for t in range(len(first_idx)):
                     k = int(first_idx[t])
                     stop = do_output(int(occ_i[k]), int(occ_a[k]),

@@ -1015,7 +1015,7 @@ def _folded_ends(buf: np.ndarray, lo: int, hi: int,
         lo = max(lo, m - 1)
         if hi <= lo:
             return np.empty(0, dtype=np.int64)
-    seg = buf[lo - m + 1:hi]
+    seg = _sgrep_tr()[buf[lo - m + 1:hi]]
     k = len(seg) - m + 1
     if k <= 0:
         return np.empty(0, dtype=np.int64)
