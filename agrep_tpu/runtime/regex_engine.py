@@ -157,6 +157,7 @@ class RegexEngine:
                 hit[n_lines - 1] = False
             sink.num_matched += int(np.count_nonzero(hit))
             return
+        BSR = 49152                            # BlockSize (agrep.h:48)
         for k in np.flatnonzero(hit).tolist():
             p = int(nl[k + 1])                 # stream pos of the '\n'
             if not memory_mode and appended and p == N - 1:
@@ -171,6 +172,28 @@ class RegexEngine:
                 sink.write_str("%s\n" % sink.current_filename)
                 return
             bp = int(nl[k]) + 1                # line start
+            # residue clamping (agrep.c:1426-1431 for D==0; the D>0
+            # loop carries only the last Maxline bytes, :1739): a line
+            # crossing a block boundary prints a preserved 1023-byte
+            # head + the final block's prefix (D==0), or the final
+            # block's prefix alone (D>0), unless it began within
+            # Maxline of the boundary
+            head_hi = None                     # clamp pieces (stream)
+            tail_lo = None
+            if not memory_mode:
+                pn_d = bp - 2                  # prev newline, data
+                e_d = p - 1
+                b_d = bp - 1
+                j1b = (e_d // BSR) * BSR
+                if D == 0:
+                    b0 = (max(pn_d, 0) // BSR + 1) * BSR
+                    if b0 <= j1b and (j1b > b0 or b0 - pn_d > 1024):
+                        head_hi = int(nl[k]) + 1024   # stream coord
+                        tail_lo = j1b + 1
+                else:
+                    if j1b > b_d and b_d <= j1b - 1024:
+                        head_hi = bp          # empty head
+                        tail_lo = j1b + 1
             printed = sink.emit_fname_prefix()
             if o.linenum:
                 sink.write_str("%d: " % (j - 1))
@@ -189,11 +212,17 @@ class RegexEngine:
             if o.bytecount:
                 sink.write_str("%d= " % cbo)
                 printed = True
+            rec_len = (p - bp if head_hi is None
+                       else (head_hi - bp) + (p - tail_lo + 1))
             if o.printoffset:
-                sink.write_str("@%d{%d} " % (cbo - (p - bp), p - bp))
+                sink.write_str("@%d{%d} " % (cbo - rec_len, rec_len))
                 printed = True
             if o.printrecord:
-                sink.write(bytes(bytearray(stream[bp:p + 1])))
+                if head_hi is None:
+                    sink.write(bytes(bytearray(stream[bp:p + 1])))
+                else:
+                    sink.write(bytes(bytearray(stream[bp:head_hi])))
+                    sink.write(bytes(bytearray(stream[tail_lo:p + 1])))
             elif printed:
                 sink.write_str("\n")
             if (o.limit_output > 0

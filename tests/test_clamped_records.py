@@ -45,6 +45,25 @@ def test_clamped_record_conformance(corpora, flags, name):
     compare(flags + ["hello", corpora[name]], check_stderr=True)
 
 
+@pytest.mark.parametrize("flags", [["-n"], [], ["-b"],
+                                   ["-1", "-n"], ["-2", "-c"]])
+def test_clamped_regex_records(tmp_path, flags):
+    """re()/re1() residue clamps (agrep.c:1426-1431 for D==0; the D>0
+    loop carries only the last Maxline bytes, :1739): a crossing line
+    prints head+final-block (D==0) or the final block alone (D>0)."""
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"ab cd\n" + b"Z" + b"a" * 60000 + b" theq "
+                  + b"b" * 40000 + b"YQ\ntail theq\n")
+    compare(flags + ["(theq|zzz)", str(p)])
+    for gap in (1023, 1024, 1025, 1500):
+        pre = 49152 - gap
+        p2 = tmp_path / ("g%d.txt" % gap)
+        p2.write_bytes(b"a" * pre + b"\n" + b"c" * (gap - 1)
+                       + b"d" * 3000 + b" theqv " + b"e" * 200
+                       + b"YQ\ntail\n")
+        compare(["-1", "-n", "(theqv|zzz)", str(p2)])
+
+
 @pytest.mark.parametrize("pat", ["hello;tail", "hello,zzz",
                                  "hello,world"])
 @pytest.mark.parametrize("flags", [["-c"], [], ["-n"], ["-b"],
