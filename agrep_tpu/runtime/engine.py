@@ -69,13 +69,16 @@ class BitapEngine:
         dl = len(q.delim)
         c = q.consts
         inject_at = 1 + MAX_RECORD if len(data) > MAX_RECORD else None
+        # no EOF delimiter append on exact-BlockSize-multiple files
+        # (bitap.c:160 fires only on a partial final read)
+        tail_pat = (q.delim if (len(data) % MAX_RECORD) != 0 else b"")
         if inject_at is None:
-            machine = ByteStream([b"\n", data, q.delim])
+            machine = ByteStream([b"\n", data, tail_pat])
         else:
             # the first-block unroll glitch byte (see search_stream)
             machine = ByteStream([b"\n", data[:MAX_RECORD], b"\x00",
-                                  data[MAX_RECORD:], q.delim])
-        outs = ByteStream([b"\n", data, q.delim])
+                                  data[MAX_RECORD:], tail_pat])
+        outs = ByteStream([b"\n", data, tail_pat])
         endpos = int(c["endpos"])
         d_endpos = int(c["d_endpos"])
 
@@ -91,7 +94,8 @@ class BitapEngine:
             # vectorized -c (and -v -c): count records by hit segments;
             # the per-record Python walk below would dominate a 10GB
             # scan
-            self._count_chunked(machine, outs, inject_at, sink, D)
+            self._count_chunked(machine, outs, inject_at, sink, D,
+                                len(data))
             return
 
         lasti = 1                      # record start (output coords)
@@ -138,23 +142,14 @@ class BitapEngine:
                     continue
                 print_end = pk - dl
                 byte_offset = pk + 1 - dl_off + extra
-                synth = None
-                if not q.delimiter_opt:
-                    p_ref = this_prev if this_prev is not None else 0
-                    synth = _bitap_clamped_synth(
-                        outs, p_ref, pk, asearch_mode=q.D > 0)
+                p_ref = (this_prev + 1 - dl
+                         if this_prev is not None else 0)
+                synth = _bitap_clamped_synth(
+                    outs, p_ref, pk, asearch_mode=q.D > 0)
                 if synth is not None:
                     sink.truncate = True
                     output_bitap_record(
                         sink, synth, 0, len(synth) - 1 - dl, j,
-                        byte_offset, dl, q.delimiter_opt, q.delim,
-                        q.outtail)
-                elif (q.delimiter_opt
-                        and print_end - this_lasti > MAX_RECORD):
-                    sink.truncate = True
-                    this_lasti = print_end - MAX_RECORD
-                    output_bitap_record(
-                        sink, outs, this_lasti, print_end, j,
                         byte_offset, dl, q.delimiter_opt, q.delim,
                         q.outtail)
                 else:
@@ -166,7 +161,8 @@ class BitapEngine:
                     return
 
     def _count_chunked(self, machine: ByteStream, outs: ByteStream,
-                       inject_at, sink: Sink, D: int) -> None:
+                       inject_at, sink: Sink, D: int,
+                       n_data: int) -> None:
         """Vectorized streaming count: per chunk, segment the event
         stream at delimiter pulses (cumsum over hit pulses) and count
         segments with >= 1 hit whose record starts before the appended
@@ -177,7 +173,8 @@ class BitapEngine:
         endpos = np.uint32(c["endpos"])
         d_endpos = np.uint32(c["d_endpos"])
         # scalar-loop guard: record start >= 1 + len(data) - 1
-        guard = len(outs) - dl - 1
+        # (outs may or may not carry the EOF delimiter append)
+        guard = n_data
         carry_hits = 0
         last_delim_out = None            # out-pos of last delim event
         count = 0
@@ -223,6 +220,11 @@ class BitapEngine:
         o = q.opts
         dl = len(q.delim)
         inject_at = None        # stream position of the glitch byte
+        # the EOF delimiter append happens only on a PARTIAL final
+        # read (bitap.c:160 `if(num_read < BlockSize)`): files sized
+        # an exact multiple of BlockSize never get it, so a trailing
+        # unterminated record silently never completes
+        tail_pat = (q.delim if (len(data) % MAX_RECORD) != 0 else b"")
         if memory_mode:
             stream = data  # caller guarantees leading '\n' (agrep.chronicle)
         else:
@@ -239,12 +241,12 @@ class BitapEngine:
                     np.frombuffer(b"\n", dtype=np.uint8),
                     data[:MAX_RECORD], np.frombuffer(b"\x00", np.uint8),
                     data[MAX_RECORD:],
-                    np.frombuffer(q.delim, dtype=np.uint8)])
+                    np.frombuffer(tail_pat, dtype=np.uint8)])
                 inject_at = 1 + MAX_RECORD
             else:
                 stream = np.concatenate([
                     np.frombuffer(b"\n", dtype=np.uint8), data,
-                    np.frombuffer(q.delim, dtype=np.uint8)])
+                    np.frombuffer(tail_pat, dtype=np.uint8)])
         c = q.consts
         if q.opts.cost_insert == 0 or (q.tables is not None
                                        and q.tables.wildmask != 0):
@@ -317,8 +319,10 @@ class BitapEngine:
                 continue
             byte_offset = pk + 1 - dl_off + int(P_extra[k])
             synth = None
-            if not memory_mode and not q.delimiter_opt:
-                p_ref = int(P[k - 1]) if k > 0 else 0
+            if not memory_mode:
+                # preserved spans start at the previous delimiter's
+                # FIRST byte (lasti = i - D_length)
+                p_ref = (int(P[k - 1]) + 1 - dl) if k > 0 else 0
                 synth = _bitap_clamped_synth(stream, p_ref, pk,
                                              asearch_mode=q.D > 0)
             if synth is not None:
@@ -329,12 +333,7 @@ class BitapEngine:
                     q.outtail)
             else:
                 # unclamped records print whole, even past Max_record
-                # (the buffer holds residue + current block); only the
-                # -d block machinery keeps the legacy approximation
-                if (not memory_mode and q.delimiter_opt
-                        and print_end - lasti > MAX_RECORD):
-                    sink.truncate = True
-                    lasti = print_end - MAX_RECORD
+                # (the buffer holds residue + current block)
                 output_bitap_record(
                     sink, stream, lasti, print_end, j, byte_offset,
                     dl, q.delimiter_opt, q.delim, q.outtail)
