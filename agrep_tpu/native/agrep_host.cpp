@@ -97,10 +97,11 @@ int bm_inverse_survives(const uint8_t* buf, int64_t buflen,
                tr[buf[text - j]] == tr[pat[m - 1 - j]]) j++;
         if (j == m) {
             if (text > textend) return 0;   // sgrep.c:748
+            // jump to this match's curtextend: the first resume entry
+            // past text (record ends strictly increase with matches)
             while (ridx < n_resume && resume[ridx] <= text) ridx++;
-            if (ridx - 1 >= 0 && ridx - 1 < n_resume &&
-                resume[ridx - 1] > text) {
-                text = resume[ridx - 1];
+            if (ridx < n_resume) {
+                text = resume[ridx];
             } else {
                 int64_t t = text + 1;
                 while (t < textend && buf[t] != '\n') t++;

@@ -143,11 +143,15 @@ class BitapEngine:
                 print_end = pk - dl
                 byte_offset = pk + 1 - dl_off + extra
                 p_ref = (this_prev + 1 - dl
-                         if this_prev is not None else 0)
+                         if this_prev is not None else None)
                 synth = _bitap_clamped_synth(
-                    outs, p_ref, pk, asearch_mode=q.D > 0)
+                    outs, p_ref, pk,
+                    asearch_mode=q.D > 0 and not q.opts.jump,
+                    align=getattr(q, "sim_align", 112))
                 if synth is not None:
-                    sink.truncate = True
+                    synth, was_clamped = synth
+                    if was_clamped:
+                        sink.truncate = True
                     output_bitap_record(
                         sink, synth, 0, len(synth) - 1 - dl, j,
                         byte_offset, dl, q.delimiter_opt, q.delim,
@@ -322,11 +326,15 @@ class BitapEngine:
             if not memory_mode:
                 # preserved spans start at the previous delimiter's
                 # FIRST byte (lasti = i - D_length)
-                p_ref = (int(P[k - 1]) + 1 - dl) if k > 0 else 0
-                synth = _bitap_clamped_synth(stream, p_ref, pk,
-                                             asearch_mode=q.D > 0)
+                p_ref = (int(P[k - 1]) + 1 - dl) if k > 0 else None
+                synth = _bitap_clamped_synth(
+                    stream, p_ref, pk,
+                    asearch_mode=q.D > 0 and not q.opts.jump,
+                    align=getattr(q, "sim_align", 112))
             if synth is not None:
-                sink.truncate = True
+                synth, was_clamped = synth
+                if was_clamped:
+                    sink.truncate = True
                 output_bitap_record(
                     sink, synth, 0, len(synth) - 1 - dl, j,
                     byte_offset, dl, q.delimiter_opt, q.delim,
@@ -345,7 +353,8 @@ BS_BITAP = 49152      # BlockSize == Max_record (agrep.h:48-49)
 
 
 def _bitap_clamped_synth(stream, p_ref: int, pk: int,
-                         asearch_mode: bool = False):
+                         asearch_mode: bool = False,
+                         align: int = 112):
     """The reference's residue clamp, simulated per record: when a
     newline record outgrows the buffer, each block-end residue copy
     keeps only Max_record bytes from `lasti` (bitap.c:286-297,
@@ -353,7 +362,15 @@ def _bitap_clamped_synth(stream, p_ref: int, pk: int,
     by the final block's prefix with the middle silently gone.
     asearch_mode replays asearch.c's `if (lasti == 0) lasti = 1`
     (:319), which erodes the preserved head by one byte per further
-    clamp; bitap.c's `if (lasti < 0) lasti = 1` (:297) never fires.
+    clamp -- and even WITHOUT a clamp when the residue is exactly
+    Max_record; bitap.c's `if (lasti < 0) lasti = 1` (:297) never
+    fires, and neither does asearch1.c's (:244).  Dispatch: D > 0
+    without -I/-S/-D -> asearch (erodes); any cost flag sets JUMP
+    (agrep.c:2682-2694) -> asearch1 (bitap.c:113-116, no erosion).
+
+    Returns (buf, clamped) -- `clamped` drives the TRUNCATE warning;
+    an erosion-only shift prints from the synthesized buffer but
+    keeps TRUNCATE off.
 
     Returns the synthesized print buffer starting AT the reference's
     lasti slot and ending at this delimiter, or None when the record
@@ -361,77 +378,152 @@ def _bitap_clamped_synth(stream, p_ref: int, pk: int,
 
     stream = '\\n' + data (+ appended delimiter); p_ref/pk are stream
     positions of the bounding delimiters (p_ref == 0 is the prefilled
-    newline, buffer[Max_record-1])."""
+    newline, buffer[Max_record-1]).
+
+    p_ref is None when NO delimiter event preceded this record:
+    bitap.c:141 / asearch.c:69 start lasti at Max_record (the first
+    DATA byte), so the prefilled newline is never preserved and block
+    one's residue is at most exactly Max_record (never clamps).  With
+    the default newline delimiter the prefill itself fires the
+    machine at position 0, so real records always have p_ref >= 0
+    (p_ref == 0 means the previous delimiter's first byte IS the
+    prefill slot, lasti = Max_record-1); only -d patterns the prefill
+    cannot complete (e.g. paragraph mode '$$' -> '\\n\\n') reach the
+    None case.
+
+    The copies are performed with the PROCESS'S OWN libc strncpy on
+    an alignment-matched scratch buffer, so the reference's exact
+    copy semantics are inherited rather than modelled: NUL
+    truncation + zero-fill of the preserved head, and the small
+    deterministic mis-shift bands glibc's vectorized strncpy writes
+    on overlapping src/dst (distance < 32 -- e.g. the eroded
+    asearch copy strncpy(buf, buf+1, Max_record) garbles a 16-byte
+    window per block; observed and fuzz-pinned against the compiled
+    reference)."""
     BS = BS_BITAP
-    p_d = p_ref - 1                 # data coords (-1 = prefill)
+    if p_ref is None:
+        p_d = -1                    # first copy point at block one
+        lasti = BS                  # bitap.c:141: lasti = Max_record
+    else:
+        p_d = p_ref - 1             # data coords (-1 = prefill)
+        lasti = BS - 1 if p_d < 0 else BS + (p_d % BS)
     e_d = pk - 1
     j1 = e_d // BS
     B = BS if p_d < 0 else (p_d // BS + 1) * BS   # first copy point
     if B > j1 * BS:
         return None     # no block end inside the record: normal print
-    # pieces: the preserved bytes as STREAM ranges (stream[p_ref] is
-    # the previous delimiter byte, = buffer[lasti] at record start)
-    pieces = [(p_ref, p_ref + 1)]        # the delimiter slot itself
-    lasti_buf = BS - 1 if p_d < 0 else BS + (p_d % BS)
-    # buffer model: preserved pieces end at BS; current block follows
-    total_prev = 1                       # bytes in `pieces`
+    import ctypes
+    buf = _sim_buffer(align)
+    lib = _sim_libc()
+    addr = buf.ctypes.data
+    buf[:BS] = 0                    # area below lasti: never printed
+    if p_ref == 0:
+        buf[BS - 1] = stream[0]     # the prefilled newline slot
     clamped = False
+    eroded = False
     while B <= j1 * BS:
-        blk_lo_s = (B - BS) + 1          # stream coord of block start
-        blk_hi_s = B + 1
-        # source = buffer[lasti_buf:] = pieces tail ++ current block
-        src = []
-        if lasti_buf < BS:
-            drop = lasti_buf - (BS - total_prev)
-            rem = drop
-            for lo, hi in pieces:
-                ln = hi - lo
-                if rem >= ln:
-                    rem -= ln
-                    continue
-                src.append((lo + rem, hi))
-                rem = 0
-        else:
-            src.append((blk_lo_s + (lasti_buf - BS), blk_hi_s))
-        if lasti_buf < BS:
-            src.append((blk_lo_s, blk_hi_s))
-        residue = sum(hi - lo for lo, hi in src)
-        keep = min(residue, BS)
-        if residue > BS:
+        blk_lo_s = (B - BS) + 1     # stream coord of block start
+        blk_hi_s = B + 1            # full blocks only (see j1 bound)
+        buf[BS:2 * BS] = np.asarray(stream[blk_lo_s:blk_hi_s])
+        R = BS + BS - lasti         # ResidueSize (l == BlockSize)
+        if R > BS:
+            R = BS                  # TRUNCATE; lasti is NOT moved
             clamped = True
-            out, left = [], keep
-            for lo, hi in src:
-                take = min(hi - lo, left)
-                if take > 0:
-                    out.append((lo, lo + take))
-                    left -= take
-            src = out
-        pieces = src
-        total_prev = keep
-        lasti_buf = BS - keep
+        lib.strncpy(ctypes.c_void_p(addr + BS - R),
+                    ctypes.c_void_p(addr + lasti), ctypes.c_size_t(R))
+        lasti = BS - R
         if asearch_mode:
-            if lasti_buf == 0:
-                lasti_buf = 1
+            if lasti == 0:
+                # asearch.c:319 erodes even WITHOUT a clamp (an
+                # exactly-Max_record residue): the print shifts one
+                # byte but TRUNCATE stays off
+                lasti = 1
+                eroded = True
         else:
-            if lasti_buf < 0:
-                lasti_buf = 1
+            if lasti < 0:
+                lasti = 1
         B += BS
-    if not clamped:
-        return None
-    # print span = buffer[lasti_buf .. delim]: preserved from
-    # lasti_buf, then the final block up to the delimiter
-    drop = lasti_buf - (BS - total_prev)
-    parts = []
-    rem = drop
-    for lo, hi in pieces:
-        ln = hi - lo
-        if rem >= ln:
-            rem -= ln
-            continue
-        parts.append(np.asarray(stream[lo + rem:hi]))
-        rem = 0
-    parts.append(np.asarray(stream[j1 * BS + 1:pk + 1]))
-    return np.concatenate(parts)
+    # print span = buffer[lasti .. delim]: preserved head, then the
+    # final block up to the delimiter (filled fresh, never copied)
+    head = np.array(buf[lasti:BS], copy=True)
+    tail = np.asarray(stream[j1 * BS + 1:pk + 1])
+    out = np.concatenate([head, tail])
+    if not clamped and not eroded:
+        # residues never outgrew the window AND no NUL cut a copy
+        # short: the preserved head equals the plain record bytes --
+        # let the caller print straight from the stream
+        plain = np.asarray(stream[p_ref + 1 - 1:pk + 1]) \
+            if p_ref is not None else np.asarray(stream[1:pk + 1])
+        if len(plain) == len(out) and bool((plain == out).all()):
+            return None
+    return out, clamped
+
+
+_SIM_BUFS = {}
+_SIM_LIBC = None
+
+# glibc strncpy's overlap bands depend on the destination address mod
+# 128 (its 4-vector main-loop period).  The reference's block buffer
+# -- alloc_buf(Max_record+BlockSize+1), bitap.c:139/asearch.c:67 --
+# is a heap chunk whose address is the heap base plus the footprint
+# of every earlier input-dependent malloc: the Textfiles pointer
+# array and per-file name copies (agrep.c:2938-2960),
+# agrep_saved_pattern (:3074), preprocess's multibuf (freed,
+# preprocess.c:60), one pattern+3 copy, and r_pat (freed,
+# preprocess.c:113).  ALIGN_BASE is the heap-start residue of
+# today's oracle build (derived with an LD_PRELOAD malloc logger;
+# override with AGREP_TPU_ALIGN_BASE if the reference is rebuilt
+# with a different BSS layout).
+ALIGN_BASE = int(os.environ.get("AGREP_TPU_ALIGN_BASE", "672"))
+
+
+def _glibc_chunk(req: int) -> int:
+    """glibc malloc chunk footprint for a request of `req` bytes."""
+    return max(32, 16 * ((req + 8 + 15) // 16))
+
+
+def oracle_buf_align(pattern_len: int, d_arg_len, file_name_lens) -> int:
+    """Mod-128 address residue of the reference's bitap/asearch block
+    buffer for this invocation (see ALIGN_BASE).  Freed chunks stay in
+    tcache and keep their footprint; r_pat reuses multibuf's freed
+    chunk when their bins coincide (exact-size tcache)."""
+    total = _glibc_chunk(8 * max(1, len(file_name_lens)))
+    for ln in file_name_lens:
+        total += _glibc_chunk(ln + 2)
+    p = pattern_len
+    total += _glibc_chunk(p + 1)
+    mb = _glibc_chunk(2 * p + 2)
+    total += mb
+    total += _glibc_chunk(p + 3)
+    dw = (d_arg_len + 4) if d_arg_len is not None else 3
+    rp = _glibc_chunk(p + 2 * dw + 8)
+    if rp != mb:
+        total += rp
+    return (ALIGN_BASE + total) % 128
+
+
+def _sim_buffer(align: int) -> np.ndarray:
+    """Persistent 2*Max_record scratch whose address is pinned to
+    `align` mod 128, matching the reference buffer's placement."""
+    buf = _SIM_BUFS.get(align)
+    if buf is None:
+        base = np.zeros(2 * BS_BITAP + 8192 + 128, dtype=np.uint8)
+        off = (align - (base.ctypes.data % 128)) % 128
+        buf = base[off:off + 2 * BS_BITAP]
+        _SIM_BUFS[align] = buf
+    return buf
+
+
+def _sim_libc():
+    global _SIM_LIBC
+    if _SIM_LIBC is None:
+        import ctypes
+        lib = ctypes.CDLL(None)
+        lib.strncpy.restype = ctypes.c_void_p
+        lib.strncpy.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_size_t]
+        _SIM_LIBC = lib
+    return _SIM_LIBC
 
 
 def _sgrep_delim_trims(data: np.ndarray, delim: bytes,
@@ -783,7 +875,7 @@ class SgrepEngine:
             pos = np.flatnonzero(events)
         m = q.sg_m
 
-        sg_trim = None
+        sg_trims = None
         if q.delimiter_opt and not memory_mode and len(pos):
             # every block is cut back to the last complete delimiter in
             # its RAW data (sgrep.c:393-399); the residue is rescanned
@@ -796,9 +888,7 @@ class SgrepEngine:
             dl_ = len(q.delim)
             marks = _sgrep_delim_trims(data, q.delim, q.outtail)
             if marks:
-                t_end = marks[-1]
-                if t_end < len(data) - 1:
-                    sg_trim = t_end
+                sg_trims = marks
                 keep = np.ones(len(pos), dtype=bool)
                 starts = pos - (m - 1)
                 for i_, (e, s_) in enumerate(zip(pos, starts)):
@@ -961,7 +1051,7 @@ class SgrepEngine:
             if p < lastend:
                 continue
             begin, end = self._record_span(stream, nl, delim_ends, p, D,
-                                           sg_trim)
+                                           sg_trims)
             if (D == 0 and q.sg_sub == "bm" and not q.delimiter_opt
                     and not memory_mode and end >= N - 1):
                 # bm's EOF adjustment fires whenever the record end
@@ -1051,6 +1141,14 @@ class SgrepEngine:
             lastout = gstart
             lastend = gstart
             resume_buf = []
+            # a TRIMMED block ends right before its last delimiter
+            # occurrence (at it with -t); EOF/fallback blocks don't
+            if q.outtail:
+                trimmed = bytes(bytearray(
+                    data[g_end - dl + 1:g_end + 1])) == q.delim
+            else:
+                trimmed = bytes(bytearray(
+                    data[g_end + 1:g_end + 1 + dl])) == q.delim
             for e in sel:
                 e = int(e)
                 if e < lastend:
@@ -1063,11 +1161,18 @@ class SgrepEngine:
                 else:
                     rbeg = gstart
                 jdx = int(np.searchsorted(dends + gstart, e + dl, "left"))
+                # forward_delimiter's range stops AT the block's last
+                # byte (delim.c:64 curbegin+len <= end): on a trimmed
+                # block a delimiter overlapping the trim is not found
+                # (see _record_span)
+                if trimmed and jdx < len(dends) \
+                        and int(dends[jdx]) + gstart > g_end - 1:
+                    jdx = len(dends)
                 if jdx < len(dends):
                     dstart = int(dends[jdx]) + gstart - dl + 1
                     rend = dstart + dl if q.outtail else dstart
                 else:
-                    rend = g_end + 2
+                    rend = g_end + 2 if not trimmed else g_end + 1
                 sink.num_matched += 1
                 if o.filename_only:
                     sink.write_str("%s\n" % sink.current_filename)
@@ -1133,13 +1238,13 @@ class SgrepEngine:
             if survives and lastout_g <= g_end:
                 sink.write(bytes(bytearray(data[lastout_g:g_end + 1])))
 
-    def _record_span(self, stream, nl, delim_ends, p, D, trim_end=None):
+    def _record_span(self, stream, nl, delim_ends, p, D, trims=None):
         """Record boundaries around a match ending at p (sgrep.c
         bm:775-789 for D==0, s_output:1304-1313 for D>0).
 
-        With -d and an active block trim, extraction is bounded by the
-        scan region the hit fell into: the block phase ends AT the
-        trim boundary; the EOF residue rescan begins one past it."""
+        With -d, extraction is bounded by the scan region the hit
+        fell into: block k's region ends AT its trim; the EOF residue
+        rescan begins one past the last trim."""
         q = self.q
         if not q.delimiter_opt:
             back_from = p - 1 if D == 0 else p
@@ -1148,17 +1253,32 @@ class SgrepEngine:
             jdx = int(np.searchsorted(nl, p + 1, side="left"))
             end = int(nl[jdx]) + 1 if jdx < len(nl) else len(stream) + 1
             return begin, end
-        # -d: nearest delimiter before/after (delim.c semantics)
+        # -d: nearest delimiter before/after (delim.c semantics).
+        # Each block's scan region is (trims[k-1], trims[k]] with
+        # trims[k] the block's trimmed last byte (one before the begin
+        # of its last delimiter occurrence; its END with -t).  Inside
+        # a block, forward_delimiter's range is [text+1, textend) with
+        # textend AT the last byte (delim.c:64 `curbegin+len <= end`),
+        # so a delimiter overlapping the trim -- e.g. the later
+        # occurrences of a newline RUN under paragraph mode -- is NOT
+        # found and the record runs to textend+1, absorbing the run's
+        # leading bytes.  backward_delimiter's floor is the block's
+        # textbegin (= one past the previous trim, the residue start).
         dl = len(q.delim)
         lo = 0
         hi = len(stream) - 1
         end_nf = len(stream) + 1
-        if trim_end is not None:
-            if p <= trim_end:            # block-phase hit
-                hi = trim_end
-                end_nf = trim_end + 1
+        strict_hi = False
+        if trims:
+            ki = bisect.bisect_left(trims, p)
+            if ki < len(trims):          # block-phase hit
+                hi = trims[ki]
+                end_nf = trims[ki] + 1
+                strict_hi = True
+                if ki > 0:
+                    lo = trims[ki - 1] + 1
             else:                        # EOF residue rescan
-                lo = trim_end + 1
+                lo = trims[-1] + 1
         i = int(np.searchsorted(delim_ends, p, side="left")) - 1
         begin = lo
         while i >= 0:
@@ -1171,7 +1291,7 @@ class SgrepEngine:
         end = end_nf
         while jdx < len(delim_ends):
             dend = int(delim_ends[jdx])
-            if dend <= hi:
+            if dend <= (hi - 1 if strict_hi else hi):
                 dstart = dend - dl + 1
                 end = dstart + dl if q.outtail else dstart
                 break
@@ -1210,6 +1330,15 @@ class Executor:
 
     def run_files(self, files: list[str]) -> int:
         q, o, sink = self.q, self.q.opts, self.sink
+        if q.engine_class == "bitap":
+            # the clamp simulator's strncpy garble depends on the
+            # reference buffer's heap placement, a function of the
+            # invocation's pattern/delimiter/file-name lengths
+            d_arg = o.delimiter
+            q.sim_align = oracle_buf_align(
+                len(q.pattern),
+                len(d_arg) if d_arg is not None else None,
+                [len(os.fsencode(f)) for f in files])
         sink.fname = (len(files) > 1 and not o.no_filename) \
             or o.always_filename
         if o.no_filename:

@@ -277,13 +277,13 @@ def bm_inverse_survives(buf: np.ndarray, start: int, end: int,
         if j == m:
             if text > textend:
                 return False        # sgrep.c:748 early return
-            # a real match: jump to its record end
+            # a real match: jump to its record end -- the first resume
+            # entry past text (record ends strictly increase)
             while ridx < len(resume_positions) and \
                     resume_positions[ridx] <= text:
                 ridx += 1
-            if ridx - 1 >= 0 and ridx - 1 < len(resume_positions) and \
-                    resume_positions[ridx - 1] > text:
-                text = resume_positions[ridx - 1]
+            if ridx < len(resume_positions):
+                text = resume_positions[ridx]
             else:
                 # find next newline end (non-delim default)
                 t = text + 1

@@ -57,6 +57,9 @@ def compare(args: list[str], check_stderr=False, backend="numpy"):
     assert m_rc == o_rc, ("exit code mismatch for %r: oracle %d ours %d"
                           % (args, o_rc, m_rc))
     if check_stderr:
+        # Progname is argv[0]: the oracle prints its own path where we
+        # print "agrep" -- normalize before the byte compare
+        o_err = o_err.replace(ORACLE.encode() + b":", b"agrep:")
         assert m_err == o_err, (
             "stderr mismatch for %r\n--- oracle ---\n%r\n--- ours ---\n%r"
             % (args, o_err, m_err))

@@ -77,3 +77,33 @@ CASES = [
                          ids=lambda v: "_".join(v))
 def test_delim_regions(args, files):
     compare(args + [F[f] for f in files])
+
+
+RUN_CASES = [
+    b"aaa alpha bbb\n\nccc ddd\n",
+    b"aaa alpha bbb\n\n\n\nccc ddd\n",          # 4-newline run at trim
+    b"aaa alpha bbb\n\n\nccc ddd\n",            # 3-run
+    b"qq\n\naaa alpha bbb\n\n\n\nccc ddd\n\nee\n",
+    b"aaa alpha bbb\n\n\n\nccc alpha ddd\n\nee\n",
+    b"qq\n\n\n\naaa alpha bbb\n\nee\n",          # leading run
+    b"alpha\n\n\n\n\n\nalpha\n",                 # 6-run between matches
+    b"aaa alpha bbb",                            # no delimiter at all
+    b"\n\naaa alpha\n\n",
+]
+
+
+@pytest.mark.parametrize("flags", [
+    [], ["-b"], ["-c"], ["-n"], ["-t"], ["-v"], ["-v", "-c"],
+    ["-t", "-v"], ["-v", "-n"],
+])
+@pytest.mark.parametrize("ci", range(len(RUN_CASES)))
+def test_delimiter_runs(tmp_path, flags, ci):
+    """Overlapping delimiter occurrences (newline RUNS under paragraph
+    mode): forward_delimiter's range stops AT a trimmed block's last
+    byte (delim.c:64 curbegin+len <= end), so a delimiter overlapping
+    the trim is not found and the record absorbs the run's leading
+    bytes; bm's post-match skip loop can then land past textend and
+    early-return, dropping the INVERSE tail (sgrep.c:746-748)."""
+    p = tmp_path / ("run%d.txt" % ci)
+    p.write_bytes(RUN_CASES[ci])
+    compare(["-d", "$$"] + flags + ["alpha", str(p)])
