@@ -84,11 +84,14 @@ int bm_inverse_survives(const uint8_t* buf, int64_t buflen,
     int64_t textend = end;
     int64_t ridx = 0;
     int64_t guard = 0;
-    int64_t guard_max = 10 * (end - start + m + 512);
+    int64_t guard_max = 10 * (buflen + m + 512);
     while (text < textend) {
         while (sh) {
             text += sh;
-            if (text >= buflen) return 0;
+            // running off the virtual buffer: the reference strides
+            // through heap bytes until a zero-shift candidate, which
+            // mismatches on garbage -- the tail print survives
+            if (text >= buflen) return 1;
             sh = shift_tab[buf[text]];
             if (++guard > guard_max) return 0;
         }

@@ -482,19 +482,32 @@ def _glibc_chunk(req: int) -> int:
     return max(32, 16 * ((req + 8 + 15) // 16))
 
 
-def oracle_buf_align(pattern_len: int, d_arg_len, file_name_lens) -> int:
+def oracle_buf_align(pattern: str, d_arg_len, file_name_lens) -> int:
     """Mod-128 address residue of the reference's bitap/asearch block
     buffer for this invocation (see ALIGN_BASE).  Freed chunks stay in
     tcache and keep their footprint; r_pat reuses multibuf's freed
-    chunk when their bins coincide (exact-size tcache)."""
+    chunk when their bins coincide (exact-size tcache).  Flat boolean
+    patterns allocate one copy per , / ; term (len+2 each, the last
+    len+3 -- LD_PRELOAD-verified)."""
     total = _glibc_chunk(8 * max(1, len(file_name_lens)))
     for ln in file_name_lens:
         total += _glibc_chunk(ln + 2)
-    p = pattern_len
+    p = len(pattern)
     total += _glibc_chunk(p + 1)
     mb = _glibc_chunk(2 * p + 2)
     total += mb
-    total += _glibc_chunk(p + 3)
+    terms = []
+    cur = []
+    for ch in pattern:
+        if ch in ",;":
+            terms.append(len(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    terms.append(len(cur))
+    for tl in terms[:-1]:
+        total += _glibc_chunk(tl + 2)
+    total += _glibc_chunk(terms[-1] + 3)
     dw = (d_arg_len + 4) if d_arg_len is not None else 3
     rp = _glibc_chunk(p + 2 * dw + 8)
     if rp != mb:
@@ -692,11 +705,13 @@ class SgrepEngine:
                                       np.int64(-1))
                 else:
                     lastnl = np.full(len(ends), -1, dtype=np.int64)
-                if bool(((ends - lastnl) > 1024).any()):
-                    from . import sgrep_sim
+                from . import sgrep_sim
+                if bool(((ends - lastnl) > 1024).any()) \
+                        or sgrep_sim.nul_near_boundaries(data):
                     layout = sgrep_sim.block_layout(
                         np.asarray(data), None, q.outtail)
-                    if any(b.clobbered or b.fallback for b in layout):
+                    if any(b.clobbered or b.fallback for b in layout) \
+                            or sgrep_sim.nul_in_residue(data, layout):
                         self.search_stream(np.asarray(data), sink, D)
                         return
             from .sgrep_sim import AgrepCountWalker
@@ -758,6 +773,19 @@ class SgrepEngine:
                         np.where(last_nl >= lo_w, np.int64(last_nl),
                                  lo_w))
                     bad = (rbs - 1) - trims + 1 > 1024
+                    if not bad.all():
+                        # strncpy residue copies (sgrep.c:470) truncate
+                        # at a NUL and zero-fill: matches inside the
+                        # zeroed span vanish -- replay from there
+                        zs = np.flatnonzero(body == 0) + g0
+                        for i in np.flatnonzero(~bad):
+                            tr_i, rb_i = int(trims[i]), int(rbs[i])
+                            zi = int(np.searchsorted(zs, tr_i))
+                            if zi < len(zs) and zs[zi] < rb_i:
+                                bad[i] = True
+                            elif tr_i < g0 and bool((stream.read(
+                                    tr_i, min(rb_i, g0)) == 0).any()):
+                                bad[i] = True
                     bi = np.flatnonzero(bad)
                     if len(bi):
                         rb = int(rbs[bi[0]])
@@ -833,7 +861,8 @@ class SgrepEngine:
             from . import sgrep_sim
             layout = sgrep_sim.block_layout(
                 data, q.delim if q.delimiter_opt else None, q.outtail)
-            if any(b.clobbered or b.fallback for b in layout):
+            if any(b.clobbered or b.fallback for b in layout) \
+                    or sgrep_sim.nul_in_residue(data, layout):
                 rc = sgrep_sim.sgrep_block_replay(
                     lambda lo, hi: np.asarray(data[lo:hi],
                                               dtype=np.uint8),
@@ -988,6 +1017,11 @@ class SgrepEngine:
                                                     q.outtail)
                     pathological = any(b.clobbered or b.fallback
                                        for b in layout)
+            if not pathological and not q.delimiter_opt \
+                    and len(data) > 2 * 16384 \
+                    and sgrep_sim.nul_near_boundaries(data):
+                layout = sgrep_sim.block_layout(data, None, q.outtail)
+                pathological = sgrep_sim.nul_in_residue(data, layout)
             if (q.sg_m - D <= 2 or q.delimiter_opt or pathological) \
                     and q.sg_m // (D + 1) >= 1:
                 # degenerate fragment lengths (m close to D) and -d
@@ -1224,6 +1258,12 @@ class SgrepEngine:
                 jj = int(np.searchsorted(nl_g, e + 1, side="left"))
                 rend = int(nl_g[jj]) + 1 if jj < len(nl_g) else N + 1
                 rend = min(rend, g_end + 1)
+                if rend >= g_end:
+                    # bm's EOF adjust (sgrep.c:786-789): a record-end
+                    # scan reaching textend sets curtextend past it,
+                    # swallowing the block tail into the matched record
+                    rend = (g_end + 1 if int(data[g_end]) == 0x0A
+                            else g_end + 2)
                 sink.num_matched += 1
                 if o.filename_only:
                     sink.write_str("%s\n" % sink.current_filename)
@@ -1336,7 +1376,7 @@ class Executor:
             # invocation's pattern/delimiter/file-name lengths
             d_arg = o.delimiter
             q.sim_align = oracle_buf_align(
-                len(q.pattern),
+                q.pattern,
                 len(d_arg) if d_arg is not None else None,
                 [len(os.fsencode(f)) for f in files])
         sink.fname = (len(files) > 1 and not o.no_filename) \

@@ -101,6 +101,8 @@ class MgrepEngine:
         self._qgram_csr = None
         self._vmode = False          # scanning a clamped virtual stream
         self._vmode_marks = None
+        self._vmode_dmarks = None
+        self._vmode_data = None
         self._vmode_dirty = False
 
     def _fast_or_applicable(self, o, q) -> bool:
@@ -540,14 +542,18 @@ class MgrepEngine:
                                   np.int64(-1))
             else:
                 lastnl = np.full(len(ends), -1, dtype=np.int64)
-            if bool(((ends - lastnl) > 1024).any()):
-                V, marks, lossy = _mgrep_virtual_stream(darr)
+            from . import sgrep_sim
+            if bool(((ends - lastnl) > 1024).any()) \
+                    or sgrep_sim.nul_near_boundaries(darr):
+                V, marks, lossy, dmarks = _mgrep_virtual_stream(darr)
                 if lossy:
                     if o.invert and o.count:
                         self.total_line += int(np.count_nonzero(
                             darr == 0x0A))
                     self._vmode = True
                     self._vmode_marks = marks
+                    self._vmode_dmarks = dmarks
+                    self._vmode_data = darr
                     # a trim that is NOT a newline (no-newline block)
                     # splits a line across scan regions: per-line
                     # pruning is then unsound
@@ -558,6 +564,8 @@ class MgrepEngine:
                     finally:
                         self._vmode = False
                         self._vmode_marks = None
+                        self._vmode_dmarks = None
+                        self._vmode_data = None
                         self._vmode_dirty = False
                     return
         # ---- pure-count fast path: flat-OR -c with no inversion,
@@ -791,6 +799,9 @@ class MgrepEngine:
         # offsets drift +1 per previously output record when the
         # shortest pattern is a single char
         short_drift = [0]
+        cbo_region = [-1]    # m_short's text-- drift dies at each
+                             # block end: CBO is re-derived from the
+                             # scan span there (newmgrep.c:555)
         matched_terms = np.zeros(n_terms, dtype=bool)
         in_record = False
         cur_begin = cur_end = 0
@@ -806,6 +817,7 @@ class MgrepEngine:
                 hi = delim_marks[ki] if ki < len(delim_marks) else None
             b, e = _mgrep_record_span(stream, nl, delim_ends, anchor,
                                       q, base, len(data), lo, hi)
+            gb = e
             if self._vmode and self._vmode_marks:
                 # records never cross a scan region (curtextbegin/end
                 # bounded by textbegin/textend, newmgrep.c:880-886)
@@ -818,7 +830,13 @@ class MgrepEngine:
                     rend = N
                 rbeg = (mk[r - 1] + 1 + base) if r > 0 else base
                 b, e = max(b, rbeg), min(e, rend)
-            return b, e
+                # an anchor ON a dirty (non-newline) trim byte still
+                # belongs to this record: the call-end crossing check
+                # evaluates everything matched through textend
+                # (newmgrep.c:1015-1019), though the print stops at e
+                gb = e + 1 if (r < len(mk) and not nl_trim
+                               and e == rend) else e
+            return b, e, gb
 
         def do_output(pat_index: int, anchor: int, begin: int, end: int,
                       change_text: bool, cbo_override=None) -> bool:
@@ -844,6 +862,10 @@ class MgrepEngine:
                 if cbo_override is not None:
                     cbo = cbo_override
                 else:
+                    reg = _bisect.bisect_left(bounds, anchor)
+                    if reg != cbo_region[0]:
+                        cbo_region[0] = reg
+                        short_drift[0] = 0
                     # vmode streams embed the duplicate bytes, so the
                     # stream offset IS the accumulated CBO
                     drift = 0 if self._vmode else _bisect.bisect_left(
@@ -901,16 +923,51 @@ class MgrepEngine:
         r_cur = 0
 
         def _region_start(i):
-            return base if i == 0 else bounds[i - 1]
+            if i == 0:
+                return base
+            # vmode streams EMBED each seam's duplicate trim byte
+            # right after the mark, so the next region's print starts
+            # past the mark; on the plain path the mark byte itself
+            # re-prints (the residue copy re-scans it)
+            return bounds[i - 1] + 1 if self._vmode else bounds[i - 1]
 
         def _region_end_excl(i):
             return bounds[i] + 1 if i < len(bounds) else final_end
+
+        # m_short aborts a block call when a term matches STARTING at
+        # its last scanned byte (`if(text >= textend) return 0`,
+        # newmgrep.c:1345): the call's INVERSE tail is never printed
+        # and the match itself is neither counted nor output.  The
+        # forward compare reads the buffer's RAW bytes past the trim.
+        tail_ok = None
+        if (o.invert and not o.count and self.p_size == 1
+                and not memory_mode and not q.delimiter_opt
+                and cbo_marks):
+            dmk = (self._vmode_dmarks if self._vmode else cbo_marks)
+            raw = (self._vmode_data if self._vmode else data)
+            tail_ok = []
+            for td in dmk:
+                ok = True
+                for t in self.terms:
+                    if not t:
+                        continue
+                    seg = bytes(bytearray(
+                        raw[td:td + len(t)]))
+                    if len(seg) == len(t) and \
+                            self.tr[np.frombuffer(seg, np.uint8)]\
+                            .tobytes() == self.tr[np.frombuffer(
+                                t, np.uint8)].tobytes():
+                        ok = False
+                        break
+                tail_ok.append(ok)
 
         def inv_advance(region):
             nonlocal r_cur, lastout
             while r_cur < region:
                 e = _region_end_excl(r_cur)
-                if lastout < e:
+                ok = (tail_ok[r_cur] if tail_ok is not None
+                      and r_cur < len(tail_ok) else True)
+                if lastout < e and ok:
                     sink.write(bytes(bytearray(stream[lastout:e])))
                 r_cur += 1
                 lastout = _region_start(r_cur)
@@ -1248,7 +1305,7 @@ class MgrepEngine:
                 if anchor < resume_at:
                     pos += 1
                     continue
-                cur_begin, cur_end = record_span(anchor, s, tl)
+                cur_begin, cur_end, _gb = record_span(anchor, s, tl)
                 stop = do_output(idx, anchor, cur_begin, cur_end, True)
                 resume_at = s + tl - 1
                 pos += 1
@@ -1312,12 +1369,12 @@ class MgrepEngine:
             while pos < n_occ and not stop:
                 anchor = int(occ_a[pos])
                 idx = int(occ_i[pos])
-                cur_begin, cur_end = record_span(
+                cur_begin, cur_end, gbound = record_span(
                     anchor, int(occ_s[pos]), int(term_len[idx]))
                 stop = do_output(idx, anchor, cur_begin, cur_end, True)
                 if self.p_size == 1:
                     short_drift[0] += 1
-                pos = max(int(np.searchsorted(occ_a, cur_end,
+                pos = max(int(np.searchsorted(occ_a, gbound,
                                               side="left")), pos + 1)
         else:
             # AND / complex tree: group occurrences into records (the
@@ -1327,9 +1384,9 @@ class MgrepEngine:
             while pos < n_occ and not stop:
                 anchor = int(occ_a[pos])
                 cur_anchor = anchor
-                cur_begin, cur_end = record_span(
+                cur_begin, cur_end, gbound = record_span(
                     anchor, int(occ_s[pos]), int(term_len[occ_i[pos]]))
-                g_end = max(int(np.searchsorted(occ_a, cur_end,
+                g_end = max(int(np.searchsorted(occ_a, gbound,
                                                 side="left")), pos + 1)
                 g_idx = occ_i[pos:g_end]
                 if is_complex:
@@ -1337,8 +1394,18 @@ class MgrepEngine:
                     matched_terms[g_idx] = True
                     hits = matched_terms[None, :]
                     if boolean.eval_tree_vec(q.bool_tree, "or", hits)[0]:
+                        # AComplexBoolean outputs fire at the record
+                        # CROSSING check (newmgrep.c:1015-1019), where
+                        # CurrentByteOffset has advanced to the record
+                        # end -- not at the triggering match; each
+                        # prior seam's duplicate byte adds one
+                        cdrift = 0 if self._vmode else \
+                            _bisect.bisect_left(cbo_marks,
+                                                cur_end - base)
                         stop = do_output(0, cur_anchor, cur_begin,
-                                         cur_end, False)
+                                         cur_end, False,
+                                         cbo_override=cur_end - base
+                                         + cdrift)
                     pos = g_end
                 else:
                     # AND: output at the first prefix position that
@@ -1509,16 +1576,18 @@ def _mgrep_virtual_stream(data: np.ndarray):
     first MAXLINE-1 bytes stitched onto the next block, and whole spans
     of the file silently vanish.
 
-    Returns (V, marks, lossy): V = the stitched scan stream (each
-    region re-scans its leading trim byte, so V embeds the duplicate
-    bytes the intact-path models with cbo drift marks); marks =
-    V-offsets of each region's trim byte (INVERSE region bounds);
-    lossy = whether any byte was dropped."""
+    Returns (V, marks, lossy, dmarks): V = the stitched scan stream
+    (each region re-scans its leading trim byte, so V embeds the
+    duplicate bytes the intact-path models with cbo drift marks);
+    marks = V-offsets of each region's trim byte (INVERSE region
+    bounds); lossy = whether any byte was dropped; dmarks = the DATA
+    offsets of those trim bytes (for raw-byte lookahead past them)."""
     MAXLINE = 1024
     BLK = 2 * 16384
     n = len(data)
     pieces = []
     marks = []
+    dmarks = []
     vlen = 0
     res = np.zeros(0, dtype=np.uint8)    # starts with the trim byte
     lossy = False
@@ -1537,15 +1606,28 @@ def _mgrep_virtual_stream(data: np.ndarray):
         pieces.append(scanned)
         vlen += len(scanned)
         last_block = pos + num_read >= n
+        trim_data = pos + end_rel        # data offset of the trim byte
         pos += num_read
         residue_full = block[end_rel:]   # starts AT the trim byte
         if not last_block or len(residue_full) > 1:
             marks.append(vlen - 1)       # the trim byte's V offset
-        if len(residue_full) > MAXLINE:
+            dmarks.append(trim_data)
+        if len(residue_full) > MAXLINE and not last_block:
+            # the copy lands at text+1 (start<0 clamp, newmgrep.c:558)
+            # and the NEXT fill_buf clobbers everything past MAXLINE;
+            # the FINAL block's residue has no following read, so it
+            # survives whole and the EOF pass rescans all of it
             lossy = True
             res = residue_full[:MAXLINE - 1]
         else:
             res = residue_full
+        # the carry is strncpy (newmgrep.c:560): it stops at the
+        # first NUL and zero-fills the rest of the copy
+        z = np.flatnonzero(res == 0)
+        if len(z):
+            res = res.copy()
+            res[int(z[0]):] = 0
+            lossy = True
     if len(res) > 1:
         # EOF residue rescan (newmgrep.c:577): covers the surviving
         # residue again, trim byte included
@@ -1553,7 +1635,7 @@ def _mgrep_virtual_stream(data: np.ndarray):
         vlen += len(res)
     V = (np.concatenate(pieces) if pieces
          else np.zeros(0, dtype=np.uint8))
-    return V, marks, lossy
+    return V, marks, lossy, dmarks
 
 
 def _mgrep_block_ends(data: np.ndarray) -> list:

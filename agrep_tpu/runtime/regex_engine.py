@@ -218,10 +218,32 @@ class RegexEngine:
                 sink.write_str("@%d{%d} " % (cbo - rec_len, rec_len))
                 printed = True
             if o.printrecord:
+                # the carried residue is strncpy'd (agrep.c:1430): a
+                # NUL in the preserved head zero-fills the rest of the
+                # copy; the final block's bytes are read fresh
                 if head_hi is None:
-                    sink.write(bytes(bytearray(stream[bp:p + 1])))
+                    rec = stream[bp:p + 1]
+                    if not memory_mode:
+                        j1b_ = ((p - 1) // BSR) * BSR
+                        if j1b_ + 1 > bp:      # crosses a boundary
+                            lo_ = max(bp - 1, 0)
+                            seg_ = np.asarray(stream[lo_:j1b_ + 1])
+                            z_ = np.flatnonzero(seg_ == 0)
+                            if len(z_):
+                                rec = np.array(rec, copy=True)
+                                st_ = max(lo_ + int(z_[0]), bp) - bp
+                                rec[st_:j1b_ + 1 - bp] = 0
+                    sink.write(bytes(bytearray(rec)))
                 else:
-                    sink.write(bytes(bytearray(stream[bp:head_hi])))
+                    head = stream[bp:head_hi]
+                    lo_ = max(bp - 1, 0)
+                    seg_ = np.asarray(stream[lo_:head_hi])
+                    z_ = np.flatnonzero(seg_ == 0)
+                    if len(z_):
+                        head = np.array(head, copy=True)
+                        st_ = max(lo_ + int(z_[0]), bp) - bp
+                        head[st_:] = 0
+                    sink.write(bytes(bytearray(head)))
                     sink.write(bytes(bytearray(stream[tail_lo:p + 1])))
             elif printed:
                 sink.write_str("\n")

@@ -102,8 +102,14 @@ class VirtualSgrepBuffer:
             start = OFFSET - residue
             if start < MAXLINE:
                 start = MAXLINE
-            self.buf[start:start + residue] = \
-                self.buf[end:end + residue].copy()
+            # the residue copy is strncpy (sgrep.c:470): it stops at
+            # the first NUL in the source and zero-fills the rest --
+            # bytes past a NUL vanish from the carried record
+            seg = self.buf[end:end + residue].copy()
+            z = np.flatnonzero(seg == 0)
+            if len(z):
+                seg[int(z[0]):] = 0
+            self.buf[start:start + residue] = seg
             start += 1
             if len(self.data) - self.pos <= 0:
                 break
@@ -197,6 +203,34 @@ def block_layout(data, delim: bytes | None = None,
     return out
 
 
+def nul_near_boundaries(data) -> bool:
+    """Cheap pre-filter for nul_in_residue: a non-clobbered residue
+    always lies within the last OFFSET-MAXLINE+1 bytes before an
+    interior 32KB boundary."""
+    B2 = 2 * BLOCKSIZE
+    N = len(data)
+    win = OFFSET - MAXLINE + 1
+    hi = B2
+    while hi < N:
+        if bool((np.asarray(data[hi - win:hi]) == 0).any()):
+            return True
+        hi += B2
+    return False
+
+
+def nul_in_residue(data, layout) -> bool:
+    """True when any interior block boundary carries a NUL byte in its
+    copied residue: the strncpy residue copy (sgrep.c:470,
+    newmgrep.c:560) truncates there and zero-fills, so the carried
+    record bytes -- and any matches inside them -- vanish."""
+    for b in layout:
+        lo = b.trim_end
+        hi = min(b.rb, lo + (OFFSET - MAXLINE) + 1)
+        if hi > lo and bool((np.asarray(data[lo:hi]) == 0).any()):
+            return True
+    return False
+
+
 def _last_delim_start(data, lo: int, hi: int, delim: bytes) -> int:
     """Real coord of the last occurrence of delim fully inside
     [lo, hi), or lo-1 if none (backward_delimiter, delim.c:77-100)."""
@@ -265,10 +299,15 @@ def bm_inverse_survives(buf: np.ndarray, start: int, end: int,
         while sh:
             text += sh
             if text >= blen:
-                return False  # ran off the virtual buffer: treat as early
+                # ran off the virtual buffer: the reference's skip
+                # loop keeps striding through heap bytes until some
+                # zero-shift byte, whose candidate compare then
+                # MISMATCHES on garbage and exits the scan loop --
+                # the tail print survives
+                return True
             sh = int(shift_tab[buf[text]])
             guard += 1
-            if guard > 10 * (end - start + m + MAXPATT + 64):
+            if guard > 10 * (blen + m + MAXPATT + 64):
                 return False
         # full backward compare at text
         j = 0
@@ -1091,27 +1130,32 @@ def _walk_survives(buf, start, end, pat, tr, sub, wordbound,
     else:
         shift2, _ = build_monkey_tables(pat, tr)
         text = start + m - 1
-    guard_max = 4 * (end - start + m + MAXPATT + 128)
+    # the walk legitimately strides the WHOLE raw read past a
+    # small trimmed span, so the runaway guard scales with the
+    # buffer, not the scan span
+    guard_max = 4 * (blen + m + MAXPATT + 128)
     guard = 0
     while text < textend:
         if sub == "bm":
             while sh:
                 text += sh
                 if text >= blen:
-                    return False
+                    return True   # heap-garbage candidate mismatches
                 sh = int(shift_tab[buf[text]])
                 guard += 1
                 if guard > guard_max:
                     return False
         else:
-            if text >= blen or text - 1 < 0:
+            if text - 1 < 0:
                 return False
+            if text >= blen:
+                return True
             h = (int(tr[buf[text]]) << 3) + int(tr[buf[text - 1]])
             sh = int(shift2[h])
             while sh:
                 text += sh
                 if text >= blen:
-                    return False
+                    return True
                 h = (int(tr[buf[text]]) << 3) + int(tr[buf[text - 1]])
                 sh = int(shift2[h])
                 guard += 1
@@ -1202,7 +1246,10 @@ def sgrep_block_replay(read, n: int, q, sink, resume=None):
     if resume is not None:
         trim, rb = resume
         residue = rb - trim
-        carry = read(trim, rb)
+        carry = np.array(read(trim, rb), copy=True)
+        z_c = np.flatnonzero(carry == 0)
+        if len(z_c):
+            carry[int(z_c[0]):] = 0    # the strncpy at the seam
         s2 = OFFSET - residue
         if s2 < MAXLINE:
             s2 = MAXLINE
@@ -1247,7 +1294,13 @@ def sgrep_block_replay(read, n: int, q, sink, resume=None):
         s2 = OFFSET - residue
         if s2 < MAXLINE:
             s2 = MAXLINE
-        buf[s2:s2 + residue] = buf[end:end + residue].copy()
+        # strncpy (sgrep.c:470): stops at the first NUL in the residue
+        # and zero-fills the rest of the copy
+        seg_r = buf[end:end + residue].copy()
+        z_r = np.flatnonzero(seg_r == 0)
+        if len(z_r):
+            seg_r[int(z_r[0]):] = 0
+        buf[s2:s2 + residue] = seg_r
         start = s2 + 1
         if _replay_limits(o, sink):
             return 'stop'

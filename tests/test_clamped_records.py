@@ -131,6 +131,87 @@ def test_clamped_nul_truncation(tmp_path, flags):
     compare(flags + [pat, str(p)], check_stderr=True)
 
 
+@pytest.mark.parametrize("flags", [["-v"], ["-v", "-c"], [], ["-c"]])
+@pytest.mark.parametrize("corpus_kind", ["clamped-interior", "pure-run",
+                                         "run-after-line", "trimmed-small"])
+def test_inverse_clamped_seams(tmp_path, flags, corpus_kind):
+    """INVERSE over clamped/newline-less blocks: each block call prints
+    its complement tail and the copied residue re-prints the trim byte
+    once (monkey1 lastout = text+start, newmgrep.c:831); a final block
+    with no newline leaves its WHOLE residue for the EOF rescan
+    (strncpy to text+1 with no clobbering read after it); bm's skip
+    walk past a small trimmed span legitimately strides the whole raw
+    read before deciding the tail print (sgrep.c:723-748)."""
+    data = {
+        "clamped-interior": b"aaa bbb\n" * 2000 + b"q" * 40000
+                            + b"\nccc ddd\n" * 2000,
+        "pure-run": b"ab" * 40000,
+        "run-after-line": b"x\n" + b"ab" * 40000,
+        "trimmed-small": b"one hello line\nx zz\n" + b"ab" * 30000
+                         + b"\ntail hello\n",
+    }[corpus_kind]
+    p = tmp_path / "seam.bin"
+    p.write_bytes(data)
+    compare(flags + ["hello;world", str(p)])
+    compare(flags + ["hello", str(p)])
+
+
+@pytest.mark.parametrize("flags", [["-b"], ["-c"], [], ["-n"]])
+def test_mshort_cbo_and_complex_booleans(tmp_path, flags):
+    """m_short's text-- drift dies at each block end (CBO re-derived
+    from the scan span, newmgrep.c:555), and AComplexBoolean outputs
+    fire at the record-crossing check where CurrentByteOffset has
+    reached the record end (newmgrep.c:1015-1019)."""
+    filler = b"aaa bbb ccc ddd\n" * 2100
+    data = (b"x zz one\nx zz two\n" + filler + b"x zz three\nx zz four\n")
+    p = tmp_path / "cbo.bin"
+    p.write_bytes(data)
+    compare(flags + ["x;zz", str(p)])
+    compare(flags + ["x,zz;the", str(p)])
+    # clamped seam variant + dirty (non-newline) trim grouping
+    p2 = tmp_path / "cbo2.bin"
+    p2.write_bytes(b"x zz the\n" + b"q" * 40000 + b"\nthe zz x\n"
+                   + b"x" * 9000 + b"\nx zz the end\n")
+    compare(flags + ["x,zz;the", str(p2)])
+
+
+@pytest.mark.parametrize("case", ["straddle", "zeroed-match", "cascade"])
+@pytest.mark.parametrize("engine", ["sgrep", "sgrep-d1", "mgrep",
+                                    "regex", "regex-clamped"])
+def test_nul_residue_truncation(tmp_path, engine, case):
+    """Every engine's residue carry is strncpy (sgrep.c:470,
+    newmgrep.c:560, agrep.c:1430): a NUL in the carried span zero-fills
+    the rest of the copy, erasing record bytes -- and any matches --
+    past it from the next block's scan."""
+    BLK = 32768
+    head = b"x" * (BLK - 60 - 1) + b"\n"
+    if engine.startswith("regex"):
+        gap = 300 if engine == "regex" else 3000
+        head = b"y" * (49152 - gap - 1) + b"\n"
+        body = {"straddle": b"s " + b"c" * 100 + b"\x00" + b"d" * (gap + 200)
+                            + b" theq end\n",
+                "zeroed-match": b"s " + b"\x00" + b" theq gone "
+                                + b"d" * (gap + 300) + b" end\n",
+                "cascade": b"s \x00\x00" + b"c" * (gap + 49152 + 50)
+                           + b" theq\n"}[case]
+        data = head + body + b"tail theq\n"
+        args = ["(theq|zzz)"]
+    else:
+        body = {"straddle": b"begin " + b"a" * 20 + b"\x00" + b"b" * 80
+                            + b" hello word\n",
+                "zeroed-match": b"begin " + b"a" * 10 + b"\x00"
+                                + b" hello gone " + b"b" * 60 + b" word\n",
+                "cascade": b"s \x00" + b"c" * 50 + b" hello "
+                           + b"d" * (BLK - 30) + b"\x00q hello word\n"}[case]
+        data = head + body + b"final hello word\n"
+        args = {"sgrep": ["hello"], "sgrep-d1": ["-1", "hello"],
+                "mgrep": ["hello;word"]}[engine]
+    p = tmp_path / "nul.bin"
+    p.write_bytes(data)
+    for extra in ([], ["-c"]):
+        compare(extra + args + [str(p)])
+
+
 @pytest.mark.parametrize("pat", ["hello;tail", "hello,zzz",
                                  "hello,world"])
 @pytest.mark.parametrize("flags", [["-c"], [], ["-n"], ["-b"],
