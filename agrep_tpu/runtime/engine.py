@@ -776,15 +776,13 @@ class SgrepEngine:
                     if not bad.all():
                         # strncpy residue copies (sgrep.c:470) truncate
                         # at a NUL and zero-fill: matches inside the
-                        # zeroed span vanish -- replay from there
-                        zs = np.flatnonzero(body == 0) + g0
+                        # zeroed span vanish -- replay from there.
+                        # Residues here are <= 1024 bytes, so only the
+                        # small window before each boundary is read.
                         for i in np.flatnonzero(~bad):
                             tr_i, rb_i = int(trims[i]), int(rbs[i])
-                            zi = int(np.searchsorted(zs, tr_i))
-                            if zi < len(zs) and zs[zi] < rb_i:
-                                bad[i] = True
-                            elif tr_i < g0 and bool((stream.read(
-                                    tr_i, min(rb_i, g0)) == 0).any()):
+                            if bool((stream.read(tr_i, rb_i)
+                                     == 0).any()):
                                 bad[i] = True
                     bi = np.flatnonzero(bad)
                     if len(bi):

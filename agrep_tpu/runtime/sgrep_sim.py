@@ -206,15 +206,19 @@ def block_layout(data, delim: bytes | None = None,
 def nul_near_boundaries(data) -> bool:
     """Cheap pre-filter for nul_in_residue: a non-clobbered residue
     always lies within the last OFFSET-MAXLINE+1 bytes before an
-    interior 32KB boundary."""
+    interior 32KB boundary.  Vectorized via a strided reshape view so
+    a 10GB scan touches only the ~3% window bytes, in big batches."""
     B2 = 2 * BLOCKSIZE
     N = len(data)
     win = OFFSET - MAXLINE + 1
-    hi = B2
-    while hi < N:
-        if bool((np.asarray(data[hi - win:hi]) == 0).any()):
+    nb = (N - 1) // B2          # number of interior boundaries
+    if nb <= 0:
+        return False
+    view = np.asarray(data[:nb * B2]).reshape(nb, B2)[:, B2 - win:]
+    step = 1 << 14              # rows per batch (~16MB of windows)
+    for r0 in range(0, nb, step):
+        if not np.all(view[r0:r0 + step]):
             return True
-        hi += B2
     return False
 
 
