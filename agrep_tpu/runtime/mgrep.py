@@ -17,6 +17,7 @@ numpy compares.
 from __future__ import annotations
 
 import bisect as _bisect
+import os
 import sys
 
 import numpy as np
@@ -237,7 +238,38 @@ class MgrepEngine:
                 bool(tb.short), bool(self.q.opts.wordbound),
                 count_only=True))
 
-        return count_of(stream)
+        n = len(stream)
+        nthreads = min(4, os.cpu_count() or 1)
+        par_min = int(os.environ.get("AGREP_TPU_PAR_MIN",
+                                     str(8 << 20)))
+        if n < par_min or nthreads <= 1:
+            return count_of(stream)
+        # matched-line counting is line-local: split at newlines and
+        # run the C pass per chunk concurrently (ctypes releases the
+        # GIL; count_only uses no shared scratch)
+        cuts = [0]
+        for k in range(1, nthreads):
+            t = n * k // nthreads
+            w = 4096
+            cut = None
+            while t + w <= n + w:
+                seg = np.asarray(stream[t:min(t + w, n)])
+                nlp = np.flatnonzero(seg == 0x0A)
+                if len(nlp):
+                    cut = t + int(nlp[0]) + 1
+                    break
+                t += w
+                if t >= n:
+                    break
+            cuts.append(cut if cut is not None else n)
+        cuts.append(n)
+        cuts = sorted(set(cuts))
+        if len(cuts) < 3:
+            return count_of(stream)
+        from concurrent.futures import ThreadPoolExecutor
+        parts = [stream[a:b] for a, b in zip(cuts, cuts[1:]) if b > a]
+        with ThreadPoolExecutor(len(parts)) as ex:
+            return sum(ex.map(count_of, parts))
 
     def _first_match_occurrences(self, stream: np.ndarray, tb) -> dict:
         """Reduced occurrence table for flat-OR: ONLY the winning

@@ -249,3 +249,34 @@ def test_mgrep_cli_interpret_kernel_path(tmp_path):
     m_out, _, m_rc = run_ours(["-c", "-f", str(pf), str(corpus)],
                               backend="interpret")
     assert (m_out, m_rc) == (o_out, o_rc)
+
+
+def test_parallel_count_equals_serial(tmp_path, monkeypatch):
+    """The flat-OR -c fast path splits the corpus at newlines and
+    counts chunks on a thread pool; forcing a tiny split threshold
+    must not change any count."""
+    import io
+    from agrep_tpu.api import fileagrep
+    corpus = tmp_path / "c.txt"
+    rnd = random.Random(17)
+    words = ["alpha", "beta", "kernel", "device", "zeta", "engine",
+             "matching", "hello"]
+    with open(corpus, "wb") as f:
+        for k in range(4000):
+            f.write(" ".join(rnd.choices(
+                words, k=rnd.randint(2, 9))).encode() + b"\n")
+        f.write(b"tail without newline")
+    pats = [rnd.choice(words) for _ in range(40)]
+    pats += ["zz%dq" % i for i in range(20)]
+    pf = tmp_path / "p.txt"
+    pf.write_text("".join(p + "\n" for p in pats))
+
+    def run_count():
+        buf = io.BytesIO()
+        fileagrep(["-c", "-f", str(pf), str(corpus)], output=buf)
+        return buf.getvalue()
+
+    serial = run_count()
+    monkeypatch.setenv("AGREP_TPU_PAR_MIN", "1024")
+    parallel = run_count()
+    assert parallel == serial
