@@ -295,12 +295,40 @@ def pack_lines(stream: np.ndarray, starts: np.ndarray,
 def find_delims_all(stream: np.ndarray,
                     delim: bytes) -> np.ndarray | None:
     """All (overlapping) delimiter END positions; None when the native
-    library is unavailable."""
+    library is unavailable.  Large streams split across a thread pool
+    (delimiter search is position-local up to dl-1 bytes of overlap;
+    ctypes releases the GIL)."""
     lib = get_lib()
     if lib is None:
         return None
     d = np.ascontiguousarray(np.frombuffer(delim, dtype=np.uint8))
     s = np.ascontiguousarray(stream)
+    dl = len(d)
+    n_s = len(s)
+    nthreads = min(4, os.cpu_count() or 1)
+    if n_s >= (8 << 20) and nthreads > 1:
+        cuts = [n_s * k // nthreads for k in range(nthreads + 1)]
+
+        def one(k):
+            lo = max(cuts[k] - (dl - 1), 0)
+            hi = cuts[k + 1]
+            sub = s[lo:hi]
+            out = _scratch(("delims", k), 1 << 20)
+            while True:
+                cap = len(out)
+                cnt = lib.find_delims(sub, len(sub), d, dl, out, cap)
+                if cnt < cap:
+                    break
+                out = _scratch(("delims", k), 2 * cap)
+            # no dedupe needed: the dl-1 overlap means chunk k's
+            # earliest possible END is exactly cuts[k], one past the
+            # previous chunk's last reportable END (cuts[k]-1)
+            return (out[:cnt] + lo).copy()
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(nthreads) as ex:
+            parts = list(ex.map(one, range(nthreads)))
+        return np.concatenate(parts)
     out = _scratch("delims", 1 << 20)
     while True:
         cap = len(out)

@@ -94,3 +94,36 @@ def test_renfa_scan_lines_equals_lanes(pat, seed):
         lanes[r, :ln + 1] = text[s:s + ln + 1]
     want = renfa._scan_records_np(lanes, lens, mc, cont, cont)
     assert np.array_equal(np.asarray(got, dtype=bool), want)
+
+
+def test_parallel_find_delims_equals_bruteforce():
+    """find_delims_all splits big streams across a thread pool with
+    dl-1 overlap; ends must match the single-pass definition exactly,
+    including occurrences straddling the chunk cuts."""
+    import numpy as np
+    from agrep_tpu import native
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(12)
+    n = 9 << 20
+    data = rng.integers(60, 70, n, dtype=np.uint8).astype(np.uint8)
+    # plant occurrences right at the 4 chunk cut points
+    for k in range(1, 4):
+        cut = n * k // 4
+        data[cut - 1:cut + 2] = ord("A")
+    for dlm in (b"\n", b"AB", b"AA"):
+        d2 = data.copy()
+        ins = rng.integers(0, n - 3, 200)
+        for i in ins:
+            d2[i:i + len(dlm)] = np.frombuffer(dlm, np.uint8)
+        got = native.find_delims_all(d2, dlm)
+        dl = len(dlm)
+        if dl == 1:
+            want = np.flatnonzero(d2 == dlm[0])
+        else:
+            hit = np.ones(n - dl + 1, bool)
+            for k in range(dl):
+                hit &= d2[k:n - dl + 1 + k] == dlm[k]
+            want = np.flatnonzero(hit) + dl - 1
+        assert np.array_equal(got, want), dlm
