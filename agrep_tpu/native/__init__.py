@@ -114,6 +114,11 @@ def get_lib():
         u8p, i64, u8p, i32p, i64p, i64p, u8p, i64p, u8p, i64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         u8p, i64, i64p, i64, i64, i64p, i64p, i64]
+    lib.mgrep_or_count_walk.restype = i64
+    lib.mgrep_or_count_walk.argtypes = [
+        u8p, i64, u8p, i64, u8p, i32p, ctypes.c_int32, i64,
+        i64p, i64, i64p, i64, i64p, i64, i64, i64, i64, i64,
+        ctypes.c_int32]
     _lib = lib
     return lib
 
@@ -499,6 +504,46 @@ def qgram_first_per_anchor(stream: np.ndarray, member: np.ndarray,
         cnt = lib.qgram_first_per_anchor(*args_fixed, out_a, out_t,
                                          len(out_a))
     return out_a[:cnt], out_t[:cnt]
+
+
+def mgrep_or_count_walk(stream: np.ndarray, delim: bytes,
+                        tr: np.ndarray, shift1: np.ndarray,
+                        longf: bool, m1w: int, wa: np.ndarray,
+                        de: np.ndarray, bounds: np.ndarray,
+                        base: int, final_end: int,
+                        outtail: bool) -> int | None:
+    """Matched-record count of the flat-OR -d replay (C twin of
+    runtime/mgrep.py walk_region in count mode); None when the native
+    library is unavailable.  Regions are independent, so large walks
+    split contiguous region ranges across a thread pool."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(stream)
+    d = np.ascontiguousarray(np.frombuffer(delim, dtype=np.uint8))
+    trc = np.ascontiguousarray(tr)
+    sh = np.ascontiguousarray(shift1, dtype=np.int32)
+    wac = np.ascontiguousarray(wa, dtype=np.int64)
+    dec = np.ascontiguousarray(de, dtype=np.int64)
+    bnd = np.ascontiguousarray(bounds, dtype=np.int64)
+    nb = len(bnd)
+    n_regions = nb + 1
+
+    def run(r_lo, r_hi):
+        return int(lib.mgrep_or_count_walk(
+            s, len(s), d, len(d), trc, sh, int(bool(longf)),
+            int(m1w), wac, len(wac), dec, len(dec), bnd, nb,
+            int(r_lo), int(r_hi), int(base), int(final_end),
+            int(bool(outtail))))
+
+    nthreads = min(4, os.cpu_count() or 1)
+    if n_regions < 8 * nthreads or nthreads <= 1 or len(wac) < 4096:
+        return run(0, n_regions)
+    cuts = [n_regions * k // nthreads for k in range(nthreads + 1)]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(nthreads) as ex:
+        return sum(ex.map(lambda k: run(cuts[k], cuts[k + 1]),
+                          range(nthreads)))
 
 
 def a_monkey_block(buf: np.ndarray, start: int, end: int, pat: bytes,

@@ -1069,3 +1069,105 @@ int64_t qgram_occ_all(
 }
 
 }  // extern "C"
+
+#include <algorithm>
+
+// ---------------------------------------------------------------
+// Flat-OR -d record-count walk
+// ---------------------------------------------------------------
+//
+// C twin of runtime/mgrep.py walk_region restricted to pure count
+// mode (flat OR, -c, no inversion/limits/booleans, p_size > 1): the
+// anchor-driven replay of monkey1's DO_OUTPUT + record jump + DOW
+// crossing flush (newmgrep.c:803-1043).  Consumes the one-row-per-
+// anchor event stream wa[] (qgram_first_per_anchor output after the
+// python-side trim filters); every consumed row is one DO_OUTPUT.
+// Regions are independent, so callers thread contiguous region
+// ranges [r_lo, r_hi) and sum the returns.
+extern "C"
+int64_t mgrep_or_count_walk(
+    const uint8_t* stream, int64_t n, const uint8_t* dref, int64_t dl,
+    const uint8_t* tr, const int32_t* shift1, int32_t longf,
+    int64_t m1w, const int64_t* wa, int64_t nw, const int64_t* de,
+    int64_t nd, const int64_t* bounds, int64_t nb, int64_t r_lo,
+    int64_t r_hi, int64_t base, int64_t final_end, int32_t outtail) {
+    // tr1 code at hash-context position i: positions below dl are the
+    // memcpy'd delimiter (newmgrep.c:511), positions past n + dl are
+    // the EOF-rescan's virtual appended delimiter
+    auto hs = [&](int64_t i) -> uint32_t {
+        int64_t j = i - dl;
+        if (j < 0) return tr[dref[i]] & 31u;
+        if (j < n) return tr[stream[j]] & 31u;
+        int64_t k = j - n;
+        return (k < dl) ? (tr[dref[k]] & 31u) : 0u;
+    };
+    auto sh_at = [&](int64_t t) -> int32_t {
+        int64_t i = dl + t;
+        uint32_t h = hs(i) << 5;
+        if (i >= 1) h += hs(i - 1);
+        if (longf) h = (h << 5) + ((i >= 2) ? hs(i - 2) : 0u);
+        return shift1[h];
+    };
+    // skip-walk phase: first visited position >= X from exact t
+    auto first_visit_ge = [&](int64_t t, int64_t X) -> int64_t {
+        while (t < X) {
+            int32_t s = sh_at(t);
+            t += (s > 1) ? s : 1;
+        }
+        return t;
+    };
+    int64_t maxs_w = m1w - longf;
+    if (maxs_w < 1) maxs_w = 1;
+    int64_t cnt = 0;
+    for (int64_t r = r_lo; r < r_hi; r++) {
+        int64_t tb_region = (r == 0) ? base : bounds[r - 1];
+        int64_t te = ((r < nb) ? bounds[r] + 1 : final_end) - 1;
+        bool DOW = false;
+        int64_t cure = 0;
+        int64_t tb_jump = tb_region;
+        int64_t nv = tb_region + m1w - 1;
+        const int64_t* jp = std::lower_bound(wa, wa + nw, nv);
+        while (true) {
+            bool have = (jp < wa + nw) && (*jp <= te);
+            int64_t a = have ? *jp : -1;
+            if (DOW) {
+                if (!have) { DOW = false; break; }
+                bool flush_before = false;
+                if (nv >= cure - 1) {
+                    flush_before = (nv < a);
+                } else if (a >= cure - 1) {
+                    if (a >= cure - 1 + maxs_w) flush_before = true;
+                    else flush_before =
+                        (first_visit_ge(nv, cure - 1) < a);
+                }
+                if (flush_before) DOW = false;
+            }
+            if (!have) break;
+            if (!DOW) {
+                // record extraction bounded by the advancing
+                // textbegin (monkey1:885-886); curb only matters for
+                // printing, the count walk needs cure + tb_jump
+                int64_t j2 = std::lower_bound(de, de + nd, a + dl)
+                             - de;
+                cure = te + 1;
+                while (j2 < nd) {
+                    int64_t dv = de[j2], ds = dv - dl + 1;
+                    if (ds >= a + 1 && ds <= te - dl) {
+                        cure = outtail ? ds + dl : ds;
+                        break;
+                    }
+                    if (ds > te - dl) break;
+                    j2++;
+                }
+                tb_jump = outtail ? cure - dl : cure;
+                DOW = true;
+            }
+            cnt++;                           // DO_OUTPUT (count)
+            int64_t post = tb_jump;
+            nv = post + ((m1w - 1 > 0) ? (m1w - 1) : 1);
+            if (post >= cure - 1) DOW = false;   // crossing flush
+            jp = std::lower_bound(wa, wa + nw, nv);
+        }
+    }
+    return cnt;
+}

@@ -1090,6 +1090,24 @@ class MgrepEngine:
                 wl = term_len[occ_i[first]]
             else:
                 wa = wi = ws = wl = np.zeros(0, dtype=np.int64)
+            # ---- native count walk: pure flat-OR -c consumes the
+            # event rows without any output state, so the whole
+            # region replay runs in C (threaded across regions)
+            if (first is None and o.count and not o.invert
+                    and not o.filename_only and not o.silent
+                    and not o.multi_output and o.limit_output <= 0
+                    and o.limit_per_file <= 0
+                    and not (is_and or is_complex) and not short_mode
+                    and os.environ.get(
+                        "AGREP_TPU_NO_NATIVE_WALK") != "1"):
+                from .. import native
+                cnt = native.mgrep_or_count_walk(
+                    stream, q.delim, self.tr, SHIFT1, LONG, m1w,
+                    wa, de_arr, np.asarray(bounds, dtype=np.int64),
+                    base, final_end, bool(q.outtail))
+                if cnt is not None:
+                    sink.num_matched += cnt
+                    return
             if not short_mode:
                 MAXS = max(m1w - LONG, 1)
                 # lazy per-position shift (delimiter context below 0);
