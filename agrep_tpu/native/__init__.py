@@ -479,15 +479,13 @@ def qgram_first_per_anchor(stream: np.ndarray, member: np.ndarray,
     lib = get_lib()
     if lib is None:
         return None
-    out_a = _scratch("qgram_a", 1 << 20)
-    out_t = _scratch("qgram_t", 1 << 20)
     dp = np.ascontiguousarray(np.frombuffer(
         delim if delim else b"\n", dtype=np.uint8))
     dlen = len(delim) if delim else 0
     mk = (np.ascontiguousarray(marks, dtype=np.int64)
           if marks is not None else np.zeros(0, dtype=np.int64))
-    args_fixed = (
-        np.ascontiguousarray(stream), len(stream),
+    s = np.ascontiguousarray(stream)
+    tables = (
         np.ascontiguousarray(member.astype(np.uint8)),
         np.ascontiguousarray(hash_id.astype(np.int32)),
         np.ascontiguousarray(bucket_off.astype(np.int64)),
@@ -495,15 +493,56 @@ def qgram_first_per_anchor(stream: np.ndarray, member: np.ndarray,
         np.ascontiguousarray(term_bytes),
         np.ascontiguousarray(term_off.astype(np.int64)),
         np.ascontiguousarray(tr), p, int(longf), int(shortf),
-        int(wordbound), dp, dlen, mk, len(mk), int(maxs))
-    cnt = lib.qgram_first_per_anchor(*args_fixed, out_a, out_t,
-                                     len(out_a))
-    if cnt > len(out_a):
-        out_a = _scratch("qgram_a", int(cnt) + 16)
-        out_t = _scratch("qgram_t", int(cnt) + 16)
-        cnt = lib.qgram_first_per_anchor(*args_fixed, out_a, out_t,
+        int(wordbound), dp, dlen)
+
+    def one(buf, mk_loc, key):
+        out_a = _scratch(("qgram_a", key), 1 << 20)
+        out_t = _scratch(("qgram_t", key), 1 << 20)
+        args = (buf, len(buf)) + tables + (mk_loc, len(mk_loc),
+                                           int(maxs))
+        cnt = lib.qgram_first_per_anchor(*args, out_a, out_t,
                                          len(out_a))
-    return out_a[:cnt], out_t[:cnt]
+        if cnt > len(out_a):
+            out_a = _scratch(("qgram_a", key), int(cnt) + 16)
+            out_t = _scratch(("qgram_t", key), int(cnt) + 16)
+            cnt = lib.qgram_first_per_anchor(*args, out_a, out_t,
+                                             len(out_a))
+        return out_a[:cnt], out_t[:cnt]
+
+    n_s = len(s)
+    nthreads = min(4, os.cpu_count() or 1)
+    par_min = int(os.environ.get("AGREP_TPU_PAR_MIN", str(8 << 20)))
+    if dlen == 0 or nthreads <= 1 or n_s < par_min or len(mk) < \
+            4 * nthreads:
+        a, t = one(s, mk, 0)
+        return a.copy(), t.copy()
+    # Chunk at region-mark boundaries: jump pruning never crosses a
+    # region end (bound < te1), and detection is position-local, so a
+    # chunk scanned with ctx bytes of overlap emits, for anchors in
+    # its own span, the same rows or a safe superset (pruning bounds
+    # shrink when the next delimiter/mark falls outside the local
+    # view -- keeping extra anchors is always safe, see the C comment)
+    maxlen = int(np.max(np.diff(term_off))) if len(term_off) > 1 else p
+    ctx = maxlen + dlen + int(maxs) + 8
+    cut_idx = [len(mk) * k // nthreads for k in range(1, nthreads)]
+    cuts = [0] + [int(mk[i]) + 1 for i in cut_idx] + [n_s]
+    cuts = sorted(set(cuts))
+
+    def chunk(k):
+        lo, hi = cuts[k], cuts[k + 1]
+        lo_e = max(lo - ctx, 0)
+        hi_e = min(hi + maxlen + dlen + 8, n_s)
+        mk_loc = mk[(mk > lo_e) & (mk < hi_e)] - lo_e
+        a, t = one(s[lo_e:hi_e], np.ascontiguousarray(mk_loc), k)
+        a = a + lo_e
+        keep = (a >= lo) & (a < hi)
+        return a[keep].copy(), t[keep].copy()
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(len(cuts) - 1) as ex:
+        parts = list(ex.map(chunk, range(len(cuts) - 1)))
+    return (np.concatenate([x[0] for x in parts]),
+            np.concatenate([x[1] for x in parts]))
 
 
 def mgrep_or_count_walk(stream: np.ndarray, delim: bytes,

@@ -657,10 +657,13 @@ class MgrepEngine:
                 dpat = np.frombuffer(q.delim, dtype=np.uint8)
                 if ow and dl == 1:
                     head[np.asarray(ow, dtype=np.int64)] = dpat[0]
-                else:
-                    for off in ow:
-                        k = min(dl, len(data) - off)
-                        head[off:off + k] = dpat[:k]
+                elif ow:
+                    owa = np.asarray(ow, dtype=np.int64)
+                    idx = (owa[:, None]
+                           + np.arange(dl, dtype=np.int64)).ravel()
+                    val = np.tile(dpat, len(owa))
+                    inb = idx < len(data)
+                    head[idx[inb]] = val[inb]
                 # flat-OR count never slices records out of the
                 # stream, so the EOF-rescan delimiter can stay
                 # virtual: the event pass handles the tail in a small
@@ -1732,49 +1735,47 @@ def _mgrep_blocks_delim(data, delim, outtail):
     BLK = 2 * 16384
     dl = len(delim)
     N = len(data)
-    overwrites = []
-    marks = []
-    pos = 0
     trim_end = None
     live = False
     # one global delimiter scan; per block, the last delimiter fully
     # inside [pos, pos+num_read) comes from a searchsorted (the
-    # per-block rescan dominated -d setup on multi-MB files)
+    # per-block rescan dominated -d setup on multi-MB files).
+    # All blocks are resolved with VECTORIZED searchsorted pairs: the
+    # skip-straddling-delimiters decrement loop == "largest end in
+    # [pos+dl-1, pos+num_read-1]" (a straddler has end < pos+dl-1;
+    # anything smaller than pos breaks the loop empty-handed)
     all_dends = _find_delims_arr(data, delim)
-    while pos < N:
-        num_read = min(BLK, N - pos)
-        overwrites.append(pos)
-        t = None
-        j = int(np.searchsorted(all_dends, pos + num_read - 1,
-                                side="right")) - 1
-        le_end = -1
-        while j >= 0:
-            e = int(all_dends[j])
-            if e - dl + 1 >= pos:
-                le_end = e - pos       # block-relative, as before
-                break
-            if e < pos:
-                break
-            j -= 1
-        if le_end >= 0:
-            le_start = le_end - dl + 1
-            if outtail:
-                t = pos + le_end
-            elif le_start >= dl:        # else `newbuf < MAXLINE+D_length`
-                t = pos + le_start - 1
-        last_block = pos + num_read >= N
-        if t is not None:
-            if last_block:
-                live = t < N - 1
-                trim_end = t if live else None
-                if live:
-                    marks.append(t)
-            else:
-                marks.append(t)
-        elif not last_block:
-            # untrimmed block: residue==1 still duplicates the last byte
-            marks.append(pos + num_read - 1)
-        pos += num_read
+    if N == 0:
+        return [], [], None, False, all_dends
+    starts = np.arange(0, N, BLK, dtype=np.int64)
+    ends_in = np.minimum(starts + BLK, N) - 1       # inclusive
+    if len(all_dends):
+        j1 = np.searchsorted(all_dends, starts + dl - 1, side="left")
+        j2 = np.searchsorted(all_dends, ends_in, side="right") - 1
+        has = j2 >= j1
+        le = np.where(has, all_dends[np.clip(j2, 0,
+                                             len(all_dends) - 1)], -1)
+    else:
+        has = np.zeros(len(starts), dtype=bool)
+        le = np.full(len(starts), -1, dtype=np.int64)
+    if outtail:
+        t_arr = np.where(has, le, -1)
+    else:
+        # le_start >= dl (else `newbuf < MAXLINE+D_length`: no trim)
+        ok = has & ((le - dl + 1) - starts >= dl)
+        t_arr = np.where(ok, le - dl, -1)
+    overwrites = starts.tolist()
+    # untrimmed blocks duplicate their last byte (residue==1 copy)
+    marks_arr = np.where(t_arr >= 0, t_arr, ends_in)
+    marks = marks_arr[:-1].tolist()
+    # last block: a trim only registers when the EOF residue rescan
+    # runs (more than one residue byte past the trim)
+    t_last = int(t_arr[-1])
+    if t_last >= 0:
+        live = t_last < N - 1
+        trim_end = t_last if live else None
+        if live:
+            marks.append(t_last)
     return overwrites, marks, trim_end, live, all_dends
 
 
