@@ -17,6 +17,10 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------
@@ -551,6 +555,172 @@ int64_t monkey4_block(const uint8_t* buf, int64_t buflen, int64_t start,
 
 
 // ---------------------------------------------------------------
+// SIMD 2-gram candidate prefilter
+// ---------------------------------------------------------------
+//
+// The scalar q-gram loops below pay ~5 cycles/byte computing the
+// hash + member load at every position.  The prefilter computes, one
+// 64KB window at a time, a candidate BITMAP over the same 2-gram
+// projection the TPU kernel uses (ops/qgram_kernel.py): bit p of
+// word w[c] == "some member hash has tail 2-gram (c, p)", so the
+// per-position test is one 32-entry word select + one variable
+// shift -- with AVX512 that is a single vpermi2d + vpsrlvd per 16
+// positions.  Exact for the 10-bit (non-LONG) tables; for LONG
+// 15-bit tables it is the sound tail projection and the scalar
+// member[h] re-check on candidates restores exactness.
+static void qgram2_bitmap_scalar(const uint8_t* buf, int64_t lo,
+                                 int64_t hi, const uint32_t* w,
+                                 uint64_t* bm) {
+    int64_t len = hi - lo;
+    memset(bm, 0, (size_t)(((len + 63) >> 6) * 8));
+    for (int64_t i = 0; i < len; i++) {
+        uint32_t bit = (w[buf[lo + i] & 31]
+                        >> (buf[lo + i - 1] & 31)) & 1u;
+        bm[i >> 6] |= (uint64_t)bit << (i & 63);
+    }
+}
+
+#if defined(__x86_64__)
+__attribute__((target("avx512f")))
+static void qgram2_bitmap_avx512(const uint8_t* buf, int64_t lo,
+                                 int64_t hi, const uint32_t* w,
+                                 uint64_t* bm) {
+    __m512i t0 = _mm512_loadu_si512((const void*)w);
+    __m512i t1 = _mm512_loadu_si512((const void*)(w + 16));
+    __m512i v31 = _mm512_set1_epi32(31);
+    __m512i one = _mm512_set1_epi32(1);
+    int64_t len = hi - lo;
+    memset(bm, 0, (size_t)(((len + 63) >> 6) * 8));
+    int64_t i = 0;
+    for (; i + 16 <= len; i += 16) {
+        __m128i cb = _mm_loadu_si128((const __m128i*)(buf + lo + i));
+        __m128i pb = _mm_loadu_si128(
+            (const __m128i*)(buf + lo + i - 1));
+        __m512i c = _mm512_and_si512(_mm512_cvtepu8_epi32(cb), v31);
+        __m512i pv = _mm512_and_si512(_mm512_cvtepu8_epi32(pb), v31);
+        __m512i wv = _mm512_permutex2var_epi32(t0, c, t1);
+        __m512i sh = _mm512_srlv_epi32(wv, pv);
+        __mmask16 m = _mm512_test_epi32_mask(sh, one);
+        bm[i >> 6] |= (uint64_t)(uint16_t)m << (i & 63);
+    }
+    for (; i < len; i++) {
+        uint32_t bit = (w[buf[lo + i] & 31]
+                        >> (buf[lo + i - 1] & 31)) & 1u;
+        bm[i >> 6] |= (uint64_t)bit << (i & 63);
+    }
+}
+
+__attribute__((target("avx2")))
+static void qgram2_bitmap_avx2(const uint8_t* buf, int64_t lo,
+                               int64_t hi, const uint32_t* w,
+                               uint64_t* bm) {
+    __m256i t[4];
+    for (int k = 0; k < 4; k++)
+        t[k] = _mm256_loadu_si256((const __m256i*)(w + 8 * k));
+    __m256i v31 = _mm256_set1_epi32(31);
+    int64_t len = hi - lo;
+    memset(bm, 0, (size_t)(((len + 63) >> 6) * 8));
+    int64_t i = 0;
+    for (; i + 8 <= len; i += 8) {
+        __m128i cb = _mm_loadl_epi64((const __m128i*)(buf + lo + i));
+        __m128i pb = _mm_loadl_epi64(
+            (const __m128i*)(buf + lo + i - 1));
+        __m256i c = _mm256_and_si256(_mm256_cvtepu8_epi32(cb), v31);
+        __m256i pv = _mm256_and_si256(_mm256_cvtepu8_epi32(pb), v31);
+        __m256i r0 = _mm256_permutevar8x32_epi32(t[0], c);
+        __m256i r1 = _mm256_permutevar8x32_epi32(t[1], c);
+        __m256i r2 = _mm256_permutevar8x32_epi32(t[2], c);
+        __m256i r3 = _mm256_permutevar8x32_epi32(t[3], c);
+        __m256i b3 = _mm256_srai_epi32(_mm256_slli_epi32(c, 28), 31);
+        __m256i b4 = _mm256_srai_epi32(_mm256_slli_epi32(c, 27), 31);
+        __m256i r01 = _mm256_blendv_epi8(r0, r1, b3);
+        __m256i r23 = _mm256_blendv_epi8(r2, r3, b3);
+        __m256i wv = _mm256_blendv_epi8(r01, r23, b4);
+        __m256i sh = _mm256_srlv_epi32(wv, pv);
+        uint32_t m = (uint32_t)_mm256_movemask_ps(
+            _mm256_castsi256_ps(_mm256_slli_epi32(sh, 31)));
+        bm[i >> 6] |= (uint64_t)m << (i & 63);
+    }
+    for (; i < len; i++) {
+        uint32_t bit = (w[buf[lo + i] & 31]
+                        >> (buf[lo + i - 1] & 31)) & 1u;
+        bm[i >> 6] |= (uint64_t)bit << (i & 63);
+    }
+}
+#endif  // __x86_64__
+
+typedef void (*qgram2_fn)(const uint8_t*, int64_t, int64_t,
+                          const uint32_t*, uint64_t*);
+
+static qgram2_fn qgram2_impl() {
+    static qgram2_fn fn = nullptr;
+    if (fn == nullptr) {
+#if defined(__x86_64__)
+        if (__builtin_cpu_supports("avx512f"))
+            fn = qgram2_bitmap_avx512;
+        else if (__builtin_cpu_supports("avx2"))
+            fn = qgram2_bitmap_avx2;
+        else
+#endif
+            fn = qgram2_bitmap_scalar;
+    }
+    return fn;
+}
+
+// Windowed candidate iterator over the prefilter bitmap.  Positions
+// handed out satisfy the 2-gram projection test; callers re-check the
+// exact member[h] (identical for non-LONG, narrowing for LONG).
+// Precondition: scanning starts at position >= 1 (the previous byte
+// is read), which p >= 2 (!shortf) guarantees.
+struct QScan {
+    const uint8_t* buf;
+    int64_t n;
+    uint32_t w[32];
+    int64_t lo = 0, hi = 0;
+    uint64_t bm[1024];                       // 64KB window
+    qgram2_fn fn;
+    QScan(const uint8_t* b, int64_t nn, const uint8_t* member,
+          int32_t longf) : buf(b), n(nn) {
+        fn = qgram2_impl();
+        for (int c = 0; c < 32; c++) {
+            uint32_t v = 0;
+            for (int pp = 0; pp < 32; pp++) {
+                int64_t base = ((int64_t)c << 5) | pp;
+                bool any = false;
+                if (longf) {
+                    const uint8_t* row = member + (base << 5);
+                    for (int q = 0; q < 32; q++) any |= row[q] != 0;
+                } else {
+                    any = member[base] != 0;
+                }
+                if (any) v |= 1u << pp;
+            }
+            w[c] = v;
+        }
+    }
+    int64_t next(int64_t a) {
+        if (a < 1) a = 1;
+        while (a < n) {
+            if (a >= hi || a < lo) {
+                lo = a;
+                hi = (lo + 65536 > n) ? n : lo + 65536;
+                fn(buf, lo, hi, w, bm);
+            }
+            int64_t rel = a - lo;
+            int64_t wi = rel >> 6;
+            int64_t nw = (hi - lo + 63) >> 6;
+            uint64_t word = bm[wi] & (~0ull << (rel & 63));
+            while (word == 0 && ++wi < nw) word = bm[wi];
+            if (word)
+                return lo + (wi << 6)
+                       + (int64_t)__builtin_ctzll(word);
+            a = hi;
+        }
+        return n;
+    }
+};
+
+// ---------------------------------------------------------------
 // One-pass multi-pattern: first verified match per newline record
 // ---------------------------------------------------------------
 //
@@ -581,7 +751,10 @@ int64_t qgram_first_per_line(
         return (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z')
             || (c >= 'a' && c <= 'z');
     };
+    const bool simd = !shortf;
+    QScan qs(buf, n, member, longf);
     int64_t a = p - 1;
+    if (simd) a = qs.next(a);
     while (a < n) {
         uint32_t h;
         if (shortf) {
@@ -622,10 +795,12 @@ int64_t qgram_first_per_line(
                 const void* nl = memchr(buf + a, '\n', (size_t)(n - a));
                 if (nl == nullptr) break;
                 a = (int64_t)((const uint8_t*)nl - buf) + p;
+                if (simd) a = qs.next(a);
                 continue;
             }
         }
         a++;
+        if (simd) a = qs.next(a);
     }
     return cnt;
 }
@@ -658,7 +833,13 @@ int64_t qgram_first_per_anchor(
         return (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z')
             || (c >= 'a' && c <= 'z');
     };
+    const bool simd = !shortf;
+    QScan qs(buf, n, member, longf);
     for (int64_t a = p - 1; a < n; a++) {
+        if (simd) {
+            a = qs.next(a);
+            if (a >= n) break;
+        }
         uint32_t h;
         if (shortf) {
             h = tr[buf[a]];
@@ -1038,7 +1219,13 @@ int64_t qgram_occ_all(
     int64_t* out_anchor, int64_t* out_tid, int64_t cap) {
     int64_t cnt = 0;
     if (n < p) return 0;
+    const bool simd = !shortf;
+    QScan qs(buf, n, member, longf);
     for (int64_t a = p - 1; a < n; a++) {
+        if (simd) {
+            a = qs.next(a);
+            if (a >= n) break;
+        }
         uint32_t h;
         if (shortf) {
             h = tr[buf[a]];
