@@ -88,11 +88,21 @@ def ranges_from_mask(mask_table: np.ndarray):
     return tuple(out)
 
 
+def _single_bit(v) -> int | None:
+    """Bit index when v has exactly one set bit, else None."""
+    v = int(v)
+    if v and (v & (v - 1)) == 0:
+        return v.bit_length() - 1
+    return None
+
+
 @functools.cache
 def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
                      variant: str = "bitap", ep_bits: tuple = (),
                      interpret: bool = False, rows: int = ROWS,
-                     costs: tuple | None = None):
+                     costs: tuple | None = None,
+                     d_bit: int | None = None,
+                     e_bit: int | None = None):
     """interpret=True runs the kernel through the Pallas interpreter on
     CPU -- same kernel body, no Mosaic -- so the production kernel's
     logic is testable in CI without a TPU (tests/test_pallas_kernel.py).
@@ -100,7 +110,10 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
     compile time per unrolled step; 32 keeps it ~10 s).
     costs = (I, S, DD) non-uniform edit costs (asearch1.c:90-97): the
     level a transition draws from is a static offset, so the cost
-    variant is the same unrolled chain with different wiring."""
+    variant is the same unrolled chain with different wiring.
+    d_bit/e_bit: static bit index of d_endpos/endpos when single-bit
+    (the usual case) -- the event test is then one shift pair instead
+    of the 4-op nonzero mask."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -155,24 +168,35 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
             x = v.astype(jnp.int32)
             return ((x | (0 - x)) >> 31).astype(jnp.uint32)
 
+        def bit_mask(v, b):
+            # u32 -> all-ones where bit b of v is set (b static)
+            x = v.astype(jnp.int32)
+            if b != 31:
+                x = x << (31 - b)
+            return (x >> 31).astype(jnp.uint32)
+
         any_folds = any(f for _, _, f in bit_ranges)
 
         def cmask_row(row32):
             # static compare-tree mask lookup on one (8,128) i32 tile:
-            # lo <= x <= hi  iff  sign((x-lo) | (hi-x)) == 0; case
-            # pairs {c, c^0x20} are one equality on (x | 0x20)
+            # lo <= x <= hi  iff  sign((x-lo) | (hi-x)) == 0; single
+            # chars and case pairs {c, c^0x20} are one equality --
+            # x == c  iff  sign((x^c) - 1) < 0 (x^c is in [0, 255]),
+            # three ops instead of the two-sided range test's five
             cm = jnp.zeros((SUB, LANE), dtype=jnp.uint32)
             rowf = (row32 | 0x20) if any_folds else row32
             for bitval, ranges, folds in bit_ranges:
-                miss = None
+                hit = None                       # all-ones on hit
                 for (lo, hi) in ranges:
-                    s = ((row32 - lo) | (hi - row32)) >> 31  # -1 = miss
-                    miss = s if miss is None else (miss & s)
+                    if lo == hi:
+                        h = ((row32 ^ lo) - 1) >> 31
+                    else:
+                        h = ~(((row32 - lo) | (hi - row32)) >> 31)
+                    hit = h if hit is None else (hit | h)
                 for c in folds:
-                    s = ((rowf - c) | (c - rowf)) >> 31
-                    miss = s if miss is None else (miss & s)
-                hit = (~miss).astype(jnp.uint32)     # all-ones on hit
-                cm = cm | (hit & jnp.uint32(bitval))
+                    h = ((rowf ^ c) - 1) >> 31
+                    hit = h if hit is None else (hit | h)
+                cm = cm | (hit.astype(jnp.uint32) & jnp.uint32(bitval))
             return cm
 
         def levels(states, cm):
@@ -245,9 +269,38 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
                 bit = jnp.uint32(1 << b)
                 if variant == "bitap":
                     new = levels(states, cm)
-                    m_d = nz(new[0] & d_endpos)
-                    b0 = jnp.zeros((SUB, LANE), dtype=jnp.uint32) | init0
-                    rs = levels([b0] * (D + 1), cm)
+                    m_d = (bit_mask(new[0], d_bit) if d_bit is not None
+                           else nz(new[0] & d_endpos))
+                    # Restart chain: levels() on all-init0 states
+                    # constant-folds -- every term except the cm blend
+                    # and the k-1 carry is a SCALAR expression (rides
+                    # the scalar core), so the restart costs ~5 vector
+                    # ops per level instead of a second full levels()
+                    s_half = init0 >> 1
+                    s_base0 = init1_ns & init0
+                    t_cm = cm & s_half
+                    rs = [t_cm | s_base0]
+                    if costs is not None:
+                        ci, cs, cd = costs
+                        for k in range(1, D + 1):
+                            r = t_cm | s_base0
+                            if k - ci >= 0:
+                                r = r | init0
+                            err = None
+                            if k - cd >= 0:
+                                err = rs[k - cd]
+                            if k - cs >= 0:
+                                err = init0 if err is None \
+                                    else (err | init0)
+                            if err is not None:
+                                r = r | ((err >> 1) & noerr)
+                            rs.append(r)
+                    else:
+                        s_basek = s_base0 | init0
+                        for k in range(1, D + 1):
+                            rs.append(t_cm | s_basek
+                                      | (((rs[k - 1] | init0) >> 1)
+                                         & noerr))
                     rs[0] = rs[0] & d_mask
                     final = new[D]
                     states = [(rs[k] & m_d) | (new[k] & ~m_d)
@@ -266,11 +319,14 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
                     states = new
                 if ep_bits:
                     for e, bv in enumerate(ep_bits):
-                        hwords[e] = hwords[e] | (bit
-                                                 & nz(final
-                                                      & jnp.uint32(bv)))
+                        eb = _single_bit(bv)
+                        hm = (bit_mask(final, eb) if eb is not None
+                              else nz(final & jnp.uint32(bv)))
+                        hwords[e] = hwords[e] | (bit & hm)
                 else:
-                    hwords[0] = hwords[0] | (bit & nz(final & endpos))
+                    hm = (bit_mask(final, e_bit) if e_bit is not None
+                          else nz(final & endpos))
+                    hwords[0] = hwords[0] | (bit & hm)
             delim_out[w, 0] = dword
             for e in range(n_hit):
                 hit_outs[e][w, 0] = hwords[e]
@@ -379,7 +435,8 @@ def pallas_scan_stream(text: np.ndarray, mask_table: np.ndarray,
     packf = _get_device_packer()
     wt = packf(jnp.asarray(text), W, L, T, G, S)
     run = _get_pallas_scan(D, W, br, variant, ep_bits, interpret, rows,
-                           costs)
+                           costs, _single_bit(cvec[3]),
+                           None if ep_bits else _single_bit(cvec[4]))
     outs = run(wt, jnp.asarray(cvec))
     outs = [unpack_planes(np.asarray(jax.device_get(o)), T, W + L)
             for o in outs]
@@ -410,7 +467,8 @@ def pallas_scan_packed(windows: np.ndarray, mask_table: np.ndarray,
         consts.get("endpos", 0), consts.get("d_mask", 0xFFFFFFFF),
         0, 0], dtype=np.uint32)
     run = _get_pallas_scan(D, W, br, variant, ep_bits, interpret, rows,
-                           costs)
+                           costs, _single_bit(cvec[3]),
+                           None if ep_bits else _single_bit(cvec[4]))
     outs = run(jnp.asarray(wt), jnp.asarray(cvec))
     outs = [unpack_planes(np.asarray(jax.device_get(o)), T0, S0)
             for o in outs]

@@ -89,7 +89,8 @@ def bench_mask_machine(text: np.ndarray, D: int,
                        c["d_endpos"], c["endpos"], c["d_mask"], 0, 0],
                       dtype=np.uint32)
     run = K._get_pallas_scan(D, W, br, "bitap", (), False, K.ROWS,
-                             q.costs)
+                             q.costs, K._single_bit(cvec[3]),
+                             K._single_bit(cvec[4]))
     bdev = jax.device_put(jnp.asarray(wt))
     jax.block_until_ready(bdev)
     del wt
