@@ -215,39 +215,102 @@ def bitap_scan_events(text: np.ndarray, mask_table: np.ndarray,
             pt = np.ascontiguousarray(np.frombuffer(patf,
                                                     dtype=np.uint8))
             fd = np.ascontiguousarray(fold)
-            out_p = _scratch("ev_pos", 1 << 20)
-            out_w = _scratch("ev_word", 1 << 20, dtype=np.uint32)
-            cnt = lib.folded_exact_scan(tx, len(tx), pt, m, fd,
-                                        out_p, out_w, len(out_p))
-            if cnt > len(out_p):
-                out_p = _scratch("ev_pos", int(cnt) + 16)
-                out_w = _scratch("ev_word", int(cnt) + 16,
+
+            def frun(buf, key):
+                out_p = _scratch(("ev_pos", key), 1 << 20)
+                out_w = _scratch(("ev_word", key), 1 << 20,
                                  dtype=np.uint32)
-                cnt = lib.folded_exact_scan(tx, len(tx), pt, m, fd,
+                cnt = lib.folded_exact_scan(buf, len(buf), pt, m, fd,
                                             out_p, out_w, len(out_p))
-            return out_p[:cnt], out_w[:cnt]
+                if cnt > len(out_p):
+                    out_p = _scratch(("ev_pos", key), int(cnt) + 16)
+                    out_w = _scratch(("ev_word", key), int(cnt) + 16,
+                                     dtype=np.uint32)
+                    cnt = lib.folded_exact_scan(buf, len(buf), pt, m,
+                                                fd, out_p, out_w,
+                                                len(out_p))
+                return out_p[:cnt], out_w[:cnt]
+
+            n_s = len(tx)
+            nthreads = min(4, os.cpu_count() or 1)
+            par_min = int(os.environ.get("AGREP_TPU_PAR_MIN",
+                                         str(8 << 20)))
+            if n_s < par_min or nthreads <= 1:
+                return frun(tx, 0)
+            # stateless exact match: m-1 bytes of halo make chunked
+            # scanning trivially exact
+            cuts = [n_s * k // nthreads for k in range(nthreads + 1)]
+
+            def fchunk(k):
+                lo, hi = cuts[k], cuts[k + 1]
+                lo_e = max(lo - (m - 1), 0)
+                pp, ww = frun(tx[lo_e:hi], k)
+                keep = pp >= (lo - lo_e)
+                return (pp[keep] + lo_e).copy(), ww[keep].copy()
+
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(nthreads) as ex:
+                parts = list(ex.map(fchunk, range(nthreads)))
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
     ci, cs, cd = costs if costs is not None else (0, 0, 0)
     mt = np.ascontiguousarray(mask_table.astype(np.uint32))
     tx = np.ascontiguousarray(text)
-    args = (tx, len(tx), mt,
-            int(consts.get("init0", 0)) & 0xFFFFFFFF,
-            int(consts.get("init1_ns", 0)) & 0xFFFFFFFF,
-            int(consts.get("noerr", 0)) & 0xFFFFFFFF,
-            int(consts.get("d_endpos", 0)) & 0xFFFFFFFF,
-            int(consts.get("endpos", 0)) & 0xFFFFFFFF,
-            int(consts.get("d_mask", 0xFFFFFFFF)) & 0xFFFFFFFF,
-            int(D), 0 if variant == "bitap" else 1,
-            int(ci), int(cs), int(cd))
-    out_p = _scratch("ev_pos", 1 << 20)
-    out_w = _scratch("ev_word", 1 << 20, dtype=np.uint32)
-    cnt = lib.bitap_scan_events(*args, out_p, out_w, len(out_p))
-    if cnt < 0:
-        return None
-    if cnt > len(out_p):
-        out_p = _scratch("ev_pos", int(cnt) + 16)
-        out_w = _scratch("ev_word", int(cnt) + 16, dtype=np.uint32)
-        cnt = lib.bitap_scan_events(*args, out_p, out_w, len(out_p))
-    return out_p[:cnt], out_w[:cnt]
+    margs = (mt,
+             int(consts.get("init0", 0)) & 0xFFFFFFFF,
+             int(consts.get("init1_ns", 0)) & 0xFFFFFFFF,
+             int(consts.get("noerr", 0)) & 0xFFFFFFFF,
+             int(consts.get("d_endpos", 0)) & 0xFFFFFFFF,
+             int(consts.get("endpos", 0)) & 0xFFFFFFFF,
+             int(consts.get("d_mask", 0xFFFFFFFF)) & 0xFFFFFFFF,
+             int(D), 0 if variant == "bitap" else 1,
+             int(ci), int(cs), int(cd))
+
+    def run(buf, key):
+        out_p = _scratch(("ev_pos", key), 1 << 20)
+        out_w = _scratch(("ev_word", key), 1 << 20, dtype=np.uint32)
+        cnt = lib.bitap_scan_events(buf, len(buf), *margs, out_p,
+                                    out_w, len(out_p))
+        if cnt < 0:
+            return None
+        if cnt > len(out_p):
+            out_p = _scratch(("ev_pos", key), int(cnt) + 16)
+            out_w = _scratch(("ev_word", key), int(cnt) + 16,
+                             dtype=np.uint32)
+            cnt = lib.bitap_scan_events(buf, len(buf), *margs, out_p,
+                                        out_w, len(out_p))
+        return out_p[:cnt], out_w[:cnt]
+
+    n_s = len(tx)
+    nthreads = min(4, os.cpu_count() or 1)
+    par_min = int(os.environ.get("AGREP_TPU_PAR_MIN", str(8 << 20)))
+    if n_s < par_min or nthreads <= 1:
+        return run(tx, 0)
+    # parallel chunk scan with a W-byte halo restart: callers only use
+    # this function for bounded machines (no sticky/wildcard bits), so
+    # a chunk scanned from the cold state converges to the true state
+    # within W = m + D + 2 bytes -- the exact argument the windowed
+    # tile+halo backend is built on (ops/scan.py module docstring)
+    W = max(int(consts.get("m", 32)) + int(D) + 2, 48)
+    cuts = [n_s * k // nthreads for k in range(nthreads + 1)]
+
+    def chunk(k):
+        lo, hi = cuts[k], cuts[k + 1]
+        lo_e = max(lo - W, 0)
+        out = run(tx[lo_e:hi], k)
+        if out is None:
+            return None
+        pp, ww = out
+        keep = pp >= (lo - lo_e)
+        return (pp[keep] + lo_e).copy(), ww[keep].copy()
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(nthreads) as ex:
+        parts = list(ex.map(chunk, range(nthreads)))
+    if any(p is None for p in parts):
+        return run(tx, 0)
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]))
 
 
 def renfa_scan_lines(buf: np.ndarray, mc: dict, cont_states,

@@ -942,11 +942,110 @@ int64_t exact_scan_events(const uint8_t* buf, int64_t n,
 // match END.  Equivalent to the D==0 sgrep machine when every
 // position's byte set is {c} or the case pair {c, c^0x20} (python
 // gates).  Returns total matches (writes at most cap).
+#if defined(__x86_64__)
+// next 32-byte block at/after i32 (32-aligned stepping from i) with
+// any byte equal to a or b; fills *msk with the per-byte hit mask,
+// returns the block base or -1 when no full block remains
+__attribute__((target("avx2")))
+static int64_t eq2_next32(const uint8_t* buf, int64_t n, int64_t i,
+                          uint8_t a, uint8_t b, uint32_t* msk) {
+    __m256i va = _mm256_set1_epi8((char)a);
+    __m256i vb = _mm256_set1_epi8((char)b);
+    for (; i + 32 <= n; i += 32) {
+        __m256i v = _mm256_loadu_si256((const __m256i*)(buf + i));
+        __m256i hit = _mm256_or_si256(_mm256_cmpeq_epi8(v, va),
+                                      _mm256_cmpeq_epi8(v, vb));
+        uint32_t m0 = (uint32_t)_mm256_movemask_epi8(hit);
+        if (m0) {
+            *msk = m0;
+            return i;
+        }
+    }
+    return -1;
+}
+#endif
+
 int64_t folded_exact_scan(const uint8_t* buf, int64_t n,
                           const uint8_t* patf, int64_t m,
                           const uint8_t* fold, int64_t* out_pos,
                           uint32_t* out_word, int64_t cap) {
     if (m <= 0 || n < m) return 0;
+    int64_t cnt = 0;
+    // --- anchor selection: the raw-byte set matching each folded
+    // position.  A 1-byte anchor rides glibc memchr (AVX-tuned); a
+    // 2-byte anchor (case pair) rides the AVX2/AVX512 two-compare
+    // loop below.  Anchor choice biases to the LAST eligible
+    // position so the verify runs backward like bm() does.
+    int64_t k1 = -1, k2 = -1;        // anchor, secondary check
+    uint8_t v1a = 0, v1b = 0;
+    int nv1 = 3;
+    for (int64_t k = 0; k < m; k++) {
+        uint8_t va = 0, vb = 0;
+        int nv = 0;
+        for (int c = 0; c < 256; c++) {
+            if (fold[c] == patf[k]) {
+                if (nv == 0) va = (uint8_t)c;
+                else if (nv == 1) vb = (uint8_t)c;
+                nv++;
+                if (nv > 2) break;
+            }
+        }
+        if (nv >= 1 && nv <= 2 && nv <= nv1) {
+            k2 = k1;
+            k1 = k;
+            v1a = va;
+            v1b = vb;
+            nv1 = nv;
+        }
+    }
+    auto verify_at = [&](int64_t i) {
+        // i = anchor position of patf[k1]; full window check
+        int64_t s = i - k1;
+        if (s < 0 || s + m > n) return;
+        if (k2 >= 0 && fold[buf[s + k2]] != patf[k2]) return;
+        for (int64_t k = m - 1; k >= 0; k--)
+            if (fold[buf[s + k]] != patf[k]) return;
+        if (cnt < cap) {
+            out_pos[cnt] = s + m - 1;
+            out_word[cnt] = 1u;
+        }
+        cnt++;
+    };
+    if (nv1 == 1) {
+        const uint8_t* p = buf + k1;
+        const uint8_t* e = buf + n;
+        while (p < e) {
+            const uint8_t* q = (const uint8_t*)memchr(
+                p, v1a, (size_t)(e - p));
+            if (!q) break;
+            verify_at(q - buf);
+            p = q + 1;
+        }
+        return cnt;
+    }
+    if (nv1 == 2) {
+#if defined(__x86_64__)
+        if (__builtin_cpu_supports("avx2")) {
+            int64_t i = 0;
+            uint32_t msk;
+            while ((i = eq2_next32(buf, n, i, v1a, v1b, &msk)) >= 0) {
+                while (msk) {
+                    int b = __builtin_ctz(msk);
+                    msk &= msk - 1;
+                    verify_at(i + b);
+                }
+                i += 32;
+            }
+            for (i = n & ~(int64_t)31; i < n; i++)
+                if (buf[i] == v1a || buf[i] == v1b) verify_at(i);
+            return cnt;
+        }
+#endif
+        for (int64_t i = 0; i < n; i++)
+            if (buf[i] == v1a || buf[i] == v1b) verify_at(i);
+        return cnt;
+    }
+    // fallback: folded Boyer-Moore-Horspool (wide fold classes)
     int64_t shift[256];
     for (int i = 0; i < 256; i++) shift[i] = m;
     for (int64_t k = 0; k < m - 1; k++) {
@@ -954,7 +1053,6 @@ int64_t folded_exact_scan(const uint8_t* buf, int64_t n,
         for (int c = 0; c < 256; c++)
             if (fold[c] == patf[k]) shift[c] = m - 1 - k;
     }
-    int64_t cnt = 0;
     int64_t i = m - 1;
     uint8_t last = patf[m - 1];
     while (i < n) {

@@ -94,26 +94,36 @@ def _get_lanes_kernel(D: int, M: int, bit_ranges: tuple,
             x = v.astype(jnp.int32)
             return ((x | (0 - x)) >> 31).astype(jnp.uint32)
 
+        def bit_mask(v, b):
+            # u32 -> all-ones where (static) bit b of v is set
+            x = v.astype(jnp.int32)
+            if b != 31:
+                x = x << (31 - b)
+            return (x >> 31).astype(jnp.uint32)
+
         def cmask_row(row32):
             cm = jnp.zeros((SUB, LANE), dtype=jnp.uint32)
             for bitval, ranges in bit_ranges:
-                miss = None
+                hit = None
                 for (lo, hi) in ranges:
-                    s = ((row32 - lo) | (hi - row32)) >> 31
-                    miss = s if miss is None else (miss & s)
-                cm = cm | ((~miss).astype(jnp.uint32)
-                           & jnp.uint32(bitval))
+                    if lo == hi:
+                        h = ((row32 ^ lo) - 1) >> 31
+                    else:
+                        h = ~(((row32 - lo) | (hi - row32)) >> 31)
+                    hit = h if hit is None else (hit | h)
+                cm = cm | (hit.astype(jnp.uint32) & jnp.uint32(bitval))
             return cm
 
         def nxt(state):
+            # follow-set union: each position's test is a static-bit
+            # sign spread (2 ops), not a 4-op nonzero mask
             acc = jnp.zeros((SUB, LANE), dtype=jnp.uint32) \
                 | jnp.uint32(head_bit)
             for p in range(1, M):
                 fb = follow_bits[p]
                 if fb == 0:
                     continue
-                bit = jnp.uint32(1 << (M - p))
-                acc = acc | (nz(state & bit) & jnp.uint32(fb))
+                acc = acc | (bit_mask(state, M - p) & jnp.uint32(fb))
             return acc
 
         u_init1 = jnp.uint32(init1)

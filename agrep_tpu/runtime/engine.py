@@ -733,21 +733,61 @@ class SgrepEngine:
             lo = g0 - W if g0 >= W else 0
             text = stream.read(lo, g1)
             body = text[g0 - lo:]
-            ev = scan_ops.scan_events(text, q.sg_mask, q.sg_consts, D,
-                                      "sgrep")[g0 - lo:]
-            pos = np.flatnonzero(ev) + g0
-            nl = np.flatnonzero(body == 0x0A) + g0
+            # sparse C scan when available: the dense event-array
+            # round-trip (zeros + scatter + flatnonzero over the whole
+            # chunk) dominated exact -c wall time
+            pairs = None
+            if scan_ops._BACKEND == "numpy":
+                from .. import native
+                pairs = native.bitap_scan_events(
+                    text, q.sg_mask, q.sg_consts, D, "sgrep", None)
+            if pairs is not None:
+                pp = pairs[0]
+                pos = pp[pp >= (g0 - lo)] + lo
+            else:
+                ev = scan_ops.scan_events(text, q.sg_mask, q.sg_consts,
+                                          D, "sgrep")[g0 - lo:]
+                pos = np.flatnonzero(ev) + g0
+            from .. import native as _nat
+            nld = _nat.find_delims_all(body, b"\n")
+            nl = ((nld + g0) if nld is not None
+                  else (np.flatnonzero(body == 0x0A) + g0))
             if D == 0:
-                if o.wordbound:
-                    keep = []
+                if o.wordbound and len(pos):
+                    # vectorized over the chunk: events are at g0 <= p
+                    # < g1 <= N, and text covers [lo, g1), so p+1 is in
+                    # text except at the stream end and p-m reaches at
+                    # most W+m bytes before g0 (the halo covers W >=
+                    # m+2; p-m < lo only via the stream head)
                     last_char = q.sg_pattern[-1] if q.sg_pattern else 0
-                    for p in pos:
-                        p = int(p)
-                        after = stream[p + 1] if p + 1 < N else last_char
-                        before = stream[p - m] if p - m >= 0 else 0x0A
-                        if not _isalnum(after) and not _isalnum(before):
-                            keep.append(p)
-                    pos = np.asarray(keep, dtype=np.int64)
+                    rel = pos - lo
+                    np_text = np.asarray(text)
+                    after = np.where(
+                        pos + 1 < N,
+                        np_text[np.minimum(rel + 1,
+                                           len(np_text) - 1)],
+                        np.uint8(last_char & 0xFF))
+                    before = np.where(
+                        rel - m >= 0,
+                        np_text[np.maximum(rel - m, 0)],
+                        np.uint8(0x0A))
+                    from .mgrep import _ISALNUM_TAB as isaln
+                    keep = ~isaln[after] & ~isaln[before]
+                    # edge fix-ups (a handful per chunk): p+1 past the
+                    # chunk view but inside the stream; p-m before the
+                    # halo but inside the stream
+                    edge_a = (pos + 1 < N) & (rel + 1 >= len(np_text))
+                    edge_b = (pos - m >= 0) & (rel - m < 0)
+                    for ii in np.flatnonzero(edge_a | edge_b):
+                        p = int(pos[ii])
+                        a_b = int(stream[p + 1]) if p + 1 < N \
+                            else last_char
+                        b_b = int(stream[p - m]) if p - m >= 0 else 0x0A
+                        keep[ii] = (not _isalnum(a_b)
+                                    and not _isalnum(b_b))
+                    pos = pos[keep]
+                if g1 == N and len(pos) and int(pos[-1]) == N - 1:
+                    pos = self._drop_phantom_tail_event(data, pos, N)
                 # interior 32KB boundaries ending in this chunk: a
                 # clamped residue copy (sgrep.c:464-468) makes block
                 # behavior cascade -- count the clean prefix here, then
@@ -803,6 +843,8 @@ class SgrepEngine:
                                                   dtype=np.uint8),
                         len(data), q, sink, resume=takeover)
                     return
+                if len(nl):
+                    last_nl = int(nl[-1])
             else:
                 # record end = one past the first newline at/after the
                 # event+1 (s_output's curtextend); events past the last
@@ -957,12 +999,15 @@ class SgrepEngine:
                     keep.append(p)
             pos = np.asarray(keep, dtype=np.int64)
 
+        if D == 0 and not memory_mode:
+            pos = self._drop_phantom_tail_event(data, pos, N)
+
         nl = np.flatnonzero(stream == 0x0A)
         delim_ends = None
         if q.delimiter_opt:
             delim_ends = _find_delims(stream, q.delim)
 
-        if (o.count and not o.invert and not q.delimiter_opt
+        if (o.count and not q.delimiter_opt
                 and not o.filename_only and D == 0
                 and b"\n" not in q.sg_pattern
                 and o.limit_output == 0 and o.limit_per_file == 0
@@ -970,6 +1015,10 @@ class SgrepEngine:
             # bm/monkey jump to the record end after each count
             # (sgrep.c:815 textbegin = curtextend), so the count is the
             # number of LINES with >= 1 match -- fully vectorizable.
+            # (-v included: sgrep's COUNT branch ignores INVERSE and
+            # counts matched records, sgrep.c:808-817.)
+            # (tail-byte walk alignment already resolved by
+            # _drop_phantom_tail_event above)
             lines = np.searchsorted(nl, pos, side="left")
             sink.num_matched += int(len(np.unique(lines)))
             return
@@ -1039,8 +1088,11 @@ class SgrepEngine:
                 c_count = sgrep_sim.agrep_c_count(
                     data, pos_count - base, nl - base, q.sg_pattern, D,
                     q.delimiter_opt, q.delim)
-            if (o.count and not o.invert and not o.filename_only
+            if (o.count and not o.filename_only
                     and o.limit_output == 0 and o.limit_per_file == 0):
+                # -v included: the count branch ignores INVERSE (the
+                # loop below would count matched records and then
+                # adjust to c_count either way)
                 sink.num_matched += c_count
                 return
 
@@ -1275,6 +1327,48 @@ class SgrepEngine:
                 resume_buf)
             if survives and lastout_g <= g_end:
                 sink.write(bytes(bytearray(data[lastout_g:g_end + 1])))
+
+    def _drop_phantom_tail_event(self, data, pos, N):
+        """Drop the event at stream position N-1 (a match ending on
+        the file's last byte, no trailing newline) when the real
+        bm/monkey walk never fires it -- entry gates, skip-run
+        alignment, and record jumps at textend make the dense event
+        model optimistic there (sgrep_sim.walk_fires_at_end).  pos in
+        stream coords (base 1), ascending."""
+        q = self.q
+        if (q.sg_sub not in ("bm", "monkey") or q.delimiter_opt
+                or q.opts.wholeline or not len(pos)
+                or int(pos[-1]) != N - 1):
+            return pos
+        n = N - 1
+        if n <= 0 or int(np.asarray(data[n - 1:n])[0]) == 0x0A:
+            return pos
+        B2 = 2 * 16384
+        if n < B2:
+            fstart = 0
+        else:
+            # final scan call region (sgrep.c:325-547): continuation
+            # past the last FULL read's newline trim; for exact block
+            # multiples it is the EOF residue rescan [trim+1, n-1]
+            nf = n // B2
+            lo = (nf - 1) * B2
+            seg = np.asarray(data[lo:nf * B2])
+            nls = np.flatnonzero(seg == 0x0A)
+            if not len(nls):
+                return pos        # fallback blocks replay elsewhere
+            fstart = lo + int(nls[-1]) + 1
+            if fstart >= n:
+                return pos[:-1]   # rescan span empty
+        from . import sgrep_sim
+        wb = np.concatenate([
+            np.frombuffer(b"\n", dtype=np.uint8),
+            np.asarray(data[fstart:n]),
+            np.frombuffer(q.sg_pattern[-1:] if q.sg_pattern
+                          else b"\x00", dtype=np.uint8)])
+        fires = sgrep_sim.walk_fires_at_end(
+            wb, 1, len(wb) - 2, q.sg_pattern, sgrep_sim._sgrep_tr(),
+            q.sg_sub, bool(q.opts.wordbound))
+        return pos if fires else pos[:-1]
 
     def _record_span(self, stream, nl, delim_ends, p, D, trims=None):
         """Record boundaries around a match ending at p (sgrep.c

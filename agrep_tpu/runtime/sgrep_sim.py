@@ -1203,6 +1203,100 @@ def _isalnum_b(b: int) -> bool:
     return (48 <= b <= 57) or (65 <= b <= 90) or (97 <= b <= 122)
 
 
+def walk_fires_at_end(buf, start, end, pat: bytes, tr, sub: str,
+                      wordbound: bool) -> bool:
+    """Does the real bm()/monkey() walk fire a full match at exactly
+    textend (= end)?  The dense event model assumes yes; the actual
+    walk can exit first:
+
+      * entry gate `while (text < textend)` (bm sgrep.c:723,
+        monkey :1563) -- a 1-byte bm span or an m-byte monkey span
+        scans nothing;
+      * a false candidate at textend-1 steps text++ onto textend and
+        the gate kills the iteration (monkey CONT, :1801);
+      * a skip-run overshoots textend (both engines; bm then full-
+        matches the emergency-stop copy and returns, :748);
+      * an output's record jump lands at/after textend (bm's EOF
+        record extension :786-789, monkey's curtextend==textend).
+
+    buf must hold the final scan call's bytes with buf[start-1] the
+    preceding '\\n' context and buf[end+1] standing in for the byte
+    past textend (pat[-1], the emergency-stop convention the event
+    filters already pin for WORDBOUND)."""
+    m = len(pat)
+    patf = [int(tr[b]) for b in pat]
+    textend = end
+    if sub == "bm":
+        shift_tab, shift_1 = build_bm_tables(pat, tr)
+        text = start
+        sh = 0
+    else:
+        shift2, _ = build_monkey_tables(pat, tr)
+        text = start + m - 1
+    guard = 0
+    guard_max = 4 * (end - start + m + 64)
+    while text < textend:
+        if sub == "bm":
+            while sh:
+                text += sh
+                if text > textend:
+                    return False
+                sh = int(shift_tab[buf[text]])
+                guard += 1
+                if guard > guard_max:
+                    return False
+        else:
+            h = (int(tr[buf[text]]) << 3) + int(tr[buf[text - 1]])
+            sh = int(shift2[h])
+            while sh:
+                text += sh
+                if text > textend:
+                    return False
+                h = (int(tr[buf[text]]) << 3) + int(tr[buf[text - 1]])
+                sh = int(shift2[h])
+                guard += 1
+                if guard > guard_max:
+                    return False
+        j = 0
+        while j < m and text - j >= 0 and \
+                int(tr[buf[text - j]]) == patf[m - 1 - j]:
+            j += 1
+        if j == m:
+            wb_fail = wordbound and (
+                _isalnum_b(int(buf[text + 1]))
+                or (text - m >= 0 and _isalnum_b(int(buf[text - m]))))
+            if text == textend:
+                return not wb_fail
+            if wb_fail:
+                # as if there was no match (sgrep.c:757, :1586)
+                if sub == "bm":
+                    sh = 1
+                else:
+                    text += 1
+                continue
+            # record jump: curtextend = one past the next newline
+            # (bm extends through textend, :786-789 -- any landing
+            # >= textend ends the walk identically)
+            t = text + 1
+            while t < textend and buf[t] != 0x0A:
+                t += 1
+            if buf[t] == 0x0A:
+                t += 1
+            text = t
+            if sub == "bm":
+                if text > textend:
+                    return False
+                sh = int(shift_tab[buf[text]])
+            else:
+                text += 1          # CONT after DO_OUTPUT (:1801)
+        else:
+            if sub == "bm":
+                sh = shift_1
+            else:
+                text += 1
+    return False
+
+
 def sgrep_block_replay(read, n: int, q, sink, resume=None):
     """Byte-exact replay of sgrep()'s fd-mode block loop for D==0
     bm/monkey (sgrep.c:325-550).
