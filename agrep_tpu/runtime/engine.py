@@ -1336,8 +1336,13 @@ class SgrepEngine:
         model optimistic there (sgrep_sim.walk_fires_at_end).  pos in
         stream coords (base 1), ascending."""
         q = self.q
-        if (q.sg_sub not in ("bm", "monkey") or q.delimiter_opt
-                or q.opts.wholeline or not len(pos)
+        if q.sg_sub not in ("bm", "monkey") or not len(pos):
+            return pos
+        if len(data) == 1:
+            # 1-byte file: the entry gate `while (text < textend)`
+            # scans nothing whatever the record mode (bm sgrep.c:723)
+            return pos[:0]
+        if (q.delimiter_opt or q.opts.wholeline
                 or int(pos[-1]) != N - 1):
             return pos
         n = N - 1
