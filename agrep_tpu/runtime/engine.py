@@ -1035,6 +1035,19 @@ class SgrepEngine:
         # the next match are never printed (sgrep.c:396-403 + lastout)
         if (o.invert and not o.count and not memory_mode
                 and q.delimiter_opt):
+            if (D > 0 and q.sg_sub == "agrep" and len(pos_count)
+                    and int(pos_count[-1]) >= N - 1
+                    and q.sg_m // (D + 1) >= 1):
+                # a match ending on the buffer's last byte fires (or
+                # not) depending on the EOF rescan's round machine --
+                # take the replay's s_output events instead of the
+                # dense list (which drops position N-1 wholesale)
+                from . import sgrep_sim
+                _c, walk_pos, _s, _r = sgrep_sim.agrep_exact(
+                    data, q.sg_pattern, D, q.sg_mask,
+                    q.sg_consts["endpos"], q.delimiter_opt, q.delim,
+                    q.outtail, o.silent)
+                pos = walk_pos + base
             self._inverse_blocks_delim(data, pos, sink, D)
             return
 
@@ -1069,7 +1082,28 @@ class SgrepEngine:
                     and sgrep_sim.nul_near_boundaries(data):
                 layout = sgrep_sim.block_layout(data, None, q.outtail)
                 pathological = sgrep_sim.nul_in_residue(data, layout)
-            if (q.sg_m - D <= 2 or q.delimiter_opt or pathological) \
+            # a match whose END touches the stream's last byte only
+            # fires for OUTPUT via the EOF rescan's round machine (the
+            # scan loop stops at i < n, but the 2x-unroll can consume
+            # one byte past it -- sgrep.c:1169-1238): the event-list
+            # proxy cannot decide it, so those shapes replay.  The
+            # overrun byte is a stale/appended buffer byte, so the
+            # D-level dense events can miss the shape: probe the tail
+            # window one error level deeper.
+            tail_ev = bool(len(pos_count)) \
+                and int(pos_count[-1]) >= N - 1
+            if (not tail_ev and not q.delimiter_opt and N >= 2
+                    and stream[N - 1] != 0x0A and D + 1 <= 8):
+                wlo = max(0, N - (q.sg_m + 2 * D + 10))
+                ev_t = scan_ops.scan_events(
+                    np.ascontiguousarray(stream[wlo:N]), q.sg_mask,
+                    q.sg_consts, D + 1, "sgrep")
+                tail_ev = bool(len(ev_t)) and bool(ev_t[-1])
+            pure_count = (o.count and not o.filename_only
+                          and o.limit_output == 0
+                          and o.limit_per_file == 0)
+            if (q.sg_m - D <= 2 or q.delimiter_opt or pathological
+                    or (tail_ev and not pure_count)) \
                     and q.sg_m // (D + 1) >= 1:
                 # degenerate fragment lengths (m close to D) and -d
                 # records: which event triggers each output depends on

@@ -874,8 +874,12 @@ class MgrepEngine:
             return b, e, gb
 
         def do_output(pat_index: int, anchor: int, begin: int, end: int,
-                      change_text: bool, cbo_override=None) -> bool:
-            """DO_OUTPUT macro (newmgrep.c:911-971). Returns stop flag."""
+                      change_text: bool, cbo_override=None,
+                      off_override=None) -> bool:
+            """DO_OUTPUT macro (newmgrep.c:911-971). Returns stop flag.
+            off_override: scan-pointer position for the -q subtraction
+            when the output fires away from the anchor (the complex
+            crossing flush)."""
             sink.num_matched += 1
             if o.filename_only or o.silent:
                 if o.filename_only:
@@ -910,7 +914,9 @@ class MgrepEngine:
                     sink.write_str("%d= " % cbo)
                     printed = True
                 if o.printoffset:
-                    sink.write_str("@%d{%d} " % (cbo - (anchor - begin),
+                    ref = off_override if off_override is not None \
+                        else anchor
+                    sink.write_str("@%d{%d} " % (cbo - (ref - begin),
                                                  end - begin))
                     printed = True
                 if not o.invert:
@@ -949,8 +955,12 @@ class MgrepEngine:
         # final region's exclusive end (the INVERSE tail bound)
         final_end = base + len(data)
         if not memory_mode and not q.delimiter_opt and len(data) \
-                and data[-1] != 0x0A:
-            final_end += 1          # appended newline (newmgrep.c:570)
+                and data[-1] != 0x0A \
+                and len(data) % (2 * 16384) != 1:
+            # appended newline (newmgrep.c:570) -- visible only when
+            # the EOF rescan runs: a 1-byte final read with no newline
+            # leaves residue == 1 and the rescan is skipped (:577)
+            final_end += 1
         elif not memory_mode and q.delimiter_opt \
                 and trim_end is not None:
             final_end += 1          # one appended delim byte (:576)
@@ -1346,6 +1356,43 @@ class MgrepEngine:
         # Semantics identical to the reference's sequential scan, but
         # iteration count is O(matched records), not O(occurrences):
         # record-group boundaries come from searchsorted jumps.
+        _nd_sh: dict = {}
+
+        def _nd_first_visit(t, X):
+            # SHIFT1 skip-walk phase (monkey1:833-841) over the
+            # stream: first visited position >= X from exact t --
+            # resolves the complex-boolean flush CBO above
+            if "tab" not in _nd_sh:
+                tr1l = (self.tr & 31).astype(np.int32)
+                multilen = sum(len(tt) + 1 for tt in self.terms if tt)
+                lg = 1 if (multilen > 400 and self.p_size > 2) else 0
+                s1 = np.full(32768, self.p_size - 1 - lg,
+                             dtype=np.int32)
+                for tt in self.terms:
+                    if not tt:
+                        continue
+                    tb2 = np.frombuffer(tt, dtype=np.uint8)
+                    for jj in range(self.p_size - 1, lg, -1):
+                        h = int(tr1l[tb2[jj]])
+                        h = (h << 5) + int(tr1l[tb2[jj - 1]])
+                        if lg:
+                            h = (h << 5) + int(tr1l[tb2[jj - 2]])
+                        if s1[h] >= self.p_size - 1 - jj:
+                            s1[h] = self.p_size - 1 - jj
+                _nd_sh["tab"] = (s1, tr1l, lg)
+            s1, tr1l, lg = _nd_sh["tab"]
+            n_st = len(stream)
+            while t < X and t < n_st:
+                h = int(tr1l[stream[t]]) << 5
+                if t >= 1:
+                    h += int(tr1l[stream[t - 1]])
+                if lg:
+                    h = (h << 5) + (int(tr1l[stream[t - 2]])
+                                    if t >= 2 else 0)
+                s = int(s1[h])
+                t += s if s > 1 else 1
+            return t
+
         stop = False
         if o.multi_output and not (is_and or is_complex):
             # MULTI_OUTPUT: per-occurrence resume (rare; glimpse flag)
@@ -1448,17 +1495,40 @@ class MgrepEngine:
                     hits = matched_terms[None, :]
                     if boolean.eval_tree_vec(q.bool_tree, "or", hits)[0]:
                         # AComplexBoolean outputs fire at the record
-                        # CROSSING check (newmgrep.c:1015-1019), where
-                        # CurrentByteOffset has advanced to the record
-                        # end -- not at the triggering match; each
-                        # prior seam's duplicate byte adds one
-                        cdrift = 0 if self._vmode else \
-                            _bisect.bisect_left(cbo_marks,
-                                                cur_end - base)
+                        # CROSSING check (newmgrep.c:1015-1019), i.e.
+                        # at the first scan VISIT >= curtextend-1:
+                        # after the last registration the pointer sits
+                        # at anchor + pat_len - 1 (the complex-branch
+                        # jump, :897-900), steps once (shift=1), then
+                        # SHIFT1-walks; CurrentByteOffset tracks the
+                        # pointer minus the p_size-1 warmup, plus one
+                        # per prior seam's duplicate byte.  m_short
+                        # (p_size == 1) visits every byte, so its
+                        # flush lands exactly on the record end.
+                        if self.p_size == 1:
+                            v_s = cur_end - 1
+                            cdrift = 0 if self._vmode else \
+                                _bisect.bisect_left(cbo_marks,
+                                                    cur_end - base)
+                            cbo_v = cur_end - base + cdrift
+                        else:
+                            a_l = int(occ_a[g_end - 1])
+                            tl_l = int(term_len[occ_i[g_end - 1]])
+                            post = a_l + tl_l - 1
+                            if post >= cur_end - 1:
+                                v_s = post
+                            else:
+                                v_s = _nd_first_visit(post + 1,
+                                                      cur_end - 1)
+                            v = v_s - base
+                            cdrift = 0 if self._vmode else \
+                                _bisect.bisect_left(cbo_marks, v)
+                            cbo_v = (v - (self.p_size - 1) + 1
+                                     + cdrift)
                         stop = do_output(0, cur_anchor, cur_begin,
                                          cur_end, False,
-                                         cbo_override=cur_end - base
-                                         + cdrift)
+                                         cbo_override=cbo_v,
+                                         off_override=v_s)
                     pos = g_end
                 else:
                     # AND: output at the first prefix position that

@@ -87,3 +87,59 @@ def test_tail_byte_fuzz(tmp_path, seed):
     p.write_bytes(corpus)
     compare(["-c", pat.decode("latin-1"), str(p)])
     compare([pat.decode("latin-1"), str(p)])
+
+
+# ---- D>0 agrep() tail shapes (round-3 sweep findings): a match
+# ending on the stream's last byte fires for OUTPUT only through the
+# EOF rescan's round machine + 2x-unroll overrun (sgrep.c:1169-1238);
+# complex-boolean -b offsets fire at the crossing VISIT; the appended
+# mgrep newline is visible only when the EOF rescan runs.
+D_TAIL_CASES = [
+    ("bravo", b"oala\nxy koala\nbrav"),
+    ("bravo", b"brav"),
+    ("bravo", b"xx\nbrav"),
+    ("bravo", b"brav\n"),
+    ("bravo", b"bravz"),
+    ("bravo", b"abravo"),
+    ("bravoo", b"xx\nbrav"),
+    ("hello", b"hell"),
+]
+
+
+@pytest.mark.parametrize("i", range(len(D_TAIL_CASES)))
+@pytest.mark.parametrize("flags", [["-1"], ["-1", "-c"], ["-1", "-v"],
+                                   ["-2"], ["-1", "-v", "-d", "$$"]])
+def test_d_tail_shapes(tmp_path, i, flags):
+    pat, corpus = D_TAIL_CASES[i]
+    p = tmp_path / "c.txt"
+    p.write_bytes(corpus)
+    compare(flags + [pat, str(p)])
+
+
+@pytest.mark.parametrize("corpus", [b"alpha", b"alpha\n", b"xalpha",
+                                    b"alpha\nalpha", b"b",
+                                    b"alpha xx\nyy alpha",
+                                    b"zz here\nalpha"])
+def test_complex_boolean_crossing_cbo(tmp_path, corpus):
+    p = tmp_path / "c.txt"
+    p.write_bytes(corpus)
+    compare(["-b", "alpha;~zz", str(p)])
+    compare(["-v", "alpha;~zz", str(p)])
+    compare(["-b", "-t", "alpha;~zz", str(p)])
+
+
+@pytest.mark.parametrize("flags", [["-b"], ["-q"], ["-b", "-q"]])
+@pytest.mark.parametrize("corpus", [
+    b"alpha one\nzz koala here\n",   # flush visit past the newline
+    b"xxalpha\nzz here\n",           # registration jump >= record end
+    b"alpha alpha one\nzz x\n",      # two registrations per record
+    b"yy alpha\nzz x\n",
+])
+def test_complex_boolean_flush_offsets(tmp_path, corpus, flags):
+    """monkey1's complex-boolean flush CurrentByteOffset: the walk
+    position at the crossing check (newmgrep.c:1015-1019) minus the
+    p_size-1 warmup; -q additionally subtracts (pointer -
+    curtextbegin) from that same pointer (print_options :780-784)."""
+    p = tmp_path / "c.txt"
+    p.write_bytes(corpus)
+    compare(flags + ["alpha;~koala", str(p)])

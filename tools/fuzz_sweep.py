@@ -1,0 +1,173 @@
+"""Offline randomized conformance sweep: random corpora x random
+flag/pattern combos, ours (in-process) vs the reference binary.
+Broader and longer than the CI fuzz tests -- run it between rounds to
+hunt divergences; anything it finds should be minimized and pinned as
+a regression test.
+
+  python tools/fuzz_sweep.py [n_cases] [seed0]
+"""
+
+import io
+import os
+import random
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("AGREP_TPU_BACKEND", "numpy")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+ORACLE = os.path.join(REPO, ".oracle", "agrep")
+
+WORDS = [b"alpha", b"bravo", b"hello", b"matching", b"xy", b"a",
+         b"koala", b"zz", b"ab", b"lorem", b"CaSe", b"d$d"]
+
+
+def make_corpus(r: random.Random) -> bytes:
+    style = r.randrange(5)
+    out = bytearray()
+    size = r.choice([0, 1, 2, 7, 40, 300, 5000, 40000, 70000])
+    while len(out) < size:
+        if style == 0:
+            out += b" ".join(r.choice(WORDS)
+                             for _ in range(r.randint(1, 8)))
+            out += r.choice([b"\n", b"\n", b"$$\n", b""])
+        elif style == 1:
+            out += bytes(r.randrange(256) for _ in range(32))
+        elif style == 2:
+            out += bytes(r.choice(b"ab\n") for _ in range(64))
+        elif style == 3:
+            out += bytes(r.choice(b"acgt") for _ in range(64))
+            out += r.choice([b"\n", b""])
+        else:
+            out += r.choice(WORDS) * r.randint(1, 9)
+            out += r.choice([b"\n", b" ", b"$$"])
+    if r.random() < 0.5 and out.endswith(b"\n"):
+        out = out[:-1]
+    return bytes(out[:size]) if size else bytes(out)
+
+
+def make_args(r: random.Random):
+    kind = r.randrange(6)
+    if kind == 0:
+        pat = r.choice([w.decode("latin-1") for w in WORDS])
+    elif kind == 1:
+        pat = "".join(r.choice("abxy") for _ in range(r.randint(1, 28)))
+    elif kind == 2:
+        pat = r.choice(["a(b|c)x", "ab#yz", "[a-h]ello", "wo.ds",
+                        "x*y", "<al>pha", "h[^e]llo"])
+    elif kind == 3:
+        pat = r.choice(["alpha;hello", "a,b", "{alpha;bravo},koala",
+                        "~hello", "alpha;~zz"])
+    elif kind == 4:
+        pat = "acgt" * r.randint(4, 8)          # DNA monkey4
+    else:
+        pat = "".join(r.choice("abcdefghijklmnop")
+                      for _ in range(r.randint(21, 30)))  # monkey
+    flags = []
+    d = r.randrange(9)
+    if d:
+        if d <= 4 and kind != 2:
+            flags.append("-%d" % d)
+        elif d <= 4:
+            flags.append("-%d" % r.randint(1, 2))
+    for f, p in (("-c", .4), ("-i", .25), ("-n", .15), ("-b", .1),
+                 ("-v", .15), ("-w", .15), ("-x", .08), ("-l", .05),
+                 ("-u", .05), ("-G", .03), ("-s", .05), ("-t", .1)):
+        if r.random() < p:
+            flags.append(f)
+    if r.random() < 0.25:
+        flags += ["-d", r.choice(["$$", "o", "%%", "\\n", "ll"])]
+    if r.random() < 0.1:
+        flags += ["-D2", "-I1", "-S1"]
+    return flags, pat
+
+
+def run_case(i, seed, tmpdir):
+    r = random.Random(seed)
+    corpus = make_corpus(r)
+    flags, pat = make_args(r)
+    path = os.path.join(tmpdir, "c%d.txt" % (i % 8))
+    with open(path, "wb") as f:
+        f.write(corpus)
+    if r.random() < 0.15:
+        # -f pattern file instead of a single pattern
+        npat = r.choice([2, 5, 30, 120])
+        pats = [r.choice(WORDS).decode("latin-1")
+                for _ in range(npat // 2)]
+        pats += ["q%03d" % k for k in range(npat - len(pats))]
+        pf = os.path.join(tmpdir, "p%d.txt" % (i % 8))
+        with open(pf, "w") as f:
+            f.write("".join(x + "\n" for x in pats))
+        flags = [fl for fl in flags
+                 if fl not in ("-x", "-G")] + ["-f", pf]
+        args = flags + [path]
+    else:
+        if r.random() < 0.06:
+            flags = ["-B", "-y"] + [fl for fl in flags
+                                    if fl not in ("-B", "-y")]
+        if r.random() < 0.05:
+            flags.append(r.choice(["-CP437", "-CP850"]))
+        args = flags + [pat, path]
+    p = subprocess.run([ORACLE] + args, capture_output=True, timeout=30)
+    # mirror cli.main()'s error mapping in-process (subprocess startup
+    # would dominate the sweep)
+    from agrep_tpu import help as helpmod
+    from agrep_tpu.api import fileagrep
+    from agrep_tpu.options import AgrepError
+    from agrep_tpu.runtime.output import OutputOverflow
+    buf = io.BytesIO()
+    try:
+        rc = fileagrep(args, output=buf) & 0xFF
+    except AgrepError as e:
+        rc = 255
+        if getattr(e, "version", False):
+            import contextlib
+            s = io.StringIO()
+            with contextlib.redirect_stdout(s):
+                helpmod.print_version()
+            buf.write(s.getvalue().encode())
+        elif getattr(e, "late", False) and getattr(e, "verbose", 1) > 0:
+            buf.write(b"Grand Total: 0 match(es) found.\n")
+    except OutputOverflow:
+        rc = 255
+    ours = buf.getvalue()
+    if ours != p.stdout or rc != (p.returncode & 0xFF):
+        return (seed, args, corpus, p.stdout, p.returncode & 0xFF,
+                ours, rc)
+    return None
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    import tempfile
+    tmpdir = tempfile.mkdtemp(prefix="sweep_")
+    bad = 0
+    for i in range(n):
+        try:
+            res = run_case(i, seed0 + i, tmpdir)
+        except subprocess.TimeoutExpired:
+            continue
+        except Exception as e:      # noqa: BLE001 -- report and go on
+            print("case seed=%d CRASH: %r" % (seed0 + i, e))
+            bad += 1
+            continue
+        if res is not None:
+            seed, args, corpus, o_out, o_rc, m_out, m_rc = res
+            bad += 1
+            print("DIVERGENCE seed=%d args=%r corpus[:80]=%r" %
+                  (seed, args, corpus[:80]))
+            print("  oracle rc=%d out[:120]=%r" % (o_rc, o_out[:120]))
+            print("  ours   rc=%d out[:120]=%r" % (m_rc, m_out[:120]))
+        if (i + 1) % 100 == 0:
+            print("... %d/%d, %d divergences" % (i + 1, n, bad),
+                  flush=True)
+    print("sweep done: %d cases, %d divergences" % (n, bad))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
