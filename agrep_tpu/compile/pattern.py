@@ -28,7 +28,14 @@ class Rewritten:
 
 
 def default_d_pattern(opts: Options) -> str:
-    """The augmented delimiter pattern "<delim>; " (agrep.c:2287-2309)."""
+    """The augmented delimiter pattern "<delim>; " (agrep.c:2287-2309).
+
+    _d_pattern_override: the -B rescan re-preprocesses with D_pattern
+    already REDUCED by pass one (the processed delimiter bytes + "; ",
+    agrep.c:3584-3589) -- the corrupted recompile supplies it."""
+    ov = getattr(opts, "_d_pattern_override", None)
+    if ov is not None:
+        return ov
     if opts.delimiter is None:
         return "\n; "
     return "<" + opts.delimiter + ">; "

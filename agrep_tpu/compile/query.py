@@ -110,8 +110,9 @@ def _boolean_split_allowed(opts: Options) -> bool:
         return False
     if opts.linenum:
         return False
-    if opts.silent:
-        return False
+    # SILENT does NOT bar the split: checksg's `if (SILENT) return 1`
+    # (checksg.c:135) sits after the blocking-flag rejections, so a
+    # silent term still splits ("dont care output, so dont care pat")
     return True
 
 
@@ -319,7 +320,32 @@ def _compile_multi(pattern, opts, lut) -> CompiledQuery:
         opts=opts, pattern=pattern or "", engine_class="mgrep", D=opts.D,
         lut=lut, terminals=terms, bool_tree=None, bool_op="or")
     _setup_delim_for_multi(q, opts)
+    if q.delimiter_opt and _sgrep_off_for_empty(opts):
+        # With -f/-m the pattern is empty and preprocess() returns
+        # before touching the delimiter (preproce.c:68-70); the
+        # conversion then only happens on agrep_search's SGREP branch
+        # (agrep.c:3182-3189).  Any checksg condition that keeps SGREP
+        # off -- JUMP costs, SILENT (returns 1 *without* setting
+        # SGREP, checksg.c:135), zero insert cost, best-match, or
+        # errors with -i/-w/-x -- leaves D_pattern as the RAW
+        # "<PAT>; " buffer with D_length = 1 + len(PAT): the
+        # effective record delimiter is '<' plus the undecoded
+        # user text.
+        q.delim = b"<" + opts.delimiter.encode("latin-1")
     return q
+
+
+def _sgrep_off_for_empty(opts: Options) -> bool:
+    """checksg('', D, 1) leaves SGREP off (so the -f/-m delimiter
+    stays raw) for these flags -- checksg.c:127-141."""
+    if opts.jump or opts.cost_insert == 0 or opts.bestmatch:
+        return True
+    if opts.silent:
+        return True
+    if opts.D > 0 and (opts.nocase is not None or opts.wordbound
+                       or opts.wholeline):
+        return True
+    return False
 
 
 def _decompose_bits(word: int) -> list[int]:

@@ -1636,8 +1636,31 @@ class Executor:
         corrupted = o.wordbound or o.wholeline or o.invert
         if corrupted:
             o2 = copy.deepcopy(o)
+            # faithful double-preprocess: feed pass one's INTERNAL
+            # byte form (meta codes + embedded delimiter wrap) back
+            # through the compiler -- the re-wrap re-interprets the
+            # embedded ';' as a real ANDPAT past D_length, so a flat
+            # OR pattern dies in maskgen with the mixed-boolean error
+            # (rc 255 + Grand Total 0), while other shapes produce a
+            # meta-soup machine that CAN still match at high D
+            from ..compile import pattern as pattern_mod
+            from ..options import AgrepError
+            rw1 = pattern_mod.rewrite(q.pattern, o)
+            pat2 = rw1.pattern.decode("latin-1")
+            # pass one REDUCED D_pattern to the processed delimiter
+            # bytes (preproce.c:223 strcpy(D_pattern, old_D_pat)), so
+            # the rescan's wrap is those bytes alone -- no "<...>; "
+            o2._d_pattern_override = rw1.old_d_pat.decode("latin-1")
+            try:
+                # BESTMATCH is still ON during the rescan compile:
+                # checksg rejects every split terminal (checksg.c:127)
+                # so the meta-soup always takes the maskgen path
+                q2 = compile_query(pat2, o2)
+            except AgrepError as e:
+                e.late = True
+                e.verbose = getattr(o, "verbose", 1)
+                raise
             o2.bestmatch = False
-            q2 = compile_query(q.pattern, o2)
         # The C loop (agrep.c:3594-3630) resets prev_num_of_matched per
         # FILE and checks `num - prev == 0` per D level -- so escalation
         # continues until the LAST file has a hit, the reported count is
@@ -1654,8 +1677,7 @@ class Executor:
         last = 0
         while D < M and D <= 8 and last == 0:
             counter = Sink(lambda b: None, o2)
-            eng = Executor(_corrupt(q2_with_d(q2, D)) if corrupted
-                           else q2_with_d(q2, D), counter)
+            eng = Executor(q2_with_d(q2, D), counter)
             for path in files:
                 counter.prev_num_matched = counter.num_matched
                 try:
@@ -1691,8 +1713,7 @@ class Executor:
                 return
         # final printing pass at the winning D
         sink.num_matched = 0
-        eng = Executor(_corrupt(q2_with_d(q2, D)) if corrupted
-                       else q2_with_d(q2, D), sink)
+        eng = Executor(q2_with_d(q2, D), sink)
         for i, path in enumerate(files):
             sink.prev_num_matched = sink.num_matched
             sink.current_filename = str(i) if o.printfilenumber else path

@@ -558,7 +558,7 @@ class MgrepEngine:
         # than MAXLINE crossing 32KB block ends lose bytes from the
         # scan; search the stitched stream the reference actually saw
         if (not memory_mode and not q.delimiter_opt
-                and not self._vmode and len(data) > 2 * 16384):
+                and not self._vmode and len(data) > 1):
             B2 = 2 * 16384
             darr = np.asarray(data)
             ends = np.arange(B2, len(darr) + B2 - 1, B2,
@@ -575,8 +575,17 @@ class MgrepEngine:
             else:
                 lastnl = np.full(len(ends), -1, dtype=np.int64)
             from . import sgrep_sim
-            if bool(((ends - lastnl) > 1024).any()) \
-                    or sgrep_sim.nul_near_boundaries(darr):
+            trigger = bool(((ends - lastnl) > 1024).any()) \
+                or sgrep_sim.nul_near_boundaries(darr)
+            if not trigger and len(ends):
+                # the EOF rescan's residue carry is ALSO strncpy
+                # (newmgrep.c:585): a NUL in the final residue
+                # zero-fills the rescanned copy -- applies to files
+                # of any size, not just block-crossing ones
+                lo = max(int(lastnl[-1]), 0)
+                if len(darr) - lo > 2:
+                    trigger = bool((darr[lo:] == 0).any())
+            if trigger:
                 V, marks, lossy, dmarks = _mgrep_virtual_stream(darr)
                 if lossy:
                     if o.invert and o.count:
@@ -687,9 +696,15 @@ class MgrepEngine:
                 base = 1
         N = len(stream)
         if o.invert and o.count and not self._vmode:
-            # countline runs over the RAW blocks (newmgrep.c:518): the
-            # vmode caller already counted the original data
-            self.total_line += int(np.count_nonzero(data == 0x0A))
+            # countline runs over the blocks AFTER the head overwrite
+            # (newmgrep.c:512 writes D_pattern over each block's first
+            # D_length bytes BEFORE the countline at :518) -- under -d
+            # newline-bearing delimiters ('$$' = "\n\n") inflate the
+            # line count; the vmode caller already counted its data
+            if q.delimiter_opt and not memory_mode:
+                self.total_line += int(np.count_nonzero(head == 0x0A))
+            else:
+                self.total_line += int(np.count_nonzero(data == 0x0A))
 
         m1 = self.p_size - 1
         # gather (anchor, pat_index, start, length) for all terms.
@@ -884,7 +899,12 @@ class MgrepEngine:
             if o.filename_only or o.silent:
                 if o.filename_only:
                     sink.write_str("%s\n" % sink.current_filename)
-                return True
+                    return True
+                # SILENT: DO_OUTPUT's `return 0` exits only the
+                # CURRENT scan call (newmgrep.c:912) -- the block loop
+                # keeps calling monkey1/m_short per block and per EOF
+                # rescan, counting once per firing call
+                return "region"
             if not o.count:
                 if o.invert:
                     # pending region tails are raw fwrites that precede
@@ -1169,9 +1189,11 @@ class MgrepEngine:
                     DOW = False
                     if is_complex and boolean.eval_tree_vec(
                             q.bool_tree, "or", amatched[None, :])[0]:
-                        if do_output(0, cur_anchor, curb, cure, False,
-                                     v_cbo if short_mode else None):
-                            return True
+                        rc2 = do_output(0, cur_anchor, curb, cure,
+                                        False,
+                                        v_cbo if short_mode else None)
+                        if rc2:
+                            return rc2
                     amatched[:] = False
                     return False
 
@@ -1194,7 +1216,10 @@ class MgrepEngine:
                                             is not None else cbo_at(te)))
                             else:
                                 vc = None
-                            if flush(vc):
+                            fr = flush(vc)
+                            if fr == "region":
+                                return False
+                            if fr:
                                 return True
                             break
                         flush_before = False
@@ -1208,7 +1233,11 @@ class MgrepEngine:
                                     nv, cure - 1) < a
                         if flush_before:
                             v = max(nv, cure - 1)
-                            if flush(cbo_at(v) if short_mode else None):
+                            fr = flush(cbo_at(v) if short_mode
+                                       else None)
+                            if fr == "region":
+                                return False
+                            if fr:
                                 return True
                     if a is None:
                         break
@@ -1273,8 +1302,11 @@ class MgrepEngine:
                           or bool(amatched[nz_terms].all())):
                         out_fired = True
                         cbo_out = cbo_at(a)
-                        if do_output(idx, a, curb, cure, True,
-                                     cbo_out if short_mode else None):
+                        rc3 = do_output(idx, a, curb, cure, True,
+                                        cbo_out if short_mode else None)
+                        if rc3 == "region":
+                            return False      # next scan call
+                        if rc3:
                             return True
                         if o.multi_output:
                             post = a + tl_ - 1
@@ -1300,7 +1332,10 @@ class MgrepEngine:
                     # same-iteration crossing check at the post-event
                     # position (flush_cross after the hit block)
                     if DOW and post >= cure - 1:
-                        if flush(cbo_post if short_mode else None):
+                        fr = flush(cbo_post if short_mode else None)
+                        if fr == "region":
+                            return False
+                        if fr:
                             return True
                     if ((is_and or is_complex) and not out_fired
                             and j + 1 < len(wa)
@@ -1392,6 +1427,44 @@ class MgrepEngine:
                 s = int(s1[h])
                 t += s if s > 1 else 1
             return t
+
+        if (o.silent and not o.filename_only and not memory_mode
+                and not o.multi_output):
+            # SILENT: every scan call (block region, EOF rescan)
+            # counts at most once -- DO_OUTPUT's `return 0` exits the
+            # call after its first firing record (newmgrep.c:912) and
+            # the block loop moves on
+            for r in range(len(bounds) + 1):
+                rs = _region_start(r)
+                re_x = _region_end_excl(r)
+                k0 = int(np.searchsorted(occ_a, rs, side="left"))
+                k1 = int(np.searchsorted(occ_a, re_x, side="left"))
+                if k0 >= k1:
+                    continue
+                if not (is_and or is_complex):
+                    sink.num_matched += 1
+                    continue
+                live = np.asarray([bool(t) for t in self.terms])
+                p2 = k0
+                while p2 < k1:
+                    anchor = int(occ_a[p2])
+                    _cb, _ce, gb2 = record_span(
+                        anchor, int(occ_s[p2]),
+                        int(term_len[occ_i[p2]]))
+                    g2 = min(max(int(np.searchsorted(
+                        occ_a, gb2, side="left")), p2 + 1), k1)
+                    mt = np.zeros(n_terms, dtype=bool)
+                    mt[occ_i[p2:g2]] = True
+                    if is_complex:
+                        fired = bool(boolean.eval_tree_vec(
+                            q.bool_tree, "or", mt[None, :])[0])
+                    else:
+                        fired = bool(mt[live].all())
+                    if fired:
+                        sink.num_matched += 1
+                        break
+                    p2 = g2
+            return
 
         stop = False
         if o.multi_output and not (is_and or is_complex):

@@ -42,8 +42,17 @@ class RegexEngine:
                 inj = 49152 if len(data) > 49152 else -1
                 v = native.renfa_scan_lines(data, mc, cont0, inj)
                 if v is not None:
-                    sink.num_matched += int(
-                        np.count_nonzero(v ^ o.invert))
+                    hits = (v != 0) ^ o.invert
+                    if len(hits) and len(data) and data[0] == 0x0A:
+                        # an EMPTY first line is never output or
+                        # counted, matched or not: CurrentByteOffset
+                        # is still -1 (the FIRST_TIME decrement,
+                        # agrep.c:1576-1579) at its newline check and
+                        # r_output's `CurrentByteOffset < 0` guard
+                        # returns before num_of_matched++ (:1927)
+                        hits = hits.copy()
+                        hits[0] = False
+                    sink.num_matched += int(np.count_nonzero(hits))
                     return
         if memory_mode:
             stream = data
@@ -147,6 +156,15 @@ class RegexEngine:
 
         # output pass (r_output conventions); iterate matches only
         hit = verdicts ^ o.invert
+        if (n_lines and not memory_mode and len(data)
+                and data[0] == 0x0A):
+            # an EMPTY first line is never output or counted (matched
+            # or inverse): CurrentByteOffset is still -1 from the
+            # FIRST_TIME decrement (agrep.c:1576-1579) at its newline
+            # check, and r_output's `CurrentByteOffset < 0` guard
+            # returns before num_of_matched++ (:1927)
+            hit = hit.copy()
+            hit[0] = False
         if (o.count and not o.filename_only and o.limit_output <= 0
                 and o.limit_per_file <= 0):
             # vectorized -c (the reference's j counter just sums)
@@ -253,3 +271,4 @@ class RegexEngine:
                     - sink.prev_num_matched >= o.limit_per_file):
                 return
         _ = matched0
+

@@ -1,0 +1,112 @@
+"""Round-3 fuzz-sweep findings, minimized and pinned (tools/
+fuzz_sweep.py seeds 9112-9322).  Each case is a distinct reference
+quirk the dense models missed."""
+
+import pytest
+
+from .oracle import compare
+
+
+def test_silent_allows_boolean_split(tmp_path):
+    # checksg's `if (SILENT) return 1` (checksg.c:135) sits after the
+    # blocking-flag rejections: -s terms still split to mgrep
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"alpha\nalpha hello\nhello\nxx\n")
+    compare(["-x", "-s", "alpha;hello", str(p)])
+    compare(["-s", "alpha;hello", str(p)])
+
+
+def test_silent_counts_per_scan_call(tmp_path):
+    # DO_OUTPUT's `return 0` under SILENT exits only the current
+    # block/rescan call (newmgrep.c:912): one count per firing call
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"bbb early\n"
+                  + (b"filler word lines\n" * 2000)[:33000]
+                  + b"\nccc late\n")
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"bbb\nccc\n")
+    compare(["-c", "-s", "-f", str(pf), str(p)])
+    p2 = tmp_path / "c2.txt"
+    p2.write_bytes(b"xx\n\nbbb<$$ccc\n\nyy\n")
+    compare(["-c", "-d", "$$", "-s", "-f", str(pf), str(p2)])
+
+
+def test_raw_delimiter_when_sgrep_off(tmp_path):
+    # with -f the pattern is empty and preprocess() returns before
+    # converting "<PAT>; " (preproce.c:68-70); only agrep_search's
+    # SGREP branch converts it (agrep.c:3182-3189) -- JUMP costs,
+    # SILENT, or errors+-i leave the raw "<"+PAT bytes as the record
+    # delimiter
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"xx\n\nbbb<$$ccc\n\nyy\n")
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"bbb\nccc\n")
+    for flags in (["-D2", "-I1", "-S1"], ["-s"], ["-1", "-i"], [],
+                  ["-1"], ["-u"]):
+        compare(["-c", "-d", "$$"] + flags + ["-f", str(pf), str(p)])
+    compare(["-d", "$$", "-D2", "-I1", "-S1", "-f", str(pf), str(p)])
+
+
+def test_inverse_count_sees_head_overwrites(tmp_path):
+    # countline runs AFTER the block-head memcpy of D_pattern
+    # (newmgrep.c:512 before :518): '$$' = "\n\n" inflates the
+    # inverse line count by the injected newlines
+    for corpus in (b"abc\ndef\n", b"abc\ndef", b"no newlines at all",
+                   b"abc$$def\n"):
+        p = tmp_path / "c.txt"
+        p.write_bytes(corpus)
+        compare(["-c", "-v", "-t", "-d", "$$", "alpha;hello", str(p)])
+        compare(["-c", "-v", "-d", "$$", "alpha,hello", str(p)])
+
+
+@pytest.mark.parametrize("corpus", [b"\n", b"\nab\n", b"\n\n",
+                                    b"\n\n\n\n", b"ab\n\ncd\n"])
+def test_regex_empty_first_line_guard(tmp_path, corpus):
+    # r_output's `CurrentByteOffset < 0` guard (agrep.c:1927): an
+    # empty FIRST line is neither counted nor printed, matched or
+    # inverse (CBO is still -1 from the FIRST_TIME decrement)
+    p = tmp_path / "c.txt"
+    p.write_bytes(corpus)
+    compare(["-c", "-2", "x*y", str(p)])
+    compare(["-n", "-2", "x*y", str(p)])
+    compare(["-v", "-c", "-2", "x*y", str(p)])
+
+
+def test_mgrep_eof_rescan_nul_clamp(tmp_path):
+    # the EOF rescan's residue carry is strncpy (newmgrep.c:585): a
+    # NUL in the final residue zero-fills the rescanned copy -- for
+    # files of ANY size, not just block-crossing ones
+    import random
+    r = random.Random(9112)
+    corpus = bytes(r.randrange(256) for _ in range(5000))
+    p = tmp_path / "c.txt"
+    p.write_bytes(corpus)
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"zz\nzz\nq000\nq001\nq002\n")
+    compare(["-1", "-v", "-f", str(pf), str(p)])
+    compare(["-v", "-f", str(pf), str(p)])
+
+
+@pytest.mark.parametrize("args", [
+    ["-B", "-y", "-v", "a,b"],       # mixed-boolean maskgen error
+    ["-B", "-y", "-v", "-t", "a,b"],
+    ["-B", "-y", "-w", "a,b"],
+    ["-B", "-y", "-v", "a;b"],       # meta-soup machine CAN match
+    ["-B", "-y", "-v", "abc"],
+    ["-B", "-y", "a,b"],             # no corruption without -w/-x/-v
+    ["-B", "-y", "-w", "hello"],
+    ["-B", "-y", "-x", "ab"],
+])
+def test_bestmatch_double_preprocess(tmp_path, args):
+    """-B with -w/-x/-v re-preprocesses the ALREADY internal pattern
+    (agrep.c:3584-3589): flat ORs die in maskgen with the mixed-
+    boolean error (late Grand Total + rc 255), other shapes become a
+    meta-soup machine that can still match at high D.  (Known residual
+    divergence: -B -y -v on some 3-char patterns, see
+    docs/CONFORMANCE.md.)"""
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"tgaaccc")
+    compare(args + [str(p)])
+    p2 = tmp_path / "c2.txt"
+    p2.write_bytes(b"hello world\nsome text here\nxyz\n")
+    compare(args + [str(p2)])
