@@ -340,7 +340,9 @@ def _sgrep_off_for_empty(opts: Options) -> bool:
     stays raw) for these flags -- checksg.c:127-141."""
     if opts.jump or opts.cost_insert == 0 or opts.bestmatch:
         return True
-    if opts.silent:
+    if opts.silent or opts.linenum:
+        # -n survives as a flag under -c (only its output is
+        # "ignored"), and checksg's LINENUM check still bars SGREP
         return True
     if opts.D > 0 and (opts.nocase is not None or opts.wordbound
                        or opts.wholeline):

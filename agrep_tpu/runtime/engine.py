@@ -1131,7 +1131,11 @@ class SgrepEngine:
                 return
 
         lastend = 0
-        lastout = base
+        # -x starts the scan (and the INVERSE complement pointer) on
+        # the sentinel newline (WHOLELINE start--), so the first
+        # complement print leads with it
+        lastout = 0 if (o.wholeline and o.invert and not memory_mode
+                        and not q.delimiter_opt) else base
         # CurrentByteOffset at a match: bm tracks the match's last char
         # relative to the data start; agrep() (D>0) is one past it
         # (sgrep.c:738 vs :1178).  WHOLELINE's start--/CBO-- cancel out.
@@ -1322,6 +1326,12 @@ class SgrepEngine:
         for c in range(ord("A"), ord("Z") + 1):
             tr[c] = c + 32
         shift_tab, shift_1 = sgrep_sim.build_bm_tables(q.sg_pattern, tr)
+        # -x decrements the scan start onto the sentinel newline
+        # (sgrep.c WHOLELINE start--): the FIRST complement write
+        # starts there, leading the output with '\n' -- but only when
+        # a write actually happens (an early-returning first call
+        # prints nothing at all)
+        pending_sentinel = bool(o.wholeline)
         vb = sgrep_sim.VirtualSgrepBuffer(data, q.sg_pattern, False)
         ev_g = pos - base        # match-end events in data coords
         nl_g = nl - base
@@ -1352,14 +1362,26 @@ class SgrepEngine:
                 if o.filename_only:
                     sink.write_str("%s\n" % sink.current_filename)
                     return
+                if pending_sentinel:
+                    sink.write(b"\n")
+                    pending_sentinel = False
                 sink.write(bytes(bytearray(data[lastout_g:max(rbeg, lastout_g)])))
                 lastout_g = rend
                 lastend_g = rend
                 resume_buf.append(start + (rend - gstart))
+            # -x shifts the very first scan start onto the sentinel
+            # newline (WHOLELINE start--), which changes the skip-walk
+            # alignment -- and with it whether the emergency-stop
+            # pseudo-match early-returns the call
+            walk_start = (start - 1 if (o.wholeline and gstart == 0)
+                          else start)
             survives = sgrep_sim.bm_inverse_survives(
-                vb.buf, start, end, q.sg_pattern, tr, shift_tab, shift_1,
-                resume_buf)
+                vb.buf, walk_start, end, q.sg_pattern, tr, shift_tab,
+                shift_1, resume_buf)
             if survives and lastout_g <= g_end:
+                if pending_sentinel:
+                    sink.write(b"\n")
+                    pending_sentinel = False
                 sink.write(bytes(bytearray(data[lastout_g:g_end + 1])))
 
     def _drop_phantom_tail_event(self, data, pos, N):
@@ -1545,7 +1567,9 @@ class Executor:
             bytes_scanned += len(data)
             tl0 = getattr(self.engine, "total_line", 0)
             with trace.stage("scan"):
-                if (size > stream_min
+                if len(data) == 0:
+                    pass        # fill_buf returns 0: engines never run
+                elif (size > stream_min
                         and hasattr(self.engine, "supports_streaming")
                         and self.engine.supports_streaming()):
                     self.engine.search_stream_chunked(data, sink, q.D)
@@ -1684,6 +1708,8 @@ class Executor:
                     data = np.fromfile(path, dtype=np.uint8)
                 except OSError:
                     continue
+                if len(data) == 0:
+                    continue           # fill_buf returns 0: no scan
                 eng.engine.search_stream(data, counter, D)
             last = counter.num_matched - counter.prev_num_matched
             total += counter.num_matched
@@ -1722,6 +1748,8 @@ class Executor:
                 data = np.fromfile(path, dtype=np.uint8)
             except OSError:
                 continue
+            if len(data) == 0:
+                continue               # fill_buf returns 0: no scan
             eng.engine.search_stream(data, sink, D)
 
 

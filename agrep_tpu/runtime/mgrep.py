@@ -673,6 +673,30 @@ class MgrepEngine:
                     val = np.tile(dpat, len(owa))
                     inb = idx < len(data)
                     head[idx[inb]] = val[inb]
+                # countline (newmgrep.c:518) sees the head overwrites
+                # (:512) but runs BEFORE the residue strncpy (:560):
+                # capture the inverse line count pre-clamp
+                if o.invert and o.count and not self._vmode:
+                    self.total_line += int(
+                        np.count_nonzero(head == 0x0A))
+                # strncpy residue carries (newmgrep.c:560, :585): a
+                # NUL inside a block's residue zero-fills the rest of
+                # the carried copy -- the next scan (or the EOF
+                # rescan) sees zeros where the raw bytes were
+                clamped = False
+                B2c = 2 * 16384
+                spans = [(mk, min((mk // B2c + 1) * B2c, len(data)))
+                         for mk in delim_marks]
+                if trim_end is not None:
+                    spans.append((trim_end, len(data)))
+                for s_lo, s_hi in spans:
+                    if s_hi - s_lo <= 1:
+                        continue
+                    seg = np.asarray(head[s_lo:s_hi])
+                    z = np.flatnonzero(seg == 0)
+                    if len(z) and s_lo + int(z[0]) + 1 < s_hi:
+                        head[s_lo + int(z[0]):s_hi] = 0
+                        clamped = True
                 # flat-OR count never slices records out of the
                 # stream, so the EOF-rescan delimiter can stay
                 # virtual: the event pass handles the tail in a small
@@ -695,16 +719,12 @@ class MgrepEngine:
                     np.frombuffer(b"\n", dtype=np.uint8)])
                 base = 1
         N = len(stream)
-        if o.invert and o.count and not self._vmode:
-            # countline runs over the blocks AFTER the head overwrite
-            # (newmgrep.c:512 writes D_pattern over each block's first
-            # D_length bytes BEFORE the countline at :518) -- under -d
-            # newline-bearing delimiters ('$$' = "\n\n") inflate the
-            # line count; the vmode caller already counted its data
-            if q.delimiter_opt and not memory_mode:
-                self.total_line += int(np.count_nonzero(head == 0x0A))
-            else:
-                self.total_line += int(np.count_nonzero(data == 0x0A))
+        if o.invert and o.count and not self._vmode \
+                and not (q.delimiter_opt and not memory_mode):
+            # countline over the raw blocks (the -d path counted its
+            # overwritten-but-unclamped head above; the vmode caller
+            # already counted its data)
+            self.total_line += int(np.count_nonzero(data == 0x0A))
 
         m1 = self.p_size - 1
         # gather (anchor, pat_index, start, length) for all terms.
@@ -829,13 +849,36 @@ class MgrepEngine:
             else:
                 occ_a = occ_i = occ_s = np.zeros(0, dtype=np.int64)
             n_occ = len(occ_a)
+        final_abort = False
+        if (self.p_size == 1 and not memory_mode
+                and not q.delimiter_opt and n_occ):
+            # m_short's `if(text >= textend) return 0`
+            # (newmgrep.c:1345): a term matching AT the final scan
+            # call's last byte aborts before registration -- the
+            # event is neither counted nor output.  (Interior trims
+            # re-scan the aborted byte in the next call, so only the
+            # final region's last position truly drops.)
+            te_fin = (base + len(data)
+                      + (1 if (len(data) and data[-1] != 0x0A
+                               and len(data) % (2 * 16384) != 1)
+                         else 0)) - 1
+            keep_f = occ_a != te_fin
+            if not keep_f.all():
+                occ_a, occ_i, occ_s = (occ_a[keep_f], occ_i[keep_f],
+                                       occ_s[keep_f])
+                n_occ = len(occ_a)
+                final_abort = True       # the return 0 also skips the
+                                         # final call's INVERSE tail
 
         # -d record spans never consult the newline index
         nl = (np.flatnonzero(stream == 0x0A) if not q.delimiter_opt
               else np.zeros(0, dtype=np.int64))
         if not q.delimiter_opt:
             delim_ends = None
-        elif memory_mode or (live_append and not virt_append):
+        elif memory_mode or (live_append and not virt_append) \
+                or (not memory_mode and clamped):
+            # (clamped: the zero-filled residue spans can erase
+            # delimiters, so the derived index is stale)
             delim_ends = _find_delims_arr(stream, q.delim)
         else:
             # derive from the raw scan + overwrite windows (saves a
@@ -1622,7 +1665,7 @@ class MgrepEngine:
 
         if o.invert and not o.count and not stop:
             inv_advance(len(bounds))
-            if lastout < final_end:
+            if lastout < final_end and not final_abort:
                 sink.write(bytes(bytearray(stream[lastout:final_end])))
 
 

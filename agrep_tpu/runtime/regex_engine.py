@@ -43,13 +43,15 @@ class RegexEngine:
                 v = native.renfa_scan_lines(data, mc, cont0, inj)
                 if v is not None:
                     hits = (v != 0) ^ o.invert
-                    if len(hits) and len(data) and data[0] == 0x0A:
-                        # an EMPTY first line is never output or
-                        # counted, matched or not: CurrentByteOffset
-                        # is still -1 (the FIRST_TIME decrement,
-                        # agrep.c:1576-1579) at its newline check and
-                        # r_output's `CurrentByteOffset < 0` guard
-                        # returns before num_of_matched++ (:1927)
+                    if (len(hits) and len(data) and data[0] == 0x0A
+                            and int(mc["D"]) > 0):
+                        # D>0 only: the A-phase newline branch of the
+                        # 2x-unrolled loop forgets the CurrentByteOffset
+                        # restore (agrep.c:1649-1660 vs :1723-1733), so
+                        # CBO is still -1 at an empty FIRST line's check
+                        # and r_output's `CurrentByteOffset < 0` guard
+                        # returns before num_of_matched++ (:1927).  The
+                        # D==0 loop restores in both halves.
                         hits = hits.copy()
                         hits[0] = False
                     sink.num_matched += int(np.count_nonzero(hits))
@@ -157,12 +159,12 @@ class RegexEngine:
         # output pass (r_output conventions); iterate matches only
         hit = verdicts ^ o.invert
         if (n_lines and not memory_mode and len(data)
-                and data[0] == 0x0A):
-            # an EMPTY first line is never output or counted (matched
-            # or inverse): CurrentByteOffset is still -1 from the
-            # FIRST_TIME decrement (agrep.c:1576-1579) at its newline
-            # check, and r_output's `CurrentByteOffset < 0` guard
-            # returns before num_of_matched++ (:1927)
+                and data[0] == 0x0A and int(mc["D"]) > 0):
+            # D>0 only: the A-phase newline branch forgets the CBO
+            # restore (agrep.c:1649-1660 vs :1723-1733), so an EMPTY
+            # first line's check still sees CurrentByteOffset == -1
+            # and r_output's guard (:1927) drops it, matched or
+            # inverse.  The D==0 loop restores in both halves.
             hit = hit.copy()
             hit[0] = False
         if (o.count and not o.filename_only and o.limit_output <= 0
@@ -230,8 +232,35 @@ class RegexEngine:
             if o.bytecount:
                 sink.write_str("%d= " % cbo)
                 printed = True
-            rec_len = (p - bp if head_hi is None
-                       else (head_hi - bp) + (p - tail_lo + 1))
+            # D>0 boundary crossings: the carried window is the LAST
+            # Maxline bytes (agrep.c:1739 strncpy), so the NUL clamp
+            # zero-fills from the RESIDUE's first NUL -- which can
+            # erase the line-start newline itself, moving r_output's
+            # backscan to an earlier (clamped) newline, or to the bp
+            # fallback (buffer[Maxline], i.e. the block start)
+            rec_override = None
+            if (head_hi is None and not memory_mode and D > 0):
+                j1b_ = ((p - 1) // BSR) * BSR
+                if j1b_ + 1 > bp and j1b_ >= 1024:
+                    res_lo = j1b_ - 1024       # data coords
+                    seg = np.asarray(
+                        stream[res_lo + 1:j1b_ + 1]).copy()
+                    z = np.flatnonzero(seg == 0)
+                    if len(z):
+                        seg[int(z[0]):] = 0
+                    nls_r = np.flatnonzero(seg == 0x0A)
+                    if len(nls_r):
+                        head_part = seg[int(nls_r[-1]) + 1:]
+                    else:
+                        head_part = seg[:0]    # bp fallback: Maxline
+                    rec_override = np.concatenate(
+                        [head_part,
+                         np.asarray(stream[j1b_ + 1:p + 1])])
+            if rec_override is not None:
+                rec_len = len(rec_override) - 1
+            else:
+                rec_len = (p - bp if head_hi is None
+                           else (head_hi - bp) + (p - tail_lo + 1))
             if o.printoffset:
                 sink.write_str("@%d{%d} " % (cbo - rec_len, rec_len))
                 printed = True
@@ -239,7 +268,9 @@ class RegexEngine:
                 # the carried residue is strncpy'd (agrep.c:1430): a
                 # NUL in the preserved head zero-fills the rest of the
                 # copy; the final block's bytes are read fresh
-                if head_hi is None:
+                if rec_override is not None:
+                    sink.write(bytes(bytearray(rec_override)))
+                elif head_hi is None:
                     rec = stream[bp:p + 1]
                     if not memory_mode:
                         j1b_ = ((p - 1) // BSR) * BSR

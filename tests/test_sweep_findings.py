@@ -110,3 +110,94 @@ def test_bestmatch_double_preprocess(tmp_path, args):
     p2 = tmp_path / "c2.txt"
     p2.write_bytes(b"hello world\nsome text here\nxyz\n")
     compare(args + [str(p2)])
+
+
+def test_delim_residue_nul_clamp(tmp_path):
+    """-d residue carries are strncpy too (newmgrep.c:560, :585): a
+    NUL in a block's residue zero-fills the carried copy, erasing
+    matches AND delimiters past it from the next scan / EOF rescan."""
+    import random
+    r = random.Random(30331)
+    body = bytes(x if x != 0x6C else 0x6B     # keep interior 'll' rare
+                 for x in (r.randrange(256) for _ in range(32760)))
+    corpus = body + b"\x93,G\n\xccm0Si\xb0k\xd2\x91\x06\x86\xd0]\xd0M" \
+        + b"\x8dQll\x00Ab\x86"
+    p = tmp_path / "c.txt"
+    p.write_bytes(corpus)
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"ab\nmatching\nq000\nq001\nq002\n")
+    compare(["-i", "-w", "-d", "ll", "-f", str(pf), str(p)])
+    compare(["-c", "-d", "ll", "-f", str(pf), str(p)])
+
+
+@pytest.mark.parametrize("corpus", [b"bar", b"bar\nzz", b"zz\nbar",
+                                    b"zz\nbar\n", b"foo\nbar\nbaz\n",
+                                    b"aa", b"q\nq\nq\n"])
+def test_wholeline_inverse_sentinel(tmp_path, corpus):
+    """-x decrements the first scan start onto the sentinel newline
+    (WHOLELINE start--): the first complement write leads with '\\n',
+    the walk alignment shifts by one, and an emergency-stop
+    pseudo-match past textend early-returns the call before ANY
+    output (sgrep.c:723-748)."""
+    p = tmp_path / "c.txt"
+    p.write_bytes(corpus)
+    compare(["-v", "-x", "bar", str(p)])
+    compare(["-v", "-x", "q", str(p)])
+
+
+def test_regex_residue_backscan_clamp(tmp_path):
+    """D>0 regex block carry is the LAST Maxline bytes
+    (agrep.c:1739 strncpy): its NUL clamp can erase the line-start
+    newline, so r_output's backscan lands on an earlier clamped
+    newline (or the buffer[Maxline] fallback) and the printed record
+    grows backwards through zero-filled residue bytes."""
+    import random
+    r = random.Random(130218)
+    corpus = bytes(r.randrange(256) for _ in range(70000))
+    p = tmp_path / "c.txt"
+    p.write_bytes(corpus)
+    for flags in (["-1", "-i"], ["-1", "-i", "-s"], ["-2", "-i"],
+                  ["-1", "-i", "-b"]):
+        compare(flags + ["a(b|c)x", str(p)])
+
+
+def test_mshort_textend_abort_nodelim(tmp_path):
+    """m_short's `if(text >= textend) return 0` (newmgrep.c:1345)
+    also swallows the match itself: a 1-byte file whose only byte is
+    a 1-char -f term counts zero -- with -l, no filename prints."""
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"a")
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"a\nzz\nq000\n")
+    compare(["-3", "-c", "-n", "-l", "-f", str(pf), str(p)])
+    compare(["-c", "-f", str(pf), str(p)])
+    compare(["-f", str(pf), str(p)])
+
+
+def test_inverse_count_clamp_order(tmp_path):
+    """countline runs on the read with head overwrites but BEFORE the
+    residue strncpy clamp zeroes anything -- clamped-away newlines
+    still count (newmgrep.c:512-518 vs :560)."""
+    import random
+    r = random.Random(130384)
+    corpus = (b"d$d" * 6 + b"$$aa\n" + bytes(
+        r.randrange(256) for _ in range(64)) + b"\x00zz\nq$$\n") * 3
+    p = tmp_path / "c.txt"
+    p.write_bytes(corpus)
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"koala\nzz\nq000\nq001\n")
+    compare(["-c", "-i", "-n", "-v", "-d", "$$", "-f", str(pf),
+             str(p)])
+
+
+def test_empty_file_never_scanned(tmp_path):
+    """fill_buf returns 0 on an empty file, so no engine ever runs --
+    in particular the bitap INVERSE machinery must not synthesize a
+    record from the appended delimiter (-l printed a phantom
+    filename)."""
+    p = tmp_path / "empty.txt"
+    p.write_bytes(b"")
+    compare(["-2", "-n", "-v", "-l", "-D2", "-I1", "-S1",
+             "fkbjpobaidhihgjlgkhanljgcip", str(p)])
+    compare(["-v", "-l", "pat", str(p)])
+    compare(["-d", "$$", "-v", "pat", str(p)])
