@@ -1565,7 +1565,7 @@ class Executor:
                       file=sys.stderr)
                 continue
             bytes_scanned += len(data)
-            tl0 = getattr(self.engine, "total_line", 0)
+            _ = getattr(self.engine, "total_line", 0)  # (cumulative)
             with trace.stage("scan"):
                 if len(data) == 0:
                     pass        # fill_buf returns 0: engines never run
@@ -1582,10 +1582,12 @@ class Executor:
             if o.count and not o.fileout:
                 if o.invert and q.engine_class == "mgrep":
                     # INVERSE multi-pattern counts LINES not matched:
-                    # total_line - (num_of_matched - prev) --
-                    # agrep.c:3445-3486, countline newmgrep.c:518,694
+                    # total_line - (num_of_matched - prev) -- and
+                    # total_line is the GLOBAL accumulator, never
+                    # reset between files (agrep.c:3445-3486,
+                    # countline newmgrep.c:518,694)
                     nfile = (getattr(self.engine, "total_line", 0)
-                             - tl0 - nfile)
+                             - nfile)
                 self._emit_count_line(nfile)
             if o.fileout and nfile:
                 self._file_out(path)
@@ -1614,13 +1616,13 @@ class Executor:
     def run_buffer(self, data: np.ndarray) -> int:
         q, o, sink = self.q, self.q.opts, self.sink
         sink.fname = o.always_filename
-        tl0 = getattr(self.engine, "total_line", 0)
+        _ = getattr(self.engine, "total_line", 0)  # (cumulative)
         self.engine.search_stream(data, sink, q.D, memory_mode=True)
         nfile = sink.num_matched - sink.prev_num_matched
         if o.count:
             if o.invert and q.engine_class == "mgrep":
                 nfile = (getattr(self.engine, "total_line", 0)
-                         - tl0 - nfile)
+                         - nfile)
             self._emit_count_line(nfile)
         sink.finish()
         return sink.num_matched

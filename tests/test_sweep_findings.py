@@ -201,3 +201,19 @@ def test_empty_file_never_scanned(tmp_path):
              "fkbjpobaidhihgjlgkhanljgcip", str(p)])
     compare(["-v", "-l", "pat", str(p)])
     compare(["-d", "$$", "-v", "pat", str(p)])
+
+
+def test_multifile_inverse_count_cumulative(tmp_path):
+    """-v -c per-file emission is total_line - (num - prev) where
+    total_line is the GLOBAL newline accumulator, never reset between
+    files (agrep.c:3445-3486): file 2's printed count includes file
+    1's line total."""
+    f1 = tmp_path / "a.txt"
+    f1.write_bytes(b"aa\nbb\n")
+    f2 = tmp_path / "b.txt"
+    f2.write_bytes(b"alpha x\ncc\ndd\nee\n")
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"alpha\nzz\n")
+    compare(["-c", "-v", "-f", str(pf), str(f1), str(f2)])
+    compare(["-c", "-v", "-i", "-f", str(pf), str(f1), str(f2)])
+    compare(["-v", "-c", "-d", "$$", "-f", str(pf), str(f1), str(f2)])

@@ -92,6 +92,13 @@ def run_case(i, seed, tmpdir):
     path = os.path.join(tmpdir, "c%d.txt" % (i % 8))
     with open(path, "wb") as f:
         f.write(corpus)
+    paths = [path]
+    if r.random() < 0.3:
+        # multi-file: FNAME prefixes, per-file counts, -l lists
+        path2 = os.path.join(tmpdir, "d%d.txt" % (i % 8))
+        with open(path2, "wb") as f:
+            f.write(make_corpus(r))
+        paths.append(path2)
     if r.random() < 0.15:
         # -f pattern file instead of a single pattern
         npat = r.choice([2, 5, 30, 120])
@@ -103,14 +110,14 @@ def run_case(i, seed, tmpdir):
             f.write("".join(x + "\n" for x in pats))
         flags = [fl for fl in flags
                  if fl not in ("-x", "-G")] + ["-f", pf]
-        args = flags + [path]
+        args = flags + paths
     else:
         if r.random() < 0.06:
             flags = ["-B", "-y"] + [fl for fl in flags
                                     if fl not in ("-B", "-y")]
         if r.random() < 0.05:
             flags.append(r.choice(["-CP437", "-CP850"]))
-        args = flags + [pat, path]
+        args = flags + [pat] + paths
     p = subprocess.run([ORACLE] + args, capture_output=True, timeout=30)
     # mirror cli.main()'s error mapping in-process (subprocess startup
     # would dominate the sweep)
