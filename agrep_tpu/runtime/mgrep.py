@@ -471,6 +471,56 @@ class MgrepEngine:
 
         occ_s = np.concatenate(parts_s)
         occ_i = np.concatenate(parts_t)
+        if o.wordbound and delim_marks:
+            # occurrences starting exactly at a region's scan start
+            # (the residue dup byte) see the context memcpy'd
+            # delimiter before them (newmgrep.c:511): the C pass
+            # judged them with the raw previous byte -- re-verify
+            # those positions with before = delim[-1]
+            dm_w = np.asarray(delim_marks, dtype=np.int64)
+            keep_w = ~np.isin(occ_s, dm_w)
+            ex_s, ex_i = [], []
+            dlast = q.delim[-1]
+            if not _ISALNUM_TAB[dlast]:
+                n_st2 = len(stream)
+                folded = None
+                for mk in delim_marks:
+                    best = -1
+                    for tid in range(len(self.terms) - 1, -1, -1):
+                        t = self.terms[tid]
+                        L = len(t)
+                        if not t or mk + L > n_st2 + dl:
+                            continue
+                        if folded is None:
+                            folded = self.tr[np.asarray(stream)]
+                        seg = folded[mk:mk + L]
+                        if len(seg) < L:
+                            # tail crossing into the virtual append
+                            ext2 = np.concatenate([
+                                seg, self.tr[np.frombuffer(
+                                    q.delim, np.uint8)]])[:L]
+                            seg = ext2
+                        tf = self.tr[np.frombuffer(t, np.uint8)]
+                        if not bool((seg == tf).all()):
+                            continue
+                        aft = (int(stream[mk + L])
+                               if mk + L < n_st2 else q.delim[0])
+                        if _ISALNUM_TAB[aft]:
+                            continue
+                        best = tid
+                        break
+                    if best >= 0:
+                        ex_s.append(mk)
+                        ex_i.append(best)
+            occ_s = occ_s[keep_w]
+            occ_i = occ_i[keep_w]
+            if ex_s:
+                occ_s = np.concatenate(
+                    [occ_s, np.asarray(ex_s, dtype=np.int64)])
+                occ_i = np.concatenate(
+                    [occ_i, np.asarray(ex_i, dtype=np.int64)])
+                order_w = np.argsort(occ_s, kind="stable")
+                occ_s, occ_i = occ_s[order_w], occ_i[order_w]
         occ_a = occ_s + m1
         return occ_a, occ_i, occ_s
 
@@ -799,6 +849,16 @@ class MgrepEngine:
                     if neg.any():
                         before = before.copy()
                         before[neg] = dref[(dl + bp)[neg]]
+                    if not memory_mode and delim_marks:
+                        # an occurrence starting exactly at a region's
+                        # scan start (the residue dup byte) sees the
+                        # context memcpy'd delimiter before it
+                        # (newmgrep.c:511), not the raw previous byte
+                        dm_w = np.asarray(delim_marks, dtype=np.int64)
+                        at_mk = np.isin(starts, dm_w)
+                        if at_mk.any():
+                            before = before.copy()
+                            before[at_mk] = dref[-1]
                 keep = ~isaln[after] & ~isaln[before]
                 starts = starts[keep]
                 if not len(starts):
@@ -952,8 +1012,17 @@ class MgrepEngine:
                 if o.invert:
                     # pending region tails are raw fwrites that precede
                     # this hit's decorations (monkey1 prints each
-                    # block's tail before the next block runs)
-                    inv_advance(_bisect.bisect_left(bounds, anchor))
+                    # block's tail before the next block runs).
+                    # m_short processes textend inclusively but ABORTS
+                    # on a match there (newmgrep.c:1330, :1345): the
+                    # event actually fires in the NEXT region's rescan
+                    # of the duplicated byte -- assign it there
+                    if self.p_size == 1:
+                        inv_advance(_bisect.bisect_right(bounds,
+                                                         anchor))
+                    else:
+                        inv_advance(_bisect.bisect_left(bounds,
+                                                        anchor))
                 printed = sink.emit_fname_prefix()
                 if o.printpattern:
                     sink.write_str("%d- " % (pat_index + 1))

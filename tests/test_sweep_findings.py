@@ -217,3 +217,39 @@ def test_multifile_inverse_count_cumulative(tmp_path):
     compare(["-c", "-v", "-f", str(pf), str(f1), str(f2)])
     compare(["-c", "-v", "-i", "-f", str(pf), str(f1), str(f2)])
     compare(["-v", "-c", "-d", "$$", "-f", str(pf), str(f1), str(f2)])
+
+
+def test_mshort_abort_reprocesses_next_region(tmp_path):
+    """m_short scans textend inclusively (`while (++text <= textend)`,
+    newmgrep.c:1330) but a match there aborts before output
+    (:1345) -- the duplicated byte re-fires in the EOF rescan, whose
+    complement pointer starts fresh, so the inverse output prints the
+    decorations with NO record bytes."""
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"ac")
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"a\nzz\nq000\nq001\nq002\n")
+    compare(["-b", "-v", "-f", str(pf), str(p)])
+    compare(["-v", "-f", str(pf), str(p)])
+    p2 = tmp_path / "c2.txt"
+    p2.write_bytes(b"zz here\na")
+    compare(["-v", "-f", str(pf), str(p2)])
+
+
+def test_dup_byte_wordbound_context(tmp_path):
+    """A term occurrence starting exactly at a region's scan start
+    (the residue dup byte) has the context memcpy'd delimiter before
+    it (newmgrep.c:511), so -w judges `before` against delim[-1], not
+    the raw previous byte."""
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"x" * 32767 + b"a" + b"q")
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"a\nzz\nq0\n")
+    compare(["-b", "-w", "-d", "%%", "-f", str(pf), str(p)])
+    p2 = tmp_path / "c2.txt"
+    p2.write_bytes(b"x" * 32766 + b"ab" + b"q")
+    pf2 = tmp_path / "p2.txt"
+    pf2.write_bytes(b"ab\nzz\n" + b"".join(b"q%03d\n" % k
+                                           for k in range(24)))
+    compare(["-b", "-w", "-d", "%%", "-f", str(pf2), str(p2)])
+    compare(["-w", "-d", "ll", "-f", str(pf2), str(p2)])
