@@ -130,7 +130,7 @@ def bench_regex(text: np.ndarray) -> float:
     q = compile_query("wo(r|t)king", Options(D=2, approx=True))
     mc = q.re_mc
     br = RK.ranges_wide(mc["mask"].astype(np.uint32))
-    Rb, Lb = 64 * RK.GLANES, 512
+    Rb, Lb = 128 * RK.GLANES, 512
     nbytes = Rb * Lb
     lanes = np.ascontiguousarray(text[:nbytes]).reshape(Rb, Lb).copy()
     lanes[lanes == 0x0A] = 0x20      # one record per lane
@@ -161,15 +161,15 @@ def bench_regex(text: np.ndarray) -> float:
 
     f = jax.jit(many, static_argnums=1)
     times = {}
-    for k in (1, 5):
+    for k in (1, 9):
         int(f((lt, lvt), k))
         ts = []
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
             int(f((lt, lvt), k))
             ts.append(time.perf_counter() - t0)
         times[k] = min(ts)
-    per = (times[5] - times[1]) / 4
+    per = (times[9] - times[1]) / 8
     return nbytes / per
 
 
