@@ -1549,6 +1549,14 @@ class MgrepEngine:
             for r in range(len(bounds) + 1):
                 rs = _region_start(r)
                 re_x = _region_end_excl(r)
+                if (self.p_size == 1 and r < len(bounds)
+                        and not q.delimiter_opt):
+                    # m_short aborts a term STARTING at the call's
+                    # last byte (`if(text >= textend) return 0`,
+                    # newmgrep.c:1346) before num_of_matched++: an
+                    # interior trim's final byte fires in the NEXT
+                    # region's residue re-scan, not this one
+                    re_x -= 1
                 k0 = int(np.searchsorted(occ_a, rs, side="left"))
                 k1 = int(np.searchsorted(occ_a, re_x, side="left"))
                 if k0 >= k1:

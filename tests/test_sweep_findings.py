@@ -253,3 +253,23 @@ def test_dup_byte_wordbound_context(tmp_path):
                                            for k in range(24)))
     compare(["-b", "-w", "-d", "%%", "-f", str(pf2), str(p2)])
     compare(["-w", "-d", "ll", "-f", str(pf2), str(p2)])
+
+
+def test_silent_count_interior_textend_abort(tmp_path):
+    """Under SILENT, DO_OUTPUT counts once per sub-engine call then
+    returns 0 (newmgrep.c:913); m_short additionally aborts a term
+    STARTING at the call's last byte (:1346) BEFORE counting, so a
+    no-newline block whose only hit sits on the trim boundary counts
+    in the EOF rescan call, not the block call (sweep seed 550118)."""
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"abab$$" + b"koala" * 6 + b"koal")  # no newline
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"a\n")
+    compare(["-c", "-s", "-f", str(pf), str(p)])
+    compare(["-s", "-f", str(pf), str(p)])
+    p2 = tmp_path / "c2.txt"
+    p2.write_bytes(b"aa\nbb a")      # trailing residue fires its own call
+    compare(["-c", "-s", "-f", str(pf), str(p2)])
+    p3 = tmp_path / "c3.txt"
+    p3.write_bytes(b"a\n" * 33000)   # multi-block: one count per block
+    compare(["-c", "-s", "-f", str(pf), str(p3)])

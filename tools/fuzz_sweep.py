@@ -50,7 +50,7 @@ def make_corpus(r: random.Random) -> bytes:
 
 
 def make_args(r: random.Random):
-    kind = r.randrange(6)
+    kind = r.randrange(7)
     if kind == 0:
         pat = r.choice([w.decode("latin-1") for w in WORDS])
     elif kind == 1:
@@ -63,9 +63,11 @@ def make_args(r: random.Random):
                         "~hello", "alpha;~zz"])
     elif kind == 4:
         pat = "acgt" * r.randint(4, 8)          # DNA monkey4
-    else:
+    elif kind == 5:
         pat = "".join(r.choice("abcdefghijklmnop")
                       for _ in range(r.randint(21, 30)))  # monkey
+    else:
+        pat = "-" + r.choice(["ab", "hello", "a-b"])      # -e escape
     flags = []
     d = r.randrange(9)
     if d:
@@ -75,7 +77,9 @@ def make_args(r: random.Random):
             flags.append("-%d" % r.randint(1, 2))
     for f, p in (("-c", .4), ("-i", .25), ("-n", .15), ("-b", .1),
                  ("-v", .15), ("-w", .15), ("-x", .08), ("-l", .05),
-                 ("-u", .05), ("-G", .03), ("-s", .05), ("-t", .1)):
+                 ("-u", .05), ("-G", .03), ("-s", .05), ("-t", .1),
+                 ("-q", .08), ("-h", .08), ("-A", .05), ("-p", .05),
+                 ("-k", .08)):
         if r.random() < p:
             flags.append(f)
     if r.random() < 0.25:
@@ -117,6 +121,8 @@ def run_case(i, seed, tmpdir):
                                     if fl not in ("-B", "-y")]
         if r.random() < 0.05:
             flags.append(r.choice(["-CP437", "-CP850"]))
+        if pat.startswith("-"):
+            flags.append("-e")
         args = flags + [pat] + paths
     p = subprocess.run([ORACLE] + args, capture_output=True, timeout=30)
     # mirror cli.main()'s error mapping in-process (subprocess startup
