@@ -1102,9 +1102,13 @@ class SgrepEngine:
             pure_count = (o.count and not o.filename_only
                           and o.limit_output == 0
                           and o.limit_per_file == 0)
+            # m = M//(D+1) == 0 (D >= M) degenerates the filter: all
+            # SHIFT entries are 0, the 0-char hash leaves only
+            # MEMBER[0] set, and r1 = 0 makes HASH the *current* byte
+            # -- candidates fire on NUL bytes only (sgrep.c:1061,
+            # 1086-1099, 1126-1131).  Only the replay models that.
             if (q.sg_m - D <= 2 or q.delimiter_opt or pathological
-                    or (tail_ev and not pure_count)) \
-                    and q.sg_m // (D + 1) >= 1:
+                    or (tail_ev and not pure_count)):
                 # degenerate fragment lengths (m close to D) and -d
                 # records: which event triggers each output depends on
                 # the per-round machine resets and s_output's
@@ -1532,10 +1536,14 @@ class Executor:
                 q.pattern,
                 len(d_arg) if d_arg is not None else None,
                 [len(os.fsencode(f)) for f in files])
-        sink.fname = (len(files) > 1 and not o.no_filename) \
-            or o.always_filename
+        # order matters (agrep.c:3217-3219): Numfiles>1 sets FNAME,
+        # NOFILENAME clears it, ALWAYSFILENAME sets it LAST -- so -A
+        # overrides -h
+        sink.fname = len(files) > 1
         if o.no_filename:
             sink.fname = False
+        if o.always_filename:
+            sink.fname = True
         stats = os.environ.get("AGREP_TPU_STATS")
         t0 = _time.perf_counter() if stats else 0.0
         bytes_scanned = 0

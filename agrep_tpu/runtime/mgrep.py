@@ -1001,6 +1001,17 @@ class MgrepEngine:
             sink.num_matched += 1
             if o.filename_only or o.silent:
                 if o.filename_only:
+                    # FILENAMEONLY returns at the match, but every
+                    # prior NON-firing scan call already ran its
+                    # INVERSE tail flush (newmgrep.c:1024) -- those
+                    # raw region prints precede the filename line
+                    if o.invert and not o.count:
+                        if self.p_size == 1:
+                            inv_advance(_bisect.bisect_right(bounds,
+                                                             anchor))
+                        else:
+                            inv_advance(_bisect.bisect_left(bounds,
+                                                            anchor))
                     sink.write_str("%s\n" % sink.current_filename)
                     return True
                 # SILENT: DO_OUTPUT's `return 0` exits only the
@@ -1545,7 +1556,21 @@ class MgrepEngine:
             # SILENT: every scan call (block region, EOF rescan)
             # counts at most once -- DO_OUTPUT's `return 0` exits the
             # call after its first firing record (newmgrep.c:912) and
-            # the block loop moves on
+            # the block loop moves on.  SILENT is only checked AT a
+            # firing record: a call with no fire still runs the
+            # INVERSE-&&-!COUNT tail flush (newmgrep.c:1024), so -v -s
+            # prints every non-firing region in full
+            def _inv_flush(r, rs):
+                if not (o.invert and not o.count):
+                    return
+                if r == len(bounds) and final_abort:
+                    return        # the abort's return 0 skips it too
+                if (tail_ok is not None and r < len(tail_ok)
+                        and not tail_ok[r]):
+                    return
+                re_f = _region_end_excl(r)
+                if rs < re_f:
+                    sink.write(bytes(bytearray(stream[rs:re_f])))
             for r in range(len(bounds) + 1):
                 rs = _region_start(r)
                 re_x = _region_end_excl(r)
@@ -1560,12 +1585,14 @@ class MgrepEngine:
                 k0 = int(np.searchsorted(occ_a, rs, side="left"))
                 k1 = int(np.searchsorted(occ_a, re_x, side="left"))
                 if k0 >= k1:
+                    _inv_flush(r, rs)
                     continue
                 if not (is_and or is_complex):
                     sink.num_matched += 1
                     continue
                 live = np.asarray([bool(t) for t in self.terms])
                 p2 = k0
+                fired_any = False
                 while p2 < k1:
                     anchor = int(occ_a[p2])
                     _cb, _ce, gb2 = record_span(
@@ -1582,8 +1609,11 @@ class MgrepEngine:
                         fired = bool(mt[live].all())
                     if fired:
                         sink.num_matched += 1
+                        fired_any = True
                         break
                     p2 = g2
+                if not fired_any:
+                    _inv_flush(r, rs)
             return
 
         stop = False
