@@ -207,7 +207,8 @@ def make_patfile(dirpath: str) -> str:
     return p
 
 
-def make_para_corpus(dirpath: str, n_mb: int = 128) -> str:
+def make_para_corpus(dirpath: str, n_mb: int = 128,
+                     name: str = "bench_para.txt") -> str:
     """'$$'-delimited paragraph corpus (BASELINE config 5 records)."""
     import random
     rnd = random.Random(3)
@@ -222,7 +223,7 @@ def make_para_corpus(dirpath: str, n_mb: int = 128) -> str:
         paras.append(p)
         tot += len(p)
     tmpl = "".join(paras).encode()
-    path = os.path.join(dirpath, "bench_para.txt")
+    path = os.path.join(dirpath, name)
     with open(path, "wb") as f:
         for _ in range(n_mb):
             f.write(tmpl)
@@ -244,8 +245,7 @@ def bench_f100_records(para_path: str, patfile: str) -> float:
     return best
 
 
-def bench_reference(path: str, args: list | None = None) -> float:
-    """Bytes/s of the reference binary on the same corpus."""
+def _oracle_exe() -> str | None:
     exe = os.path.join(REPO, ".oracle", "agrep")
     if not os.path.exists(exe):
         try:
@@ -253,13 +253,172 @@ def bench_reference(path: str, args: list | None = None) -> float:
                 [os.path.join(REPO, "tools", "build_oracle.sh")],
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
         except Exception:
-            return 0.0
+            return None
+    return exe
+
+
+def bench_reference(path: str, args: list | None = None) -> float:
+    """Bytes/s of the reference binary on the same corpus."""
+    exe = _oracle_exe()
+    if exe is None:
+        return 0.0
     if args is None:
         args = ["-2", "-c", "matching"]
     t0 = time.perf_counter()
     subprocess.run([exe] + args + [path], capture_output=True)
     dt = time.perf_counter() - t0
     return os.path.getsize(path) / dt
+
+
+# ---------------------------------------------------------------------
+# Conformance gate (VERDICT r3 #1): before any timing row is trusted,
+# the DEVICE path (AGREP_TPU_BACKEND=jax on the real chip, i.e. the
+# Mosaic-compiled kernels, not the interpreter) must produce
+# byte-identical CLI output vs the oracle binary, and the raw kernel
+# event planes must equal the numpy backend's bit-for-bit.  A Mosaic
+# miscompile now turns the JSON's "conformance" field into
+# "FAIL:<labels>" instead of shipping silently behind a fast number.
+# ---------------------------------------------------------------------
+
+def gate_cli(args: list, label: str, failures: list) -> None:
+    """Oracle binary vs in-process device-path fileagrep, byte-equal."""
+    import io
+    from agrep_tpu.api import fileagrep
+    from agrep_tpu.options import AgrepError
+    exe = _oracle_exe()
+    if exe is None:
+        failures.append(label + ":no-oracle")
+        return
+    p = subprocess.run([exe] + args, capture_output=True)
+    o_out, o_rc = p.stdout, p.returncode & 0xFF
+    buf = io.BytesIO()
+    try:
+        m_rc = fileagrep(list(args), output=buf) & 0xFF
+    except AgrepError:
+        m_rc = 2
+    except Exception as e:
+        failures.append("%s:%s" % (label, type(e).__name__))
+        return
+    if buf.getvalue() != o_out or m_rc != o_rc:
+        failures.append(label)
+
+
+def gate_kernel_events(text: np.ndarray, D: int, costs: tuple | None,
+                       label: str, failures: list) -> None:
+    """Pallas (device) event stream == numpy backend event stream."""
+    from agrep_tpu.options import Options
+    from agrep_tpu.compile.query import compile_query
+    from agrep_tpu.ops import scan
+    opts = Options(D=D, approx=D > 0, linenum=True)
+    if costs is not None:
+        ci, cs, cd = costs
+        opts.jump = True
+        opts.cost_insert, opts.cost_subst, opts.cost_delete = ci, cs, cd
+    q = compile_query("matching", opts)
+    mt = q.folded_mask.astype(np.uint32)
+    try:
+        scan.set_backend("jax")
+        ev_dev = scan.scan_events(text, mt, q.consts, D, "bitap", q.costs)
+        scan.set_backend("numpy")
+        ev_np = scan.scan_events(text, mt, q.consts, D, "bitap", q.costs)
+    except Exception as e:
+        failures.append("%s:%s" % (label, type(e).__name__))
+        return
+    finally:
+        scan.set_backend("jax")
+    if not np.array_equal(ev_dev, ev_np):
+        failures.append(label)
+
+
+def gate_regex_lanes(text: np.ndarray, label: str, failures: list) -> None:
+    """Regex lanes kernel on device == numpy record runner."""
+    from agrep_tpu.options import Options
+    from agrep_tpu.compile.query import compile_query
+    from agrep_tpu.ops import renfa
+    from agrep_tpu.ops.renfa_kernel import pallas_scan_records
+    q = compile_query("wo(r|t)king", Options(D=2, approx=True))
+    mc = q.re_mc
+    R, L = 512, 192
+    lanes = np.ascontiguousarray(text[:R * L]).reshape(R, L).copy()
+    lanes[lanes == 0x0A] = 0x20
+    lanes[:, L - 2] = 0x0A
+    lens = np.full(R, L - 2, dtype=np.int64)
+    cs = mc["inits"]
+    try:
+        want = renfa._scan_records_np(lanes, lens, mc, cs, cs)
+        got = pallas_scan_records(lanes, lens, mc)
+    except Exception as e:
+        failures.append("%s:%s" % (label, type(e).__name__))
+        return
+    if got is None:
+        failures.append(label + ":kernel-unavailable")
+        return
+    if not np.array_equal(np.asarray(got), want):
+        failures.append(label)
+
+
+def gate_qgram(text: np.ndarray, patfile: str, label: str,
+               failures: list) -> None:
+    """Device q-gram member filter == direct numpy membership test."""
+    from agrep_tpu.compile import multi as M
+    from agrep_tpu.ops import qgram_kernel
+    terms = [ln.encode() for ln in open(patfile).read().splitlines()
+             if ln]
+    tr = np.arange(256, dtype=np.uint8)
+    tb = M.build_qgram_tables(terms, tr)
+    proj = M.member_projection_1024(tb)
+    if proj is None:
+        return   # projection not available for this table shape
+    try:
+        got = qgram_kernel.qgram_candidates(text, proj)
+    except Exception as e:
+        failures.append("%s:%s" % (label, type(e).__name__))
+        return
+    tr1 = (tr & 31).astype(np.uint32)
+    f = tr1[text]
+    prev = np.concatenate([[np.uint32(0)], f[:-1]])
+    want = np.flatnonzero(proj[(f << 5) | prev])
+    if not np.array_equal(np.asarray(got), want):
+        failures.append(label)
+
+
+def run_conformance_gate(tmpd: str, patfile: str, para_path: str,
+                         text: np.ndarray) -> str:
+    """Run every gate; returns "pass" or "FAIL:<labels>"."""
+    failures: list = []
+    conf_path = os.path.join(tmpd, "conf.txt")
+    conf_mb = 8
+    with open(conf_path, "wb") as f:
+        f.write(text[:conf_mb << 20].tobytes())
+    # CLI gates: one per benchmarked config class plus print modes,
+    # all through the real engine on the device backend.
+    gate_cli(["-c", "matching", conf_path], "cli_exact_count", failures)
+    gate_cli(["-n", "bibliography", conf_path], "cli_exact_print",
+             failures)
+    gate_cli(["-1", "-c", "matching", conf_path], "cli_sgrep_k1",
+             failures)
+    gate_cli(["-2", "-c", "matching", conf_path], "cli_k2", failures)
+    gate_cli(["-3", "-D2", "-I1", "-S1", "-c", "matching", conf_path],
+             "cli_costs", failures)
+    gate_cli(["-2", "-c", "wo(r|t)king", conf_path], "cli_regex",
+             failures)
+    gate_cli(["-c", "-f", patfile, conf_path], "cli_f100", failures)
+    gate_cli(["-c", "-d", "$$", "-f", patfile, para_path],
+             "cli_f100_records", failures)
+    # Raw kernel gates: event-plane equality vs the numpy backend.
+    # Half the bytes are the timed corpus; half are uniform random over
+    # the full 0-255 range so that compare-tree aliasing bugs (wrong
+    # equality constant, off-by-one range bound) cannot hide behind the
+    # 12-word bench vocabulary.
+    rnd = np.random.default_rng(11).integers(
+        0, 256, 2 << 20, dtype=np.uint8).astype(np.uint8)
+    ktext = np.concatenate([text[:2 << 20], rnd])
+    gate_kernel_events(ktext, 0, None, "kernel_k0", failures)
+    gate_kernel_events(ktext, 2, None, "kernel_k2", failures)
+    gate_kernel_events(ktext, 3, (1, 1, 2), "kernel_costs", failures)
+    gate_regex_lanes(ktext, "kernel_regex", failures)
+    gate_qgram(text[:1 << 20], patfile, "kernel_qgram", failures)
+    return "pass" if not failures else "FAIL:" + ",".join(failures)
 
 
 def _retry(fn, *args, tries=3):
@@ -287,6 +446,14 @@ def main():
     with open(path, "wb") as f:
         f.write(text[:ref_mb << 20].tobytes())
     patfile = make_patfile(tmpd)
+
+    # conformance gate first: every timing row below is only
+    # meaningful if the device path is byte-exact vs the oracle
+    conf_para = make_para_corpus(tmpd, n_mb=8, name="conf_para.txt")
+    conformance = _retry(run_conformance_gate, tmpd, patfile,
+                         conf_para, text, tries=2)
+    if not isinstance(conformance, str):
+        conformance = "FAIL:gate-crashed"
 
     # headline: k=2 mask-machine Pallas scan
     bps = _retry(bench_scan, text)
@@ -341,6 +508,7 @@ def main():
         "value": round(gbs, 3),
         "unit": "GB/s",
         "vs_baseline": round(vs, 2),
+        "conformance": conformance,
         "configs": configs,
     }))
 
