@@ -100,6 +100,8 @@ class MgrepEngine:
         self.total_line = 0
         self._qgram_tables = None
         self._qgram_csr = None
+        self._chain_prog = None       # exact device scan program
+        self._chain_tried = False
         self._vmode = False          # scanning a clamped virtual stream
         self._vmode_marks = None
         self._vmode_dmarks = None
@@ -123,6 +125,38 @@ class MgrepEngine:
         if n_live < ONE_PASS_MIN:
             return False
         return not any(t and b"\n" in t for t in self.terms)
+
+    def _chain_starts(self, stream: np.ndarray) -> np.ndarray | None:
+        """Exact match-start positions from the device chain kernel
+        (ops/chain_kernel.py) -- the one-pass -f scan on TPU.  Returns
+        None when off-device, the stream is small, or the term set
+        exceeds the kernel's static caps (callers fall back to the
+        native/host q-gram pass)."""
+        from ..ops import scan as scan_ops
+        interp = scan_ops._BACKEND == "interpret"
+        if not (interp or (scan_ops._BACKEND == "jax"
+                           and scan_ops._on_tpu())):
+            return None
+        if len(stream) < (1 << 16):
+            return None
+        if not self._chain_tried:
+            self._chain_tried = True
+            from ..ops import chain_kernel
+            self._chain_prog = chain_kernel.compile_chain(
+                self.terms, self.tr)
+        if self._chain_prog is None:
+            return None
+        from ..ops import chain_kernel
+        from . import trace
+        try:
+            starts = chain_kernel.chain_match_starts(
+                stream, self._chain_prog, interpret=interp)
+        except Exception:
+            return None
+        if trace.ENABLED:
+            trace.add("chain_scans")
+            trace.add("chain_hits", int(len(starts)))
+        return starts
 
     def _verify_at(self, stream, tb, anchors):
         """Winning term per candidate anchor: max pattern index whose
@@ -224,11 +258,23 @@ class MgrepEngine:
         """Matched-line COUNT via the native pass, no materialized
         occurrence table (one corpus walk, no output growth); None when
         the native library is unavailable."""
+        if len(stream) < tb.p_size:
+            return 0
+        if not self.q.opts.wordbound:
+            # device count: terms never contain \n here (the
+            # _fast_or_applicable gate), so a match lies inside one
+            # line and the count is the number of distinct lines
+            # holding an exact chain-kernel start
+            starts = self._chain_starts(stream)
+            if starts is not None:
+                if not len(starts):
+                    return 0
+                nl = np.flatnonzero(stream == 0x0A)
+                lines = np.searchsorted(nl, starts, side="right")
+                return int(len(np.unique(lines)))
         from .. import native
         if native.get_lib() is None:
             return None
-        if len(stream) < tb.p_size:
-            return 0
         b_off, b_tids, t_bytes, t_off = self._qgram_csr_tables(tb)
 
         def count_of(chunk):
@@ -286,10 +332,16 @@ class MgrepEngine:
         p = tb.p_size
         if n < p:
             return occ
+        # exact device scan: anchors are TRUE match starts, so the
+        # per-line winner reduction below verifies only real hits
+        starts = self._chain_starts(stream)
+        anchors = None
+        if starts is not None:
+            anchors = starts + (p - 1)
         # native twin: the same dense filter + bucket verify + line
         # jump as one C pass (agrep_host.cpp qgram_first_per_line)
         from .. import native
-        if native.get_lib() is not None:
+        if anchors is None and native.get_lib() is not None:
             b_off, b_tids, t_bytes, t_off = self._qgram_csr_tables(tb)
             out = native.qgram_first_per_line(
                 stream, tb.member, tb.hash_id, b_off, b_tids,
@@ -301,8 +353,7 @@ class MgrepEngine:
                     tid = int(tid)
                     occ[tid] = res_a[res_i == tid] - (p - 1)
                 return occ
-        anchors = None
-        if n >= (1 << 16):
+        if anchors is None and n >= (1 << 16):
             proj = multi_mod.member_projection_1024(tb)
             interp = scan_ops._BACKEND == "interpret"
             if proj is not None and (interp or (
@@ -552,6 +603,14 @@ class MgrepEngine:
                 self._qgram_tables = multi_mod.build_qgram_tables(
                     self.terms, self.tr)
             tb = self._qgram_tables
+            # exact device scan first: the chain kernel's starts have
+            # no false positives, so qgram_occurrences degenerates to
+            # sparse term-id attribution at true hits
+            starts = self._chain_starts(stream)
+            if starts is not None:
+                return multi_mod.qgram_occurrences(
+                    stream, self.terms, self.tr, tb,
+                    cand_anchor_rel=starts)
             occ_nat = self._all_occurrences_native(stream, tb)
             if occ_nat is not None:
                 return occ_nat

@@ -188,6 +188,55 @@ def bench_f100(path: str, patfile: str) -> float:
     return best
 
 
+def bench_f100_chain_kernel(text: np.ndarray, patfile: str) -> float:
+    """Device time of the 100-term exact chain kernel
+    (ops/chain_kernel.py) -- the one-pass -f scan with the corpus
+    resident in HBM; returns bytes/sec."""
+    import jax
+    import jax.numpy as jnp
+    from agrep_tpu.ops import chain_kernel as CK
+    from agrep_tpu.ops import kernels as K
+
+    terms = [ln.encode() for ln in open(patfile).read().splitlines()
+             if ln]
+    tr = np.arange(256, dtype=np.uint8)
+    prog = CK.compile_chain(terms, tr)
+    if prog is None:
+        return 0.0
+    eq_specs, term_specs = prog[0], prog[1]
+    N = len(text)
+    L, H = CK.LANE_BODY, CK.TAIL_HALO
+    rows = K.ROWS
+    T = -(-N // L)
+    G = -(-T // K.GLANES)
+    S = (-(-(L + H) // rows) * rows) + rows
+    wt = CK._get_tail_packer()(jnp.asarray(text), H, L, T, G, S)
+    jax.block_until_ready(wt)
+    run = CK._get_chain_kernel(eq_specs, term_specs, False, rows)
+
+    def many(b, k):
+        s = jnp.uint32(0)
+        for i in range(k):
+            # poke one halo byte per iteration to defeat CSE; the
+            # update cost is negligible vs the scan
+            bi = b.at[S - 1, 0, 0, 0].set(jnp.uint8(i & 0xFF))
+            s = s + jnp.sum(run(bi))
+        return s
+
+    times = {}
+    for k in (1, 5):
+        f = jax.jit(lambda b, k=k: many(b, k))
+        int(f(wt))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            int(f(wt))
+            ts.append(time.perf_counter() - t0)
+        times[k] = min(ts)
+    per_exec = (times[5] - times[1]) / 4
+    return N / per_exec
+
+
 def make_patfile(dirpath: str) -> str:
     import random
     rnd = random.Random(11)
@@ -357,6 +406,36 @@ def gate_regex_lanes(text: np.ndarray, label: str, failures: list) -> None:
         failures.append(label)
 
 
+def gate_chain(text: np.ndarray, patfile: str, label: str,
+               failures: list) -> None:
+    """Device chain-kernel starts == naive numpy multi-pattern oracle."""
+    from agrep_tpu.ops import chain_kernel as CK
+    terms = [ln.encode() for ln in open(patfile).read().splitlines()
+             if ln]
+    tr = np.arange(256, dtype=np.uint8)
+    prog = CK.compile_chain(terms, tr)
+    if prog is None:
+        failures.append(label + ":compile-rejected")
+        return
+    try:
+        got = CK.chain_match_starts(text, prog)
+    except Exception as e:
+        failures.append("%s:%s" % (label, type(e).__name__))
+        return
+    folded = tr[text]
+    hits = np.zeros(len(text), dtype=bool)
+    for t in terms:
+        tf = tr[np.frombuffer(t, dtype=np.uint8)]
+        L = len(tf)
+        m = np.ones(len(text) - L + 1, dtype=bool)
+        for k in range(L):
+            m &= folded[k:len(text) - L + 1 + k] == tf[k]
+        hits[:len(m)] |= m
+    want = np.flatnonzero(hits)
+    if not np.array_equal(got, want):
+        failures.append(label)
+
+
 def gate_qgram(text: np.ndarray, patfile: str, label: str,
                failures: list) -> None:
     """Device q-gram member filter == direct numpy membership test."""
@@ -418,6 +497,7 @@ def run_conformance_gate(tmpd: str, patfile: str, para_path: str,
     gate_kernel_events(ktext, 3, (1, 1, 2), "kernel_costs", failures)
     gate_regex_lanes(ktext, "kernel_regex", failures)
     gate_qgram(text[:1 << 20], patfile, "kernel_qgram", failures)
+    gate_chain(ktext, patfile, "kernel_chain", failures)
     return "pass" if not failures else "FAIL:" + ",".join(failures)
 
 
@@ -483,6 +563,16 @@ def main():
         ["-2", "-c", "wo(r|t)king"])
     cfg("f100_onepass", _retry(bench_f100, path, patfile),
         ["-c", "-f", patfile])
+    # device-resident one-pass -f scan (the chain kernel): same slope
+    # methodology as every other kernel row
+    configs["f100_chain_kernel"] = {
+        "gbs": round(_retry(bench_f100_chain_kernel, text, patfile)
+                     / 1e9, 3),
+        "ref_gbs": configs["f100_onepass"]["ref_gbs"],
+    }
+    ck = configs["f100_chain_kernel"]
+    ck["vs_ref"] = (round(ck["gbs"] / ck["ref_gbs"], 1)
+                    if ck["ref_gbs"] > 0 else 0.0)
     para = make_para_corpus(tmpd)
     configs["f100_records"] = {
         "gbs": round(_retry(bench_f100_records, para, patfile) / 1e9,
