@@ -164,8 +164,10 @@ def fileagrep(argv: list[str], output=None, verbose_total=True) -> int:
     else:
         ret = q.search_files(q.files, output)
     if q.opts.verbose > 0 and verbose_total:
-        out = output if output is not None else sys.stdout.buffer
-        out.write(b"Grand Total: %d match(es) found.\n" % ret)
+        from .parallel.multihost import is_primary
+        if is_primary():
+            out = output if output is not None else sys.stdout.buffer
+            out.write(b"Grand Total: %d match(es) found.\n" % ret)
     return ret
 
 

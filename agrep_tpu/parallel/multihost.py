@@ -23,25 +23,48 @@ import os
 import numpy as np
 
 
+_initialized = False
+
+
 def init_multihost(coordinator: str | None = None,
                    num_processes: int | None = None,
                    process_id: int | None = None) -> tuple[int, int]:
     """Initialize jax.distributed from args or the standard env vars
     (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
-    Returns (process_id, num_processes); (0, 1) when single-process."""
+    Returns (process_id, num_processes); (0, 1) when single-process.
+    Idempotent: repeated calls after a successful init are no-ops."""
+    global _initialized
     import jax
     coordinator = coordinator or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
     if coordinator is None:
         return 0, 1
+    if _initialized:
+        return jax.process_index(), jax.process_count()
     num_processes = num_processes or int(
         os.environ.get("JAX_NUM_PROCESSES", "1"))
     process_id = process_id if process_id is not None else int(
         os.environ.get("JAX_PROCESS_ID", "0"))
+    try:
+        # CPU backends need an explicit cross-process collective
+        # implementation (gloo); TPU slices ignore this knob
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
+    _initialized = True
     return jax.process_index(), jax.process_count()
+
+
+def is_primary() -> bool:
+    """True on the output-owning process (process 0), and always True
+    single-process -- gates the Grand Total line and stdout writes."""
+    if not _initialized:
+        return True
+    import jax
+    return jax.process_index() == 0
 
 
 def global_mesh():
@@ -84,6 +107,44 @@ def run_with_requeue(items: list, worker, fallback=None,
     return results
 
 
+def merge_outputs(local_blob: bytes, marks: list,
+                  local_count: int) -> tuple[bytes, int]:
+    """All-gather every process's per-file output chunks and rebuild
+    the single stream in GLOBAL file order (the reference's ordering
+    contract: file order x byte offset, agrep.c:3229-3231).
+
+    local_blob: this process's concatenated per-file output;
+    marks: (global_file_index, start_offset_in_blob) pairs, ascending;
+    Returns (merged_bytes, global_match_count) -- identical on every
+    process; only process 0 should write the bytes."""
+    import jax
+    from jax.experimental import multihost_utils
+    nproc = jax.process_count()
+    arr = np.frombuffer(local_blob, dtype=np.uint8)
+    meta = np.asarray([len(arr), len(marks), local_count],
+                      dtype=np.int64)
+    metas = np.asarray(multihost_utils.process_allgather(meta))
+    total = int(metas[:, 2].sum())
+    maxb = max(1, int(metas[:, 0].max()))
+    maxm = max(1, int(metas[:, 1].max()))
+    pb = np.zeros(maxb, dtype=np.uint8)
+    pb[:len(arr)] = arr
+    blobs = np.asarray(multihost_utils.process_allgather(pb))
+    mk = np.full((maxm, 2), -1, dtype=np.int64)
+    for i, (gi, off) in enumerate(marks):
+        mk[i] = (gi, off)
+    mks = np.asarray(multihost_utils.process_allgather(mk))
+    pieces = []
+    for p in range(nproc):
+        nb, nm = int(metas[p, 0]), int(metas[p, 1])
+        for i in range(nm):
+            gi, off = int(mks[p, i, 0]), int(mks[p, i, 1])
+            end = int(mks[p, i + 1, 1]) if i + 1 < nm else nb
+            pieces.append((gi, blobs[p, off:end].tobytes()))
+    pieces.sort(key=lambda t: t[0])
+    return b"".join(b for _, b in pieces), total
+
+
 def global_count(local_count: int, mesh=None) -> int:
     """Reduce per-host match counts to the Grand Total with a psum
     over the global mesh (single-process: identity)."""
@@ -91,7 +152,7 @@ def global_count(local_count: int, mesh=None) -> int:
     if jax.process_count() == 1 and mesh is None:
         return int(local_count)
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
     mesh = mesh or global_mesh()
     n = mesh.devices.size

@@ -1525,8 +1525,18 @@ class Executor:
         else:
             raise NotImplementedError(q.engine_class)
 
-    def run_files(self, files: list[str]) -> int:
+    def run_files(self, files: list[str], _mh: dict | None = None) -> int:
         q, o, sink = self.q, self.q.opts, self.sink
+        if (_mh is None and not getattr(self, "_mh_active", False)
+                and os.environ.get("JAX_COORDINATOR_ADDRESS")):
+            ret = self._run_files_multihost(files)
+            if ret is not None:
+                return ret
+        # under a multi-process run this process scans only its
+        # assigned files, but all GLOBAL formatting state (FNAME,
+        # file numbering, the clamp simulator's heap alignment) is
+        # derived from the full file list
+        all_files = _mh["global_files"] if _mh else files
         if q.engine_class == "bitap":
             # the clamp simulator's strncpy garble depends on the
             # reference buffer's heap placement, a function of the
@@ -1535,11 +1545,11 @@ class Executor:
             q.sim_align = oracle_buf_align(
                 q.pattern,
                 len(d_arg) if d_arg is not None else None,
-                [len(os.fsencode(f)) for f in files])
+                [len(os.fsencode(f)) for f in all_files])
         # order matters (agrep.c:3217-3219): Numfiles>1 sets FNAME,
         # NOFILENAME clears it, ALWAYSFILENAME sets it LAST -- so -A
         # overrides -h
-        sink.fname = len(files) > 1
+        sink.fname = len(all_files) > 1
         if o.no_filename:
             sink.fname = False
         if o.always_filename:
@@ -1553,9 +1563,18 @@ class Executor:
         prof.__enter__()
         stream_min = int(os.environ.get("AGREP_TPU_STREAM_MB",
                                         "8")) << 20
+        if _mh:
+            # entry state "some earlier file already printed": the
+            # globally-first record's FIRSTOUTPUT byte games are
+            # re-applied at the host merge (multihost.merge fix-up)
+            sink.first_output = False
         for i, path in enumerate(files):
+            gi = _mh["indices"][i] if _mh else i
+            if _mh:
+                _mh["boundary"](gi)
             sink.prev_num_matched = sink.num_matched
-            sink.current_filename = str(i) if o.printfilenumber else path
+            sink.current_filename = (str(gi) if o.printfilenumber
+                                     else path)
             sink.new_file = True
             try:
                 size = os.path.getsize(path)
@@ -1616,10 +1635,84 @@ class Executor:
                      scan_ops._BACKEND), file=sys.stderr)
             trace.report()
 
+        if _mh:
+            # no finish(): the EATFIRST trailing newline belongs to the
+            # merged stream (applied by the primary after the gather)
+            return sink.num_matched
         if nomatch and o.bestmatch:
             self._best_match(files)
         sink.finish()
         return sink.num_matched
+
+    def _run_files_multihost(self, files: list[str]) -> int | None:
+        """Partitioned execution under jax.distributed (SURVEY.md
+        section 5 'distributed communication backend').
+
+        Each process scans files[i] with i % nproc == process_index,
+        rendering output into per-file buffers; the buffers are
+        all-gathered and re-assembled in GLOBAL file order (the
+        reference's single-process ordering, agrep.c:3229-3231), the
+        match count is summed across processes (exit-code contract,
+        main.c:89-96), and only process 0 writes the merged stream.
+        Modes whose output or state couples files globally (-B, -L
+        limits, mgrep -v cumulative line totals, -r) run entirely on
+        process 0 instead -- correct, not partitioned.  Returns None
+        when not actually multi-process."""
+        from ..parallel import multihost
+        try:
+            pid, nproc = multihost.init_multihost()
+        except Exception:
+            return None
+        if nproc <= 1:
+            return None
+        q, o = self.q, self.q.opts
+        serial = (o.bestmatch or o.limit_output > 0
+                  or o.limit_total_file > 0 or o.limit_per_file > 0
+                  or o.recursive
+                  or (o.invert and q.engine_class == "mgrep"))
+        real_sink = self.sink
+        if serial:
+            # cross-file-coupled modes: process 0 runs the normal
+            # single-process path; others only join the reduction
+            self._mh_active = True
+            try:
+                local = self.run_files(files) if pid == 0 else 0
+            finally:
+                self._mh_active = False
+            _, total = multihost.merge_outputs(b"", [], local)
+            real_sink.num_matched = total
+            return total
+        buf = bytearray()
+        marks: list = []
+        capture = Sink(buf.extend, o)
+
+        def boundary(gi):
+            marks.append((gi, len(buf)))
+
+        mine = multihost.assign_files(files, nproc, pid)
+        self.sink = capture
+        try:
+            self.run_files([f for _, f in mine],
+                           _mh={"global_files": files,
+                                "indices": [i for i, _ in mine],
+                                "boundary": boundary})
+        finally:
+            self.sink = real_sink
+        merged, total = multihost.merge_outputs(
+            bytes(buf), marks, capture.num_matched)
+        if pid == 0:
+            # FIRSTOUTPUT fix-up (agrep.c:376, output():3820-3832):
+            # in record-print bitap modes the globally first printed
+            # record swallows its leading newline and owes a trailing
+            # one (EATFIRST) at end of search
+            if (q.engine_class == "bitap" and merged
+                    and not (o.count or o.silent or o.filename_only
+                             or o.fileout)
+                    and merged[:1] == b"\n"):
+                merged = merged[1:] + b"\n"
+            real_sink.write(merged)
+        real_sink.num_matched = total
+        return total
 
     def run_buffer(self, data: np.ndarray) -> int:
         q, o, sink = self.q, self.q.opts, self.sink

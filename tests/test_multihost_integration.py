@@ -1,0 +1,152 @@
+"""Real 2-process multihost integration (VERDICT r3 #3).
+
+Launches TWO separate CLI processes joined through jax.distributed
+(gloo CPU collectives on localhost) and asserts the merged output and
+exit code are byte-identical to a single-process run: file partition
+via assign_files, per-file output chunks all-gathered and re-assembled
+in global file order, match count psum'd (the reference's ordering and
+exit-code contract, agrep.c:3229-3231 / main.c:89-96).
+"""
+
+import os
+import random
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _env(extra):
+    env = dict(os.environ)
+    env["AGREP_TPU_BACKEND"] = "numpy"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)       # no 8-device sim: 1 device/proc
+    env.update(extra)
+    return env
+
+
+def run_single(args):
+    p = subprocess.run(
+        [sys.executable, "-m", "agrep_tpu.cli"] + args,
+        capture_output=True, env=_env({}), cwd=REPO)
+    return p.stdout, p.returncode & 0xFF
+
+
+def run_two_procs(args, timeout=180):
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = _env({
+            "JAX_COORDINATOR_ADDRESS": "127.0.0.1:%d" % port,
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "agrep_tpu.cli"] + args,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=env, cwd=REPO))
+    outs = []
+    for p in procs:
+        try:
+            out, _err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        # the gloo transport prints its connect banner on stdout; it
+        # is infrastructure noise, not agrep output
+        out = b"".join(ln for ln in out.splitlines(keepends=True)
+                       if not ln.startswith(b"[Gloo]"))
+        outs.append((out, p.returncode & 0xFF))
+    return outs
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mh")
+    rnd = random.Random(31)
+    words = ["alpha", "beta", "kernel", "device", "zeta", "engine",
+             "matching", "hello"]
+    files = []
+    for k in range(5):
+        f = d / ("f%d.txt" % k)
+        with open(f, "w") as fh:
+            for _ in range(300 + 40 * k):
+                fh.write(" ".join(rnd.choices(words,
+                                              k=rnd.randint(2, 7)))
+                         + "\n")
+        files.append(str(f))
+    pf = d / "pats.txt"
+    pf.write_text("".join(w + "\n" for w in words[:6] * 5))
+    return files, str(pf)
+
+
+@pytest.mark.parametrize("mode", [
+    "print", "count", "linenum", "inverse_count", "mgrep_count",
+    "mgrep_print", "approx_print", "filename_only",
+])
+def test_two_process_merge_equals_single(corpus, mode):
+    files, pf = corpus
+    args = {
+        "print": ["matching", *files],
+        "count": ["-c", "matching", *files],
+        "linenum": ["-n", "-i", "MATCHING", *files],
+        "inverse_count": ["-v", "-c", "matching", *files],
+        "mgrep_count": ["-c", "-f", pf, *files],
+        "mgrep_print": ["-f", pf, *files],
+        "approx_print": ["-1", "matching", *files],
+        "filename_only": ["-l", "matching", *files],
+    }[mode]
+    want_out, want_rc = run_single(args)
+    (out0, rc0), (out1, rc1) = run_two_procs(args)
+    assert out0 == want_out, mode
+    assert out1 == b"", mode          # workers own no stdout
+    assert rc0 == want_rc and rc1 == want_rc, mode
+
+
+def test_two_process_grand_total_and_serial_modes(corpus):
+    files, pf = corpus
+    # -V prints the Grand Total (psum'd); -L limits run serially on
+    # process 0 but must still match the single-process run
+    for args in (["-V1", "-c", "matching", *files],
+                 ["-L", "7:0:0", "matching", *files]):
+        want_out, want_rc = run_single(args)
+        (out0, rc0), (out1, rc1) = run_two_procs(args)
+        assert out0 == want_out, args
+        assert out1 == b"", args
+        assert rc0 == want_rc and rc1 == want_rc, args
+
+
+def test_two_process_record_delimiter(tmp_path):
+    """-d '$$' record printing across two processes: exercises the
+    FIRSTOUTPUT/EATFIRST fix-up at the merge seam."""
+    rnd = random.Random(7)
+    files = []
+    for k in range(4):
+        f = tmp_path / ("r%d.txt" % k)
+        paras = []
+        for _ in range(30):
+            lines = ["line %d %s" % (i, "matching" if
+                     rnd.random() < 0.3 else "other")
+                     for i in range(rnd.randint(1, 4))]
+            paras.append("\n".join(lines) + "\n$$\n")
+        f.write_text("".join(paras))
+        files.append(str(f))
+    args = ["-d", "$$", "matching", *files]
+    want_out, want_rc = run_single(args)
+    (out0, rc0), (out1, rc1) = run_two_procs(args)
+    assert out0 == want_out
+    assert out1 == b""
+    assert rc0 == want_rc and rc1 == want_rc
