@@ -924,6 +924,16 @@ class MgrepEngine:
                     continue
             anchor = starts + m1
             ok = (anchor >= m1 - 1) & (starts >= -dl)
+            if (not q.delimiter_opt and not memory_mode
+                    and self.p_size == 1):
+                # the stream's leading byte is the VIRTUAL context
+                # newline (text[start-1]='\n', newmgrep.c:477): record
+                # spans consult it, and monkey1's backward compare can
+                # reach it (hence starts >= -dl), but m_short probes
+                # candidates AT their start byte from `start` onward --
+                # a '\n'-leading term (the prepf ^/$ translation,
+                # newmgrep.c:325-326) cannot start on the virtual byte
+                ok &= starts >= 1
             starts = starts[ok]
             anchor = anchor[ok]
             if q.delimiter_opt and not memory_mode and delim_marks \
@@ -1030,6 +1040,24 @@ class MgrepEngine:
             b, e = _mgrep_record_span(stream, nl, delim_ends, anchor,
                                       q, base, len(data), lo, hi)
             gb = e
+            if (self.p_size == 1 and not q.delimiter_opt
+                    and not self._vmode and not memory_mode and bounds
+                    and anchor <= bounds[-1]):
+                # m_short trim-byte abort + refire (newmgrep.c:1345):
+                # a SHORT term matching AT a block call's last scanned
+                # byte (the trim newline) aborts that call before
+                # output -- its record is never printed at full span.
+                # The residue copy rescans the same byte as the NEXT
+                # call's first position, where curtextbegin is pinned
+                # at textbegin (+1 past the newline) and curtextend is
+                # bounded by that call's own trim: the record that
+                # actually prints is the residue-clipped one.
+                ri = _bisect.bisect_left(bounds, anchor)
+                if (ri < len(bounds) and bounds[ri] == anchor
+                        and int(stream[anchor]) == 0x0A):
+                    b = max(b, anchor + 1)
+                    e = min(e, _region_end_excl(ri + 1))
+                    gb = e
             if self._vmode and self._vmode_marks:
                 # records never cross a scan region (curtextbegin/end
                 # bounded by textbegin/textend, newmgrep.c:880-886)
@@ -1756,8 +1784,26 @@ class MgrepEngine:
                 stop = do_output(idx, anchor, cur_begin, cur_end, True)
                 if self.p_size == 1:
                     short_drift[0] += 1
-                pos = max(int(np.searchsorted(occ_a, gbound,
+                nxt = max(int(np.searchsorted(occ_a, gbound,
                                               side="left")), pos + 1)
+                if (self.p_size == 1 and not q.delimiter_opt
+                        and not self._vmode and not memory_mode
+                        and bounds):
+                    # a record-jump inside call r skips only call r's
+                    # scan: a SHORT term anchored ON the trim newline
+                    # (= call r+1's first rescanned byte) still fires
+                    # in call r+1 with the residue-clipped span (the
+                    # record_span trim-refire rule above)
+                    mb = gbound - 1
+                    ri2 = _bisect.bisect_left(bounds, mb)
+                    if (ri2 < len(bounds) and bounds[ri2] == mb
+                            and int(stream[mb]) == 0x0A):
+                        k_m = int(np.searchsorted(occ_a, mb,
+                                                  side="left"))
+                        if (pos < k_m < nxt and k_m < n_occ
+                                and int(occ_a[k_m]) == mb):
+                            nxt = k_m
+                pos = nxt
         else:
             # AND / complex tree: group occurrences into records (the
             # crossing test `anchor >= cur_end` == searchsorted jump),

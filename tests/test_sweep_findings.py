@@ -273,3 +273,49 @@ def test_silent_count_interior_textend_abort(tmp_path):
     p3 = tmp_path / "c3.txt"
     p3.write_bytes(b"a\n" * 33000)   # multi-block: one count per block
     compare(["-c", "-s", "-f", str(pf), str(p3)])
+
+
+def test_mshort_trim_abort_clips_refire_record(tmp_path):
+    """A SHORT term matching AT a block call's trim newline aborts the
+    call before output (newmgrep.c:1345); the residue copy rescans the
+    byte as the NEXT call's first position, where the record span is
+    pinned past the newline and clipped to that call's trim -- the
+    record that prints is the residue-clipped one, never the full one
+    (sweep seeds 19/20: '$a' patterns translate to '\\na' and anchor on
+    trim newlines)."""
+    # block1 = [0, 32768): newline-rich filler; last nl near the end.
+    # block2: a record whose trailing newline IS the trim byte, with
+    # 'a ' after it so the '\na' pattern matches at the trim.
+    body = (b"xx yy zz ww\n" * 2800)[:32760] + b"junk999\n"  # 32768
+    tail = b"alpha middle words$$\na "
+    p = tmp_path / "c.txt"
+    p.write_bytes(body + tail)
+    pf = tmp_path / "p.txt"
+    # 'z' (len 1) forces m_short; '$a' -> '\na'; 'alpha' makes the
+    # clipped-vs-full record difference observable
+    pf.write_bytes(b"z\n$a\nalpha\n")
+    compare(["-f", str(pf), str(p)])
+    compare(["-c", "-f", str(pf), str(p)])
+    # same shape against an interior (non-final) block boundary
+    body2 = body + b"alpha mid$$\na " + (b"qq rr ss tt\n" * 2800)[:32726]
+    p2 = tmp_path / "c2.txt"
+    p2.write_bytes(body2 + b"ending line\n")
+    compare(["-f", str(pf), str(p2)])
+
+
+def test_leading_virtual_newline_not_matchable(tmp_path):
+    """text[start-1]='\\n' (newmgrep.c:477) is record-span CONTEXT, not
+    scannable data: a '\\n'-leading term (prepf's ^/$ translation) must
+    not match with its newline on the virtual byte before the file's
+    first character (sweep seeds 43/65/89/122)."""
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"a first line\nsecond a line\na third\n")
+    pf = tmp_path / "p.txt"
+    # '$a' -> '\na'; 'z' keeps m_short; file STARTS with 'a'
+    pf.write_bytes(b"z\n$a\nq0\n")
+    compare(["-f", str(pf), str(p)])
+    compare(["-c", "-f", str(pf), str(p)])
+    # monkey1 variant (p_size > 1): '\n'-leading 3-char term
+    pf2 = tmp_path / "p2.txt"
+    pf2.write_bytes(b"$a f\nqq0\n")
+    compare(["-f", str(pf2), str(p)])
