@@ -760,68 +760,98 @@ class MgrepEngine:
                 # delimiter appended (:573-575) only when >1 byte, so
                 # anchors past the final trim are seen only by that
                 # rescan.
-                ow, delim_marks, trim_end, live_append, raw_dends = \
-                    _mgrep_blocks_delim(data, q.delim, q.outtail)
-                fname = getattr(data, "filename", None)
-                if fname is not None and not memory_mode:
-                    # copy-on-write map: only the pages dirtied by the
-                    # block-start overwrites get private copies --
-                    # data.copy() on a multi-GB file costs more in
-                    # first-touch faults than the entire scan
-                    head = np.memmap(fname, dtype=np.uint8,
-                                     mode="c")[:len(data)]
+                if _delim_clamp_hit(data, q.delim, q.outtail):
+                    # clamped residues (start<0, newmgrep.c:557-559):
+                    # the stitched scan regions are NOT contiguous
+                    # data -- bytes drop, the head splice lands inside
+                    # block data, NULs truncate carries.  Search the
+                    # virtual stream the reference actually scanned;
+                    # splices/losses are embedded, so the overwrite
+                    # machinery below is bypassed.
+                    V, delim_marks, trim_end, live_append, nlc = \
+                        _mgrep_delim_clamp_sim(data, q.delim,
+                                               q.outtail)
+                    if o.invert and o.count and not self._vmode:
+                        self.total_line += nlc
+                    dpat = np.frombuffer(q.delim, dtype=np.uint8)
+                    count_fast = (
+                        o.count and not o.invert
+                        and not o.filename_only and not o.silent
+                        and o.limit_output <= 0
+                        and o.limit_per_file <= 0 and self.p_size > 1
+                        and q.bool_tree is None and q.bool_op != "and"
+                        and not o.multi_output)
+                    virt_append = live_append and count_fast
+                    data = V
+                    if live_append and not virt_append:
+                        stream = np.concatenate([V, dpat])
+                    else:
+                        stream = V
+                    base = 0
+                    clamped = True
                 else:
-                    head = data.copy()
-                dpat = np.frombuffer(q.delim, dtype=np.uint8)
-                if ow and dl == 1:
-                    head[np.asarray(ow, dtype=np.int64)] = dpat[0]
-                elif ow:
-                    owa = np.asarray(ow, dtype=np.int64)
-                    idx = (owa[:, None]
-                           + np.arange(dl, dtype=np.int64)).ravel()
-                    val = np.tile(dpat, len(owa))
-                    inb = idx < len(data)
-                    head[idx[inb]] = val[inb]
-                # countline (newmgrep.c:518) sees the head overwrites
-                # (:512) but runs BEFORE the residue strncpy (:560):
-                # capture the inverse line count pre-clamp
-                if o.invert and o.count and not self._vmode:
-                    self.total_line += int(
-                        np.count_nonzero(head == 0x0A))
-                # strncpy residue carries (newmgrep.c:560, :585): a
-                # NUL inside a block's residue zero-fills the rest of
-                # the carried copy -- the next scan (or the EOF
-                # rescan) sees zeros where the raw bytes were
-                clamped = False
-                B2c = 2 * 16384
-                spans = [(mk, min((mk // B2c + 1) * B2c, len(data)))
-                         for mk in delim_marks]
-                if trim_end is not None:
-                    spans.append((trim_end, len(data)))
-                for s_lo, s_hi in spans:
-                    if s_hi - s_lo <= 1:
-                        continue
-                    seg = np.asarray(head[s_lo:s_hi])
-                    z = np.flatnonzero(seg == 0)
-                    if len(z) and s_lo + int(z[0]) + 1 < s_hi:
-                        head[s_lo + int(z[0]):s_hi] = 0
-                        clamped = True
-                # flat-OR count never slices records out of the
-                # stream, so the EOF-rescan delimiter can stay
-                # virtual: the event pass handles the tail in a small
-                # edge window instead of a whole-file concatenate
-                count_fast = (
-                    o.count and not o.invert and not o.filename_only
-                    and not o.silent and o.limit_output <= 0
-                    and o.limit_per_file <= 0 and self.p_size > 1
-                    and q.bool_tree is None and q.bool_op != "and"
-                    and not o.multi_output)
-                virt_append = live_append and count_fast
-                if live_append and not virt_append:
-                    stream = np.concatenate([head, dpat])
-                else:
-                    stream = head
-                base = 0
+                    ow, delim_marks, trim_end, live_append, raw_dends = \
+                        _mgrep_blocks_delim(data, q.delim, q.outtail)
+                    fname = getattr(data, "filename", None)
+                    if fname is not None and not memory_mode:
+                        # copy-on-write map: only the pages dirtied by the
+                        # block-start overwrites get private copies --
+                        # data.copy() on a multi-GB file costs more in
+                        # first-touch faults than the entire scan
+                        head = np.memmap(fname, dtype=np.uint8,
+                                         mode="c")[:len(data)]
+                    else:
+                        head = data.copy()
+                    dpat = np.frombuffer(q.delim, dtype=np.uint8)
+                    if ow and dl == 1:
+                        head[np.asarray(ow, dtype=np.int64)] = dpat[0]
+                    elif ow:
+                        owa = np.asarray(ow, dtype=np.int64)
+                        idx = (owa[:, None]
+                               + np.arange(dl, dtype=np.int64)).ravel()
+                        val = np.tile(dpat, len(owa))
+                        inb = idx < len(data)
+                        head[idx[inb]] = val[inb]
+                    # countline (newmgrep.c:518) sees the head overwrites
+                    # (:512) but runs BEFORE the residue strncpy (:560):
+                    # capture the inverse line count pre-clamp
+                    if o.invert and o.count and not self._vmode:
+                        self.total_line += int(
+                            np.count_nonzero(head == 0x0A))
+                    # strncpy residue carries (newmgrep.c:560, :585): a
+                    # NUL inside a block's residue zero-fills the rest of
+                    # the carried copy -- the next scan (or the EOF
+                    # rescan) sees zeros where the raw bytes were
+                    clamped = False
+                    B2c = 2 * 16384
+                    spans = [(mk, min((mk // B2c + 1) * B2c, len(data)))
+                             for mk in delim_marks]
+                    if trim_end is not None:
+                        spans.append((trim_end, len(data)))
+                    for s_lo, s_hi in spans:
+                        if s_hi - s_lo <= 1:
+                            continue
+                        seg = np.asarray(head[s_lo:s_hi])
+                        z = np.flatnonzero(seg == 0)
+                        if len(z) and s_lo + int(z[0]) + 1 < s_hi:
+                            head[s_lo + int(z[0]):s_hi] = 0
+                            clamped = True
+                    # flat-OR count never slices records out of the
+                    # stream, so the EOF-rescan delimiter can stay
+                    # virtual: the event pass handles the tail in a small
+                    # edge window instead of a whole-file concatenate
+                    count_fast = (
+                        o.count and not o.invert and not o.filename_only
+                        and not o.silent and o.limit_output <= 0
+                        and o.limit_per_file <= 0 and self.p_size > 1
+                        and q.bool_tree is None and q.bool_op != "and"
+                        and not o.multi_output)
+                    virt_append = live_append and count_fast
+                    if live_append and not virt_append:
+                        stream = np.concatenate([head, dpat])
+                    else:
+                        stream = head
+                    base = 0
             else:
                 stream = np.concatenate([
                     np.frombuffer(b"\n", dtype=np.uint8), data,
@@ -2118,6 +2148,115 @@ def _mgrep_block_ends(data: np.ndarray) -> list:
             marks.append(e)
         end_g = e
     return marks
+
+
+def _delim_clamp_hit(data, delim, outtail) -> bool:
+    """True when any -d block residue exceeds MAXLINE=1024, i.e. the
+    `start = MAXLINE - residue` computation goes negative and the
+    reference clamps it to 1 (newmgrep.c:557-559), losing residue
+    bytes and displacing the head splice.  Block trim positions are
+    derivable from RAW data even under clamps (the trim search at
+    :503 scans only the fresh read), so detection is exact."""
+    BLK = 2 * 16384
+    dl = len(delim)
+    N = len(data)
+    all_dends = _find_delims_arr(data, delim)
+    starts = np.arange(0, N, BLK, dtype=np.int64)
+    ends_in = np.minimum(starts + BLK, N) - 1
+    if len(all_dends):
+        j1 = np.searchsorted(all_dends, starts + dl - 1, side="left")
+        j2 = np.searchsorted(all_dends, ends_in, side="right") - 1
+        has = j2 >= j1
+        le = np.where(has, all_dends[np.clip(j2, 0,
+                                             len(all_dends) - 1)], -1)
+    else:
+        has = np.zeros(len(starts), dtype=bool)
+        le = np.full(len(starts), -1, dtype=np.int64)
+    if outtail:
+        t_arr = np.where(has, le, -1)
+    else:
+        ok = has & ((le - dl + 1) - starts >= dl)
+        t_arr = np.where(ok, le - dl, -1)
+    trims = np.where(t_arr >= 0, t_arr, ends_in)
+    residues = ends_in - trims + 1
+    return bool((residues > 1024).any())
+
+
+def _mgrep_delim_clamp_sim(data, delim, outtail):
+    """Faithful byte-level simulation of mgrep()'s -d block loop
+    (newmgrep.c:476-585) for runs with clamped residues: one
+    persistent buffer reproduces the residue strncpy (incl. NUL
+    truncation), the start<0 clamp's byte loss, the head splice
+    landing inside block data, and read-clobber interactions.
+
+    Returns (V, marks, trim_end, live_append, nl_count): V is the
+    concatenation of every scan call's [start, end] span in the
+    OVERLAP model (each seam's duplicated trim byte appears once,
+    shared -- the walk's existing region convention); marks/trim_end
+    are V offsets with _mgrep_blocks_delim semantics; nl_count is
+    countline's total (newlines per fresh block after the splices,
+    newmgrep.c:518)."""
+    MAXLINE = 1024
+    BLK = 2 * 16384
+    dl = len(delim)
+    N = len(data)
+    dpat = np.frombuffer(delim, dtype=np.uint8)
+    buf = np.zeros(MAXLINE + BLK + dl + 4, dtype=np.uint8)
+    pieces = []
+    start, residue, pos = MAXLINE, 0, 0
+    nl_count = 0
+    while pos < N:
+        num_read = min(BLK, N - pos)
+        buf[MAXLINE:MAXLINE + num_read] = data[pos:pos + num_read]
+        buf_end = MAXLINE + num_read - 1
+        # backward_delimiter over the fresh read (delim.c:75-95)
+        seg_ends = _find_delims_arr(buf[MAXLINE:buf_end + 1], delim)
+        newbuf = buf_end + 1
+        if len(seg_ends):
+            nb = MAXLINE + int(seg_ends[-1]) - dl + 1   # last start
+            cand = nb + (dl if outtail else 0)
+            if cand >= MAXLINE + dl:
+                newbuf = cand
+        end = newbuf - 1
+        if start > dl:
+            buf[start - dl:start] = dpat
+        buf[start + residue:start + residue + dl] = dpat
+        nl_count += int(np.count_nonzero(
+            buf[MAXLINE:MAXLINE + num_read] == 0x0A))
+        pieces.append(buf[start:end + 1].copy())
+        residue = buf_end - end + 1
+        ns = MAXLINE - residue
+        if ns < 0:
+            ns = 1
+        src = buf[end:end + residue].copy()
+        z = np.flatnonzero(src == 0)
+        if len(z):                    # strncpy NUL truncation
+            src[int(z[0]):] = 0
+        buf[ns:ns + residue] = src
+        start = ns
+        pos += num_read
+    live_append = False
+    if residue > 1:                   # EOF residue rescan (:577)
+        if start > dl:
+            buf[start - dl:start] = dpat
+        buf[start + residue:start + residue + dl] = dpat
+        live_append = True
+        # scan span ends at start+residue (the first appended-delim
+        # byte); the caller materializes the appended delimiter, so
+        # the piece carries the residue only
+        pieces.append(buf[start:start + residue].copy())
+    parts = [pieces[0]]
+    marks = []
+    off = len(pieces[0])
+    for pc in pieces[1:]:
+        marks.append(off - 1)         # the shared duplicated byte
+        parts.append(pc[1:])
+        off += len(pc) - 1
+    V = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
+    trim_end = marks.pop() if live_append and marks else None
+    if live_append and trim_end is not None:
+        marks.append(trim_end)        # _mgrep_blocks_delim keeps it
+    return V, marks, trim_end, live_append, nl_count
 
 
 def _mgrep_blocks_delim(data, delim, outtail):

@@ -319,3 +319,31 @@ def test_leading_virtual_newline_not_matchable(tmp_path):
     pf2 = tmp_path / "p2.txt"
     pf2.write_bytes(b"$a f\nqq0\n")
     compare(["-f", str(pf2), str(p)])
+
+
+def test_delim_clamped_residue_virtual_stream(tmp_path):
+    """-d residues beyond MAXLINE=1024 clamp start to 1
+    (newmgrep.c:557-559): residue bytes past 1023 are clobbered by the
+    next read, and the head splice memcpy lands INSIDE the new block's
+    data.  The engine must search the stitched virtual stream the
+    reference actually scanned (sweep seeds 30/274/276... -- 21 cases
+    in the round-4 targeted sweep)."""
+    import random
+    rnd = random.Random(99)
+    words = [b"alpha", b"xy", b"a", b"zz", b"ab", b"o", b"l"]
+    out = bytearray()
+    # sparse 'll' delimiters leave >1KB residues at 32KB boundaries
+    while len(out) < 40000:
+        out += b" ".join(rnd.choice(words) for _ in range(8))
+        out += b"ll" if rnd.random() < 0.02 else b" "
+    p = tmp_path / "c.txt"
+    p.write_bytes(bytes(out[:40000]))
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"a\nalpha\nzz\nxy\n")
+    compare(["-d", "ll", "-f", str(pf), str(p)])
+    compare(["-c", "-d", "ll", "-f", str(pf), str(p)])
+    compare(["-v", "-c", "-d", "ll", "-f", str(pf), str(p)])
+    # monkey1 variant (p_size > 1)
+    pf2 = tmp_path / "p2.txt"
+    pf2.write_bytes(b"alpha\nzz\nxy\n")
+    compare(["-d", "ll", "-f", str(pf2), str(p)])
