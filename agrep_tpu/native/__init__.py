@@ -1,9 +1,10 @@
 """ctypes bindings for the native host runtime (agrep_host.cpp).
 
-The library is built on demand by tools/build_native.sh (g++ -O3
--shared); when it is missing and no compiler is available, callers fall
-back to the pure-Python implementations in runtime/sgrep_sim.py --
-identical semantics, just slower on large inputs.
+The library is built on demand by _build() below (one g++ -O3 -shared
+invocation, re-run whenever the source is newer than the .so); when no
+compiler is available, callers fall back to the pure-Python
+implementations in runtime/sgrep_sim.py -- identical semantics, just
+slower on large inputs.
 """
 
 from __future__ import annotations
@@ -40,7 +41,11 @@ def get_lib():
     if _tried:
         return None
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_HERE, "agrep_host.cpp")
+    stale = (not os.path.exists(_LIB_PATH)
+             or (os.path.exists(src) and os.path.getmtime(src)
+                 > os.path.getmtime(_LIB_PATH)))
+    if stale:
         if not _build():
             return None
     try:
@@ -66,10 +71,11 @@ def get_lib():
                                      i64]
     lib.verify_dp.restype = i64
     lib.verify_dp.argtypes = [i64, i64, i64, u8p, u8p, i64]
+    u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
     lib.agrep_count_walk.restype = i64
     lib.agrep_count_walk.argtypes = [i64p, i64p, i64, i64p, i64, i64,
-                                     i64, i64]
-    u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
+                                     i64, i64, u8p, i64, i64, u32p,
+                                     ctypes.c_uint32]
     lib.agrep_rounds.restype = i64
     lib.agrep_rounds.argtypes = [u8p, i64, i64, i64, i64p, i64, u32p,
                                  ctypes.c_uint32, i64, u8p, i64,
@@ -486,7 +492,8 @@ def agrep_rounds(buf: np.ndarray, tb: int, te: int, cands: np.ndarray,
 
 def agrep_count_walk(events: np.ndarray, rec_ends: np.ndarray,
                      cands: np.ndarray, lo_g: int, m_pat: int,
-                     D: int) -> int | None:
+                     D: int, buf: np.ndarray, tb: int,
+                     maskI: np.ndarray, endpos: int) -> int | None:
     lib = get_lib()
     if lib is None:
         return None
@@ -494,7 +501,9 @@ def agrep_count_walk(events: np.ndarray, rec_ends: np.ndarray,
         np.ascontiguousarray(events, dtype=np.int64),
         np.ascontiguousarray(rec_ends, dtype=np.int64), len(events),
         np.ascontiguousarray(cands.reshape(-1), dtype=np.int64),
-        len(cands), lo_g, m_pat, D))
+        len(cands), lo_g, m_pat, D,
+        np.ascontiguousarray(buf, dtype=np.uint8), len(buf), tb,
+        np.ascontiguousarray(maskI, dtype=np.uint32), endpos))
 
 
 def qgram_occ_all(stream: np.ndarray, member: np.ndarray,

@@ -177,12 +177,45 @@ int64_t agrep_candidates(const uint8_t* buf, int64_t buflen,
 // the jumped-over span are never seen.
 // ---------------------------------------------------------------
 
+// Post-jump verification (sgrep.c:1201-1204): after a pulse the round
+// machine resets every word to ~0 -- the UNSEEDED state -- and jumps to
+// the record end.  A dense-scan event within m+D+2 bytes of the jump
+// target may rely on skipped bytes / seeding the fresh machine lacks:
+// replay the reference machine from the jump target and check the pulse.
+static int fresh_pulse_ok(const uint8_t* buf, int64_t blen, int64_t tb,
+                          int64_t frm, int64_t e,
+                          const uint32_t* maskI, uint32_t endpos,
+                          int64_t D) {
+    uint32_t R1[9], R2[9];
+    for (int64_t k = 0; k <= D; k++) R1[k] = R2[k] = 0xFFFFFFFFu;
+    int half = 0;
+    for (int64_t t = frm; t <= e; t++) {
+        int64_t bi = tb + t;
+        uint32_t c = (bi >= 0 && bi < blen) ? buf[bi] : 0;
+        if (c == 0x0A)
+            for (int64_t k = 0; k <= D; k++) R1[k] = R2[k] = 0xFFFFFFFFu;
+        uint32_t r1 = maskI[c];
+        uint32_t* A = half ? R2 : R1;
+        uint32_t* B = half ? R1 : R2;
+        A[0] = (B[0] >> 1) | r1;
+        for (int64_t k = 1; k <= D; k++)
+            A[k] = ((B[k] >> 1) | r1) & B[k - 1]
+                   & ((A[k - 1] & B[k - 1]) >> 1);
+        if (t == e) return (A[D] & endpos) == 0;
+        half ^= 1;
+    }
+    return 0;
+}
+
 int64_t agrep_count_walk(const int64_t* events, const int64_t* rec_ends,
                          int64_t n_ev, const int64_t* cand,
                          int64_t n_cand, int64_t lo_g, int64_t m_pat,
-                         int64_t D) {
+                         int64_t D, const uint8_t* buf, int64_t blen,
+                         int64_t tb, const uint32_t* maskI,
+                         uint32_t endpos) {
     int64_t count = 0;
     int64_t lastend = 0;
+    int64_t win = m_pat + D + 2;
     for (int64_t c = 0; c < n_cand; c++) {
         int64_t clo = cand[2 * c], chi = cand[2 * c + 1];
         if (clo < 0) clo = 0;
@@ -197,6 +230,7 @@ int64_t agrep_count_walk(const int64_t* events, const int64_t* rec_ends,
         }
         int64_t k = lo;
         int64_t i = clo;
+        int64_t fresh_from = -1;
         // the round body is 2x-unrolled with the bound checked once
         // per PAIR (sgrep.c:1175-1238): after a count-jump in the
         // first half the second half still consumes one byte -- even
@@ -204,12 +238,21 @@ int64_t agrep_count_walk(const int64_t* events, const int64_t* rec_ends,
         while (i < chi) {
             for (int half = 0; half < 2; half++) {
                 while (k < n_ev && events[k] < lo_g + i) k++;
-                if (k < n_ev && events[k] == lo_g + i && i + 1 >= warm) {
+                int hit = (k < n_ev && events[k] == lo_g + i
+                           && i + 1 >= warm);
+                if (hit && fresh_from >= 0 && i - fresh_from < win
+                        && !fresh_pulse_ok(buf, blen, tb, fresh_from,
+                                           i, maskI, endpos, D)) {
+                    hit = 0;
+                    k++;            // event consumed, not counted
+                }
+                if (hit) {
                     count++;
                     int64_t idx = i + 1;
                     if (idx <= lastend) i = lastend;
                     else i = rec_ends[k] - lo_g;
                     lastend = i;
+                    fresh_from = i;
                     k++;
                 } else {
                     i++;

@@ -114,16 +114,31 @@ def _get_lanes_kernel(D: int, M: int, bit_ranges: tuple,
                 cm = cm | (hit.astype(jnp.uint32) & jnp.uint32(bitval))
             return cm
 
+        # Glushkov follow sets are mostly LINEAR (position p feeds only
+        # p+1 -- plain concatenation); those entries collapse into one
+        # masked shift.  Only genuinely nonlinear entries (closures,
+        # alternations, epsilon tails) pay a per-entry sign spread, so
+        # nxt costs 2 + 3*(#metachar edges) ops instead of 4*(M-1).
+        lin_src = 0
+        nonlin = []
+        for p in range(1, M):
+            fb = follow_bits[p]
+            if fb == 0:
+                continue
+            nb = 1 << (M - p - 1)
+            if fb & nb:
+                lin_src |= 1 << (M - p)
+                rest = fb & ~nb
+            else:
+                rest = fb
+            if rest:
+                nonlin.append((M - p, rest))
+
         def nxt(state):
-            # follow-set union: each position's test is a static-bit
-            # sign spread (2 ops), not a 4-op nonzero mask
-            acc = jnp.zeros((SUB, LANE), dtype=jnp.uint32) \
-                | jnp.uint32(head_bit)
-            for p in range(1, M):
-                fb = follow_bits[p]
-                if fb == 0:
-                    continue
-                acc = acc | (bit_mask(state, M - p) & jnp.uint32(fb))
+            acc = (((state & jnp.uint32(lin_src)) >> 1)
+                   | jnp.uint32(head_bit))
+            for b, fbv in nonlin:
+                acc = acc | (bit_mask(state, b) & jnp.uint32(fbv))
             return acc
 
         u_init1 = jnp.uint32(init1)

@@ -89,11 +89,14 @@ def scan_events(text: np.ndarray, mask_table: np.ndarray, consts: dict,
             # Pallas-rejected shapes on TPU: the XLA lax.scan path's
             # ~2000-step while loop runs ~0.1 GB/s -- slower than the
             # vectorized host backend.  Route to numpy and say so.
+            if trace.ENABLED:
+                trace.add("pallas_reject_%s" % _last_reject[0])
+                trace.add("host_fallback_bytes", N)
             if os.environ.get("AGREP_TPU_STATS"):
                 import sys
                 print("agrep-tpu stats: query not kernel-eligible "
-                      "(costs/part-bits/mask shape); using vectorized "
-                      "host backend", file=sys.stderr)
+                      "(%s); using vectorized host backend"
+                      % _last_reject[0], file=sys.stderr)
             use_numpy = True
     if use_numpy and N >= (1 << 20):
         # sequential C twin of the windowed machine: exact whenever
@@ -227,6 +230,9 @@ def _on_tpu() -> bool:
         return False
 
 
+_last_reject = ["none"]    # reason of the most recent _try_pallas None
+
+
 def _try_pallas(text, mask_table, consts, D, W, L, N, variant, costs,
                 interpret=False):
     """The TPU fast path: the fused Pallas kernel (ops/kernels.py).
@@ -244,11 +250,14 @@ def _try_pallas(text, mask_table, consts, D, W, L, N, variant, costs,
     through the Pallas interpreter on CPU -- the conformance suite's
     hook for exercising the production kernel path without a TPU."""
     if variant not in ("bitap", "sgrep"):
+        _last_reject[0] = "variant"
         return None
     if costs is not None and variant != "bitap":
+        _last_reject[0] = "costs-variant"
         return None   # costs exist only in the mask machine (asearch1)
     endpos = int(consts.get("endpos", 0))
     if endpos == 0:
+        _last_reject[0] = "no-endpos"
         return None
     single = (endpos & (endpos - 1)) == 0
     ep_bits: tuple = ()
@@ -257,8 +266,10 @@ def _try_pallas(text, mask_table, consts, D, W, L, N, variant, costs,
         # one packed hit plane per part bit
         ep_bits = tuple(1 << b for b in range(32) if endpos & (1 << b))
         if len(ep_bits) > 12:
+            _last_reject[0] = "part-bits"
             return None
     if not interpret and not _on_tpu():
+        _last_reject[0] = "off-tpu"
         return None
     from . import kernels
     out = kernels.pallas_scan_stream(text, mask_table, consts, D, W, L,
@@ -266,6 +277,7 @@ def _try_pallas(text, mask_table, consts, D, W, L, N, variant, costs,
                                      interpret=interpret,
                                      costs=costs)
     if out is None:
+        _last_reject[0] = "mask-ranges"
         return None
     d, hs = out
     if variant == "sgrep":

@@ -1108,14 +1108,17 @@ class SgrepEngine:
             # -- candidates fire on NUL bytes only (sgrep.c:1061,
             # 1086-1099, 1126-1131).  Only the replay models that.
             if (q.sg_m - D <= 2 or q.delimiter_opt or pathological
-                    or (tail_ev and not pure_count)):
-                # degenerate fragment lengths (m close to D) and -d
-                # records: which event triggers each output depends on
-                # the per-round machine resets and s_output's
-                # forward/backward_delimiter jumps, which the
+                    or not pure_count or tail_ev):
+                # degenerate fragment lengths (m close to D), -d
+                # records, and EVERY print mode: which event triggers
+                # each output depends on the per-round machine resets
+                # (incl. the post-jump reset to the UNSEEDED ~0 state,
+                # sgrep.c:1201-1204) and s_output's jumps, which the
                 # event-list proxy cannot model -- replay the exact
                 # round machine on the host and drive output from its
-                # s_output events
+                # s_output events.  Pure counting keeps the proxy
+                # (AgrepCountWalker), whose post-jump window events
+                # are re-verified against the fresh machine.
                 c_count, walk_pos, walk_spans, walk_raw = \
                     sgrep_sim.agrep_exact(
                         data, q.sg_pattern, D, q.sg_mask,

@@ -1437,6 +1437,19 @@ class MgrepEngine:
                     amatched[:] = False
                     return False
 
+                def region_fired_exit():
+                    # SILENT: DO_OUTPUT's `return 0` exits the call
+                    # BEFORE its INVERSE tail flush (newmgrep.c:912 vs
+                    # :1024) -- a firing call prints no complement at
+                    # all; advance past this region without printing
+                    nonlocal r_cur, lastout
+                    if o.invert and not o.count:
+                        r_cur = r + 1
+                        lastout = (_region_start(r + 1)
+                                   if r + 1 <= len(bounds)
+                                   else final_end)
+                    return False
+
                 nv = tb_region if short_mode else tb_region + m1w - 1
                 j = int(np.searchsorted(wa, nv, side="left"))
                 while True:
@@ -1458,7 +1471,7 @@ class MgrepEngine:
                                 vc = None
                             fr = flush(vc)
                             if fr == "region":
-                                return False
+                                return region_fired_exit()
                             if fr:
                                 return True
                             break
@@ -1476,7 +1489,7 @@ class MgrepEngine:
                             fr = flush(cbo_at(v) if short_mode
                                        else None)
                             if fr == "region":
-                                return False
+                                return region_fired_exit()
                             if fr:
                                 return True
                     if a is None:
@@ -1545,7 +1558,7 @@ class MgrepEngine:
                         rc3 = do_output(idx, a, curb, cure, True,
                                         cbo_out if short_mode else None)
                         if rc3 == "region":
-                            return False      # next scan call
+                            return region_fired_exit()      # next scan call
                         if rc3:
                             return True
                         if o.multi_output:
@@ -1574,7 +1587,7 @@ class MgrepEngine:
                     if DOW and post >= cure - 1:
                         fr = flush(cbo_post if short_mode else None)
                         if fr == "region":
-                            return False
+                            return region_fired_exit()
                         if fr:
                             return True
                     if ((is_and or is_complex) and not out_fired

@@ -515,6 +515,50 @@ def agrep_exact(data: np.ndarray, pat: bytes, D: int, mask: np.ndarray,
     return count, pos, spans, out_raw
 
 
+def fresh_pulse_ok(buf, tb, frm, e, maskI, endpos, D) -> bool:
+    """Post-jump verification for the event-list proxy: after a match,
+    agrep() resets ALL machine words to ~0 (sgrep.c:1201-1204) -- the
+    UNSEEDED state, unlike the round-start chain -- and jumps to the
+    record end, skipping bytes.  A dense-scan event within m+D+2 bytes
+    of the jump target may rely on skipped bytes or on reset seeding
+    the fresh machine lacks (e.g. a leading-deletion match right after
+    the jump).  Replay the reference machine from the jump target
+    (block-relative frm) and report whether it pulses after consuming
+    byte e.  Fresh pulses are a subset of dense events (alive-bit
+    monotonicity), so rejection is the only possible correction."""
+    M32 = 0xFFFFFFFF
+    R1 = [M32] * (D + 1)
+    R2 = [M32] * (D + 1)
+    blen = len(buf)
+    half = 0
+    for t in range(frm, e + 1):
+        c = int(buf[tb + t]) if 0 <= tb + t < blen else 0
+        if c == 0x0A:
+            R1 = [M32] * (D + 1)
+            R2 = [M32] * (D + 1)
+        r1 = int(maskI[c])
+        A, B = (R1, R2) if half == 0 else (R2, R1)
+        A[0] = ((B[0] >> 1) | r1) & M32
+        for k in range(1, D + 1):
+            A[k] = (((B[k] >> 1) | r1) & B[k - 1]
+                    & ((A[k - 1] & B[k - 1]) >> 1)) & M32
+        if t == e:
+            return (A[D] & endpos) == 0
+        half ^= 1
+    return False
+
+
+def agrep_machine_tables(pat: bytes):
+    """(inverted mask u32[256], endpos) of the agrep() round machine
+    (initmask/sgrep.c:1043-1050 -- raw bytes, no folding at D>0)."""
+    from ..ops import bitword
+    mask = np.bitwise_not(
+        np.asarray(bitword.sgrep_mask(pat), dtype=np.uint32))
+    m = len(pat)
+    endpos = (0x80000000 >> (m - 1)) & 0xFFFFFFFF
+    return mask, np.uint32(endpos)
+
+
 def agrep_c_count(data: np.ndarray, events_g: np.ndarray, nl_g: np.ndarray,
                   pat: bytes, D: int, delimiter: bool = False,
                   d_pattern: bytes = b"\n",
@@ -561,6 +605,7 @@ class AgrepCountWalker:
         self.count = 0
         (self.shift_tab, self.d1, self.member,
          _m, _bs) = build_agrep_tables(pat, D)
+        self.maskI, self.endpos = agrep_machine_tables(pat)
         self._ev = np.empty(0, dtype=np.int64)
         self._re = np.empty(0, dtype=np.int64)
 
@@ -608,7 +653,8 @@ class AgrepCountWalker:
         if nc is not None:
             cands = np.clip(nc, [0, 0], [n, n])
             c = native.agrep_count_walk(ev_blk, re_blk, cands, lo_g,
-                                        m_pat, D)
+                                        m_pat, D, self.vb.buf, start,
+                                        self.maskI, int(self.endpos))
             if c is not None:
                 self.count += c
                 return
@@ -617,6 +663,7 @@ class AgrepCountWalker:
             cands = agrep_candidates(self.vb.buf, start, end, self.pat,
                                      D)
         lastend = 0
+        win = m_pat + D + 2
         for (clo, chi) in cands:
             clo = max(int(clo), 0)
             chi = int(chi)
@@ -628,14 +675,27 @@ class AgrepCountWalker:
             # still consumes one byte -- even past the round bound --
             # and can re-count an event there.  After an event the
             # index jumps (to the record end, or to lastend), so events
-            # inside the jumped-over span are never encountered.
+            # inside the jumped-over span are never encountered, and
+            # the machine RESETS to the unseeded ~0 state
+            # (sgrep.c:1201-1204) -- events shortly after the jump are
+            # re-verified against the fresh machine (fresh_pulse_ok).
             i = clo
+            fresh_from = -1
             while i < chi:
                 for _half in range(2):
                     while k < len(ev_blk) and int(ev_blk[k]) < lo_g + i:
                         k += 1
-                    if (k < len(ev_blk) and int(ev_blk[k]) == lo_g + i
-                            and i + 1 >= warm):
+                    hit = (k < len(ev_blk)
+                           and int(ev_blk[k]) == lo_g + i
+                           and i + 1 >= warm)
+                    if (hit and fresh_from >= 0
+                            and i - fresh_from < win
+                            and not fresh_pulse_ok(
+                                self.vb.buf, start, fresh_from, i,
+                                self.maskI, self.endpos, D)):
+                        hit = False
+                        k += 1      # event consumed, not counted
+                    if hit:
                         self.count += 1
                         idx = i + 1
                         if idx <= lastend:
@@ -643,6 +703,7 @@ class AgrepCountWalker:
                         else:
                             i = int(re_blk[k]) - lo_g
                         lastend = i
+                        fresh_from = i
                         k += 1
                     else:
                         i += 1

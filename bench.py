@@ -584,6 +584,41 @@ def main():
     c5["vs_ref"] = (round(c5["gbs"] / c5["ref_gbs"], 1)
                     if c5["ref_gbs"] > 0 else 0.0)
 
+    # kernel-eligibility fallback row (VERDICT r3 #8): a class with 11
+    # scattered characters has no compact range decomposition, so
+    # _try_pallas rejects it ("mask-ranges") and the scan rides the
+    # vectorized host backend.  This row makes that fallback cost
+    # visible next to the kernel rows; AGREP_TPU_STATS=2 names the
+    # rejection reason (pallas_reject_mask-ranges).
+    FB_PAT = "[acegikmoqsu]atching"
+
+    def bench_fallback_shape() -> float:
+        import io
+        from agrep_tpu.api import fileagrep
+        fb_path = os.path.join(tmpd, "fb.txt")
+        fb_mb = 16
+        with open(fb_path, "wb") as f:
+            f.write(text[:fb_mb << 20].tobytes())
+        best = 0.0
+        for _ in range(2):
+            buf = io.BytesIO()
+            t0 = time.perf_counter()
+            fileagrep(["-1", "-c", FB_PAT, fb_path], output=buf)
+            dt = time.perf_counter() - t0
+            best = max(best, (fb_mb << 20) / dt)
+        return best
+
+    fb_bps = _retry(bench_fallback_shape)
+    configs["fallback_class11"] = {
+        "gbs": round(fb_bps / 1e9, 3),
+        "ref_gbs": round(bench_reference(
+            path, ["-1", "-c", FB_PAT]) / 1e9, 4),
+        "note": "pallas-rejected shape (mask-ranges), host backend",
+    }
+    fbc = configs["fallback_class11"]
+    fbc["vs_ref"] = (round(fbc["gbs"] / fbc["ref_gbs"], 1)
+                     if fbc["ref_gbs"] > 0 else 0.0)
+
     ref_bps = bench_reference(path)
     try:
         import shutil

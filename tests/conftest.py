@@ -3,10 +3,12 @@ import subprocess
 import sys
 
 # Kernel/scan tests run on a simulated 8-device CPU mesh; the real-TPU
-# paths are exercised by bench.py on hardware.  The environment's
-# sitecustomize registers the axon TPU backend and pins
-# jax_platforms="axon,cpu"; point it back at CPU before any backend
-# initializes.
+# paths are exercised by bench.py on hardware, which gates every timing
+# row behind an oracle/numpy conformance check (run_conformance_gate:
+# CLI byte-equality vs the reference binary on the device backend +
+# kernel event-plane equality).  The environment's sitecustomize
+# registers the axon TPU backend and pins jax_platforms="axon,cpu";
+# point it back at CPU before any backend initializes.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")

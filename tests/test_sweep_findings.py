@@ -347,3 +347,39 @@ def test_delim_clamped_residue_virtual_stream(tmp_path):
     pf2 = tmp_path / "p2.txt"
     pf2.write_bytes(b"alpha\nzz\nxy\n")
     compare(["-d", "ll", "-f", str(pf2), str(p)])
+
+
+def test_agrep_postjump_reset_unseeded(tmp_path):
+    """agrep()'s post-match reset zeroes the machine to the UNSEEDED
+    ~0 state and jumps past the record end (sgrep.c:1199-1204): a
+    k-error match needing a leading deletion right after the jump
+    (e.g. '-hello' against a line-initial 'hello') never fires,
+    while round starts ARE seeded (sweep seed 700507)."""
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"a hello b\nhello c\n")
+    for args in (["-1", "-c", "-e", "-hello"],
+                 ["-1", "-e", "-hello"],
+                 ["-1", "-c", "-t", "-e", "-hello"],
+                 ["-1", "-v", "-e", "-hello"]):
+        compare(args + [str(p)])
+    p2 = tmp_path / "c2.txt"
+    p2.write_bytes(b"hello hello\nhello x\nhello y\n")
+    compare(["-1", "-e", "-hello", str(p2)])
+    compare(["-1", "-c", "-e", "-hello", str(p2)])
+    # far-apart occurrences start fresh candidate rounds (seeded)
+    p3 = tmp_path / "c3.txt"
+    p3.write_bytes(b"a hello b\n" + b"w" * 60 + b"\nhello c\n")
+    compare(["-1", "-c", "-e", "-hello", str(p3)])
+
+
+def test_mgrep_silent_inverse_no_tail(tmp_path):
+    """Under SILENT, DO_OUTPUT returns from the scan call BEFORE the
+    INVERSE tail flush (newmgrep.c:912 vs :1024): a firing call prints
+    no complement at all, -d included (sweep seed 700240)."""
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"aaa alpha bbb\nccc ddd\neee alpha\n" * 3)
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"alpha\nq000\n")
+    compare(["-v", "-s", "-d", "\\n", "-f", str(pf), str(p)])
+    compare(["-b", "-v", "-s", "-d", "\\n", "-f", str(pf), str(p)])
+    compare(["-v", "-s", "-f", str(pf), str(p)])

@@ -51,11 +51,91 @@ print(json.dumps({"devices": %(nd)d, "bytes": len(text),
 """
 
 
+OVERHEAD_WORKER = """
+import json, os, sys, time
+import numpy as np
+sys.path.insert(0, %(repo)r)
+from agrep_tpu.options import Options
+from agrep_tpu.compile.query import compile_query
+from agrep_tpu.ops import scan as scan_ops
+
+# Partition-overhead measurement (BASELINE.md): the CPU-sim efficiency
+# table is confounded by core sharing, so instead run the SAME N-way
+# tile partition SEQUENTIALLY on one device and compare against the
+# unpartitioned scan -- the difference is exactly the partition's cost
+# (per-shard dispatch, ceil-padding, transfers, ordered event merge)
+# with zero contention.  On real hardware the shards run concurrently,
+# so per-chip throughput ~= whole / (1 + overhead).
+n_mb = %(mb)d
+n_shards = %(ns)d
+rng = np.random.default_rng(7)
+text = rng.integers(32, 127, size=n_mb << 20, dtype=np.uint8)
+text[::70] = 0x0A
+q = compile_query("matching", Options(D=2, approx=True, linenum=True))
+mt = q.folded_mask.astype(np.uint32)
+c = q.consts
+W, L = 48, 2048 - 48
+windows, T = scan_ops._pad_and_window(text, W, L)
+cvec = np.asarray([c["init0"], c["init1_ns"], c["noerr"], c["d_endpos"],
+                   c["endpos"], c["d_mask"], 0, 0], dtype=np.uint32)
+fn = scan_ops._get_jit()
+import jax.numpy as jnp
+
+def run_whole():
+    return np.asarray(fn(jnp.asarray(windows), jnp.asarray(mt),
+                         jnp.asarray(cvec), 2, W, "bitap", None))
+
+def run_parts():
+    per = -(-T // n_shards)
+    outs = []
+    for s in range(n_shards):
+        lo, hi = s * per, min((s + 1) * per, T)
+        if lo >= hi:
+            break
+        outs.append(np.asarray(fn(jnp.asarray(windows[lo:hi]),
+                                  jnp.asarray(mt), jnp.asarray(cvec),
+                                  2, W, "bitap", None)))
+    return np.concatenate(outs, axis=0)
+
+ev_w = run_whole()          # warm/compile both shapes
+ev_p = run_parts()
+assert np.array_equal(ev_w, ev_p), "partition changed results!"
+tw = tp = 1e9
+for _ in range(3):
+    t0 = time.perf_counter(); run_whole(); tw = min(tw, time.perf_counter() - t0)
+    t0 = time.perf_counter(); run_parts(); tp = min(tp, time.perf_counter() - t0)
+print(json.dumps({"shards": n_shards, "whole_s": tw, "parts_s": tp,
+                  "overhead_pct": 100.0 * (tp / tw - 1.0)}))
+"""
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=int, default=64)
     ap.add_argument("--devices", default="1,2,4,8")
+    ap.add_argument("--overhead", action="store_true",
+                    help="measure partition overhead (sequential "
+                         "shards on ONE device, no core contention)")
     args = ap.parse_args()
+    if args.overhead:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for ns in (int(x) for x in args.devices.split(",")):
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            code = OVERHEAD_WORKER % dict(repo=repo, mb=args.mb, ns=ns)
+            p = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, env=env, text=True)
+            if p.returncode != 0:
+                print("shards=%d FAILED:\n%s" % (ns, p.stderr[-800:]),
+                      file=sys.stderr)
+                continue
+            row = json.loads(p.stdout.strip().splitlines()[-1])
+            print("%d shard(s): whole %.3fs  sequential-parts %.3fs  "
+                  "partition overhead %+.1f%%"
+                  % (row["shards"], row["whole_s"], row["parts_s"],
+                     row["overhead_pct"]))
+        return
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rows = []
     for nd in (int(x) for x in args.devices.split(",")):
