@@ -23,6 +23,70 @@ class RegexEngine:
         self.q = q
         self.mc = q.re_mc
 
+    def supports_streaming(self) -> bool:
+        """Pure-count regex streams in O(chunk): lines are independent
+        lanes, so chunks cut at line boundaries scan exactly like the
+        whole file (the 49152-boundary glitch byte keeps its global
+        offset)."""
+        o = self.q.opts
+        if (not o.count or o.filename_only or o.silent
+                or o.limit_output > 0 or o.limit_per_file > 0):
+            return False
+        if scan_ops._BACKEND in ("jax", "interpret"):
+            return False
+        from .. import native
+        return native.get_lib() is not None
+
+    def search_stream_chunked(self, data, sink: Sink, D: int) -> None:
+        """Chunked -c: per-chunk native line scans over line-aligned
+        segments; equivalent to the whole-file scan byte-for-byte
+        because every line starts from the same post-newline closure
+        state (re():1649 resets identically at every newline)."""
+        from .. import native
+        q, o, mc = self.q, self.q.opts, self.mc
+        cont0, _ = renfa.step_newline(
+            list(mc["inits"]), int(mc["mask"][0x0A]), mc)
+        N = len(data)
+        if N == 0:
+            return
+        chunk = max(scan_ops.STREAM_CHUNK, 1 << 16)
+        inj_g = 49152 if N > 49152 else -1
+        total = 0
+        first_chunk = True
+        drop_first = bool(N and data[0] == 0x0A and int(mc["D"]) > 0)
+        lo = 0
+        while lo < N:
+            hi = min(lo + chunk, N)
+            cut = N
+            if hi < N:
+                while hi < N:
+                    seg = np.asarray(data[lo:hi])
+                    nls = np.flatnonzero(seg == 0x0A)
+                    if len(nls):
+                        cut = lo + int(nls[-1]) + 1
+                        break
+                    hi = min(hi + chunk, N)
+                else:
+                    cut = N
+            seg = np.ascontiguousarray(data[lo:cut])
+            inj = (inj_g - lo if (inj_g >= 0 and lo <= inj_g < cut)
+                   else -1)
+            v = native.renfa_scan_lines(seg, mc, cont0, inj)
+            if v is None:
+                # native lib vanished mid-run: whole-file fallback
+                self.search_stream(np.asarray(data), sink, D)
+                return
+            hits = (v != 0) ^ o.invert
+            if first_chunk and len(hits) and drop_first:
+                # D>0 A-phase CBO quirk drops the empty FIRST line
+                # (see search_stream)
+                hits = hits.copy()
+                hits[0] = False
+            total += int(np.count_nonzero(hits))
+            first_chunk = False
+            lo = cut
+        sink.num_matched += total
+
     def search_stream(self, data: np.ndarray, sink: Sink, D: int,
                       memory_mode: bool = False) -> None:
         q, o, mc = self.q, self.q.opts, self.mc

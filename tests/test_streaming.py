@@ -96,6 +96,9 @@ STREAM_CASES = [
     ["-c", "-n", "-d", "From ", "alice"],   # -d count
     ["-3", "-D2", "-I1", "-S1", "-w", "-i", "-c", "matching"],  # costs
     ["-w", "-c", "hello"],                  # D=0 wordbound count
+    ["-2", "-c", "match(i|x)ng"],           # regex chunked count
+    ["-1", "-c", "-v", "hel*o"],            # regex inverse count
+    ["-c", "h#llo"],                        # FASTREGEX wildcard count
 ]
 
 
@@ -157,3 +160,35 @@ def test_streaming_inverse_and_offsets(tmp_path, monkeypatch):
             scan_ops.STREAM_CHUNK = old_chunk
         assert m_out == o_out, (full, o_out[:800], m_out[:800])
         assert m_rc == o_rc
+
+
+def test_regex_streaming_rss(tmp_path, monkeypatch):
+    """Chunked regex -c holds O(chunk) anonymous memory: a 64MB file
+    must not add a same-order RSS spike (the whole-file path would
+    materialize a padded copy + lane matrices)."""
+    import resource
+    f = tmp_path / "huge.txt"
+    line = b"the quick matching hello pattern lorem\n"
+    with open(f, "wb") as fh:
+        for _ in range((64 << 20) // len(line)):
+            fh.write(line)
+    size = f.stat().st_size
+    assert size > (48 << 20)
+    monkeypatch.setenv("AGREP_TPU_STREAM_MB", "0")
+    old_chunk = scan_ops.STREAM_CHUNK
+    old_backend = scan_ops._BACKEND
+    scan_ops.STREAM_CHUNK = 1 << 20
+    scan_ops.set_backend("numpy")     # the host streaming path
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    try:
+        out, rc = run_ours_inproc(["-2", "-c", "match(i|x)ng", str(f)])
+    finally:
+        scan_ops.STREAM_CHUNK = old_chunk
+        scan_ops.set_backend(old_backend)
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # count is per-line over a uniform file: every line matches
+    assert int(out.split()[0]) > 1_000_000
+    # ru_maxrss (KB on Linux) counts the memmapped file pages once as
+    # they stream through; the whole-file path would add the padded
+    # anonymous copy + lane matrices on top (several x the file size)
+    assert rss1 - rss0 < (size >> 10) + (24 << 10), (rss0, rss1, size)
