@@ -101,7 +101,7 @@ ev_w = run_whole()          # warm/compile both shapes
 ev_p = run_parts()
 assert np.array_equal(ev_w, ev_p), "partition changed results!"
 tw = tp = 1e9
-for _ in range(3):
+for _ in range(7):
     t0 = time.perf_counter(); run_whole(); tw = min(tw, time.perf_counter() - t0)
     t0 = time.perf_counter(); run_parts(); tp = min(tp, time.perf_counter() - t0)
 print(json.dumps({"shards": n_shards, "whole_s": tw, "parts_s": tp,
