@@ -1791,6 +1791,17 @@ class Executor:
                 e.verbose = getattr(o, "verbose", 1)
                 raise
             o2.bestmatch = False
+        if corrupted and o.invert:
+            # The re-preprocess REDUCES D_pattern to the processed
+            # delimiter bytes (preproce.c:223), and the second pass
+            # leaves old_D_pat EMPTY (instrumented reference: [B]
+            # old_D_pat="" with Pattern = 90 0a 90 <pat>).  With
+            # D_length == 0 the rescan machine never completes a
+            # delimiter, and INVERSE counting happens only at
+            # delimiter completions -- the escalation can never fire
+            # at any D (num_of_matched stays 0 through D=MaxError).
+            sink.num_matched = 0
+            return
         # The C loop (agrep.c:3594-3630) resets prev_num_of_matched per
         # FILE and checks `num - prev == 0` per D level -- so escalation
         # continues until the LAST file has a hit, the reported count is

@@ -383,3 +383,20 @@ def test_mgrep_silent_inverse_no_tail(tmp_path):
     compare(["-v", "-s", "-d", "\\n", "-f", str(pf), str(p)])
     compare(["-b", "-v", "-s", "-d", "\\n", "-f", str(pf), str(p)])
     compare(["-v", "-s", "-f", str(pf), str(p)])
+
+
+def test_bestmatch_inverse_never_fires(tmp_path):
+    """-B with -v: the double-preprocess reduces D_pattern twice,
+    leaving old_D_pat EMPTY (preproce.c:223 via agrep.c:3587), so the
+    rescan machine has no delimiter events and INVERSE counting --
+    which happens only at delimiter completions -- can never fire at
+    any escalation level (instrumented reference: nm==0 through
+    D=MaxError)."""
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"xy hello tgaab hello zz a alpha\n"
+                  b"alpha a zz hello\na zz alpha")
+    compare(["-B", "-y", "-v", "alpha", str(p)])
+    p2 = tmp_path / "c2.txt"
+    p2.write_bytes(b"tga here\ntga there\n")
+    compare(["-B", "-y", "-v", "tga", str(p2)])
+    compare(["-B", "-y", "-v", "-i", "TGA", str(p2)])
