@@ -290,6 +290,26 @@ class BitapEngine:
 
         # iterate records
         lasti0 = 0 if memory_mode else 1     # initial lasti (stream coords)
+        # ---- vectorized flat count: the per-record loop below only
+        # contributes (verdict, lasti < data_end, i1 <= i2) to the
+        # count, all computable array-wise -- the python loop
+        # dominated -c wall time on line-dense files (e.g. the
+        # kernel-ineligible fallback shapes)
+        if (o.count and not o.filename_only and not o.fileout
+                and not q.and_flag and o.limit_output <= 0
+                and o.limit_per_file <= 0 and o.limit_total_file <= 0):
+            if len(P):
+                data_end = len(data)
+                lasti_arr = np.empty(len(P), dtype=np.int64)
+                lasti_arr[0] = lasti0
+                lasti_arr[1:] = P[:-1] + 1 - dl
+                hi_i = np.searchsorted(hit_pos, P, side="right")
+                any_hit = np.diff(np.concatenate([[0], hi_i])) > 0
+                verdict = any_hit ^ bool(o.invert)
+                ok = (verdict & (lasti_arr < data_end)
+                      & (lasti_arr <= P - dl))
+                sink.num_matched += int(np.count_nonzero(ok))
+            return
         idx_lo = 0
         for k in range(len(P)):
             pk = int(P[k])

@@ -173,18 +173,41 @@ def bench_regex(text: np.ndarray) -> float:
     return nbytes / per
 
 
+def _host_backend():
+    """Context pinning the HOST scan backend for end-to-end -f rows.
+
+    The engine is device-first by design: on a real TPU host the chain
+    kernel wins.  This bench box reaches its chip through a ~0.04 GB/s
+    tunnel, so an end-to-end row that uploads the corpus measures the
+    tunnel, not the engine -- the device rate is reported by the
+    corpus-resident f100_chain_kernel row instead."""
+    import contextlib
+    from agrep_tpu.ops import scan as scan_ops
+
+    @contextlib.contextmanager
+    def cm():
+        old = scan_ops._BACKEND
+        scan_ops.set_backend("numpy")
+        try:
+            yield
+        finally:
+            scan_ops.set_backend(old)
+    return cm()
+
+
 def bench_f100(path: str, patfile: str) -> float:
-    """End-to-end bytes/s of the one-pass 100-pattern -f search (host
-    filter + device candidates when a TPU is present).  Best of two:
-    the first run pays compile/page-fault warmup."""
+    """End-to-end bytes/s of the one-pass 100-pattern -f search on the
+    HOST path (see _host_backend).  Best of two: the first run pays
+    compile/page-fault warmup."""
     import io
     from agrep_tpu.api import fileagrep
     best = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        fileagrep(["-c", "-f", patfile, path], output=io.BytesIO())
-        dt = time.perf_counter() - t0
-        best = max(best, os.path.getsize(path) / dt)
+    with _host_backend():
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fileagrep(["-c", "-f", patfile, path], output=io.BytesIO())
+            dt = time.perf_counter() - t0
+            best = max(best, os.path.getsize(path) / dt)
     return best
 
 
@@ -285,12 +308,13 @@ def bench_f100_records(para_path: str, patfile: str) -> float:
     import io
     from agrep_tpu.api import fileagrep
     best = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        fileagrep(["-c", "-d", "$$", "-f", patfile, para_path],
-                  output=io.BytesIO())
-        dt = time.perf_counter() - t0
-        best = max(best, os.path.getsize(para_path) / dt)
+    with _host_backend():
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fileagrep(["-c", "-d", "$$", "-f", patfile, para_path],
+                      output=io.BytesIO())
+            dt = time.perf_counter() - t0
+            best = max(best, os.path.getsize(para_path) / dt)
     return best
 
 
