@@ -72,7 +72,7 @@ def ranges_from_mask(mask_table: np.ndarray):
                 prev = run[i]
                 i += 1
             ranges.append((lo, prev))
-        if len(ranges) + len(folds) > 10:
+        if len(ranges) + len(folds) > 16:
             return None
         out.append((int(bit), tuple(ranges), tuple(folds)))
     # positions with identical byte sets (repeated pattern chars)
@@ -83,7 +83,7 @@ def ranges_from_mask(mask_table: np.ndarray):
         merged[key] = merged.get(key, 0) | bit
     out = [(bits, r, f) for (r, f), bits in merged.items()]
     total = sum(len(r) + len(f) for _, r, f in out)
-    if total > 48:
+    if total > 64:
         return None
     return tuple(out)
 

@@ -611,13 +611,13 @@ def main():
     c5["vs_ref"] = (round(c5["gbs"] / c5["ref_gbs"], 1)
                     if c5["ref_gbs"] > 0 else 0.0)
 
-    # kernel-eligibility fallback row (VERDICT r3 #8): a class with 11
-    # scattered characters has no compact range decomposition, so
-    # _try_pallas rejects it ("mask-ranges") and the scan rides the
-    # vectorized host backend.  This row makes that fallback cost
+    # kernel-eligibility fallback row (VERDICT r3 #8): a class with 18
+    # scattered characters exceeds the compare-tree budget (16 tests
+    # per bit), so _try_pallas rejects it ("mask-ranges") and the scan
+    # rides the vectorized host backend.  This row makes that fallback cost
     # visible next to the kernel rows; AGREP_TPU_STATS=2 names the
     # rejection reason (pallas_reject_mask-ranges).
-    FB_PAT = "[acegikmoqsu]atching"
+    FB_PAT = "[a1c3e5g7i9k!m#o%q=]atching"
 
     def bench_fallback_shape() -> float:
         import io
@@ -636,13 +636,13 @@ def main():
         return best
 
     fb_bps = _retry(bench_fallback_shape)
-    configs["fallback_class11"] = {
+    configs["fallback_class18"] = {
         "gbs": round(fb_bps / 1e9, 3),
         "ref_gbs": round(bench_reference(
             path, ["-1", "-c", FB_PAT]) / 1e9, 4),
         "note": "pallas-rejected shape (mask-ranges), host backend",
     }
-    fbc = configs["fallback_class11"]
+    fbc = configs["fallback_class18"]
     fbc["vs_ref"] = (round(fbc["gbs"] / fbc["ref_gbs"], 1)
                      if fbc["ref_gbs"] > 0 else 0.0)
 

@@ -228,3 +228,35 @@ def test_kernel_fuzz_small_shapes():
         ev_k, ev_n = _events_both(text, q.folded_mask, q.consts, D,
                                   "bitap")
         assert np.array_equal(ev_k, ev_n), (pat, D, n)
+
+
+def test_wide_class_eligible_and_exact():
+    """Round 4 raised the compare-tree budget (16 tests/bit, 64 total):
+    an 11-single-char class is now kernel-eligible and must match the
+    numpy backend exactly; an 18-single non-foldable class stays
+    rejected (the host-fallback shape in bench.py)."""
+    import numpy as np
+    from agrep_tpu.compile.query import compile_query
+    from agrep_tpu.options import Options
+    from agrep_tpu.ops import scan as scan_ops
+    from agrep_tpu.ops.kernels import ranges_from_mask
+    q = compile_query("[acegikmoqsu]atching",
+                      Options(D=1, approx=True, linenum=True))
+    mt = q.folded_mask.astype(np.uint32)
+    assert ranges_from_mask(mt) is not None
+    rng = np.random.default_rng(5)
+    text = rng.choice(np.frombuffer(b"macegikmoqsu thing\n", np.uint8),
+                      200000)
+    old = scan_ops._BACKEND
+    try:
+        scan_ops.set_backend("interpret")
+        ev_k = scan_ops.scan_events(text, mt, q.consts, 1, "bitap")
+        scan_ops.set_backend("numpy")
+        ev_n = scan_ops.scan_events(text, mt, q.consts, 1, "bitap")
+    finally:
+        scan_ops.set_backend(old)
+    assert np.array_equal(ev_k, ev_n)
+    assert int((ev_n != 0).sum()) > 0
+    q2 = compile_query("[a1c3e5g7i9k!m#o%q=]atching",
+                       Options(D=1, approx=True, linenum=True))
+    assert ranges_from_mask(q2.folded_mask.astype(np.uint32)) is None
