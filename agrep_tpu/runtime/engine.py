@@ -257,8 +257,14 @@ class BitapEngine:
             # -p supersequence (Init1 = ~0, bitap.c:123) and '#'
             # wildcards have sticky bits with unbounded reach: the
             # tile+halo restart is invalid, so scan record-parallel
-            # (one lane per record).
-            events = _bitap_record_lane_events(q, stream, D)
+            # (one lane per record).  A MULTI-BYTE -d makes even the
+            # lane split invalid (the sticky machine fires record
+            # events at delimiter SUBSEQUENCE completions): sequential
+            # faithful scan instead.
+            if len(q.delim) > 1:
+                events = _bitap_sticky_seq_events(q, stream, D)
+            else:
+                events = _bitap_record_lane_events(q, stream, D)
         else:
             events = scan_ops.scan_events(
                 stream, q.folded_mask, q.consts, D, "bitap", q.costs)
@@ -598,6 +604,42 @@ def _nonoverlapping_delims(stream: np.ndarray, delim: bytes) -> np.ndarray:
             out.append(int(e))
             last_end = int(e)
     return np.asarray(out, dtype=np.int64)
+
+
+def _bitap_sticky_seq_events(q, stream: np.ndarray, D: int) -> np.ndarray:
+    """Sequential sticky-machine scan for -p / wildcard machines with a
+    MULTI-BYTE -d: with Init1 = ~0 (bitap.c:123) the delimiter-end bit
+    accumulates the delimiter as a SUBSEQUENCE, so record events fire
+    wherever the delimiter's characters have appeared in order since
+    the last event -- NOT at substring occurrences, which is what the
+    record-lane split assumes.  Each event resets the machine through
+    D_Mask (bitap.c:221-228), exactly like the bitword step functions.
+    Per-byte python: slow, correct; the shape (-p with a multi-byte
+    delimiter) is vanishingly rare."""
+    from ..ops import bitword
+    c = dict(q.consts)
+    c["init1_ns"] = (0xFFFFFFFF if q.opts.cost_insert == 0
+                     else c["init1"])
+    mask = q.folded_mask
+    events = np.zeros(len(stream), dtype=np.uint32)
+    sb = bytes(bytearray(np.asarray(stream)))
+    if D == 0 and q.costs is None:
+        st = c["init0"]
+        for i, b in enumerate(sb):
+            st, ev = bitword.step_exact(st, int(mask[b]), c)
+            if ev:
+                events[i] = ev
+    else:
+        sts = [c["init0"]] * (D + 1)
+        for i, b in enumerate(sb):
+            if q.costs is not None:
+                sts, ev = bitword.step_jump(sts, int(mask[b]), c, D,
+                                            *q.costs)
+            else:
+                sts, ev = bitword.step_kerr(sts, int(mask[b]), c, D)
+            if ev:
+                events[i] = ev
+    return events
 
 
 def _bitap_record_lane_events(q, stream: np.ndarray, D: int) -> np.ndarray:
@@ -1619,12 +1661,9 @@ class Executor:
             with trace.stage("scan"):
                 if len(data) == 0:
                     pass        # fill_buf returns 0: engines never run
-                elif (size > stream_min
-                        and hasattr(self.engine, "supports_streaming")
-                        and self.engine.supports_streaming()):
-                    self.engine.search_stream_chunked(data, sink, q.D)
                 else:
-                    self.engine.search_stream(data, sink, q.D)
+                    self._scan_with_requeue(data, sink, size,
+                                            stream_min)
             nfile = sink.num_matched - sink.prev_num_matched
             if nfile > 0:
                 nomatch = False
@@ -1736,6 +1775,54 @@ class Executor:
             real_sink.write(merged)
         real_sink.num_matched = total
         return total
+
+    def _scan_with_requeue(self, data, sink, size, stream_min) -> None:
+        """One file's scan with failure re-queueing (SURVEY.md section
+        5: a failed shard is re-run; scans are stateless/idempotent).
+        A device/tunnel death is retried once, then re-run on the exact
+        host backend.  Safe only while the file has produced NO output
+        and NO counts yet -- chunked paths have their own chunk-level
+        retry inside ops/scan.scan_event_list, and a partially-emitted
+        file cannot be replayed, so those failures propagate."""
+        q = self.q
+
+        def scan_once():
+            if (size > stream_min
+                    and hasattr(self.engine, "supports_streaming")
+                    and self.engine.supports_streaming()):
+                self.engine.search_stream_chunked(data, sink, q.D)
+            else:
+                self.engine.search_stream(data, sink, q.D)
+
+        mark_b = sink.bytes_written
+        mark_n = sink.num_matched
+        mark_t = getattr(self.engine, "total_line", None)
+        try:
+            scan_once()
+            return
+        except (OSError, MemoryError):
+            raise
+        except Exception:
+            if (sink.bytes_written != mark_b
+                    or sink.num_matched != mark_n):
+                raise               # partial output: not replayable
+        if mark_t is not None:
+            self.engine.total_line = mark_t
+        try:
+            scan_once()             # retry (transient tunnel drop)
+            return
+        except Exception:
+            if (sink.bytes_written != mark_b
+                    or sink.num_matched != mark_n):
+                raise
+        if mark_t is not None:
+            self.engine.total_line = mark_t
+        old = scan_ops._BACKEND
+        scan_ops.set_backend("numpy")   # exact host backend
+        try:
+            scan_once()
+        finally:
+            scan_ops.set_backend(old)
 
     def run_buffer(self, data: np.ndarray) -> int:
         q, o, sink = self.q, self.q.opts, self.sink

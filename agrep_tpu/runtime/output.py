@@ -31,11 +31,14 @@ class Sink:
         self.new_file = False         # NEW_FILE (POST_FILTER bookkeeping)
         self.current_filename = ""
         self.truncate = False
+        self.bytes_written = 0        # high-water mark (file requeue)
 
     def write(self, data: bytes):
+        self.bytes_written += len(data)
         self._write(data)
 
     def write_str(self, s: str):
+        self.bytes_written += len(s)
         self._write(s.encode("latin-1"))
 
     # -- shared decoration helpers ------------------------------------

@@ -58,3 +58,35 @@ def test_global_count_mesh():
     n = int(np.prod(mesh.devices.shape))
     assert mh.global_count(7, mesh=mesh) == 7
     assert jax.process_count() == 1
+
+
+def test_executor_file_requeue(tmp_path, monkeypatch):
+    """A device scan that dies is retried, then re-run on the exact
+    host backend (SURVEY section 5 'a failed host's file shards get
+    re-queued') -- output identical to a clean run, and partial-output
+    failures propagate rather than replaying."""
+    import io
+    import numpy as np
+    from agrep_tpu.api import fileagrep
+    from agrep_tpu.ops import scan as scan_ops
+    f = tmp_path / "c.txt"
+    f.write_bytes(b"matching line one\nno hit\nmatching two\n" * 200)
+    want_buf = io.BytesIO()
+    want_rc = fileagrep(["-2", "-n", "matching", str(f)],
+                        output=want_buf)
+    calls = {"n": 0}
+    orig = scan_ops.scan_events
+
+    def dying(*a, **k):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RuntimeError("tunnel died")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(scan_ops, "scan_events", dying)
+    got_buf = io.BytesIO()
+    got_rc = fileagrep(["-2", "-n", "matching", str(f)],
+                       output=got_buf)
+    assert calls["n"] >= 3
+    assert (got_buf.getvalue(), got_rc) == (want_buf.getvalue(),
+                                            want_rc)

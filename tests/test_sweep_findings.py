@@ -400,3 +400,20 @@ def test_bestmatch_inverse_never_fires(tmp_path):
     p2.write_bytes(b"tga here\ntga there\n")
     compare(["-B", "-y", "-v", "tga", str(p2)])
     compare(["-B", "-y", "-v", "-i", "TGA", str(p2)])
+
+
+def test_supersequence_multibyte_delim_subsequence_events(tmp_path):
+    """-p makes Init1 = ~0 (bitap.c:123): the delimiter-end bit then
+    accumulates the delimiter as a SUBSEQUENCE, so a multi-byte -d
+    fires record events (and machine resets) wherever the delimiter's
+    chars have appeared in order -- e.g. 'alpha lorem' completes 'll'
+    (sweep seed 901399)."""
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"matching matching matching matching matching "
+                  b"matching matching alpha lorem matching$$\nalpha")
+    for args in (["-c", "-p", "-d", "ll", "acgtacgtacgtacgt"],
+                 ["-c", "-p", "-d", "ll", "acgtacgtacgtacg"],
+                 ["-p", "-d", "ll", "acgtacgtacgt"],
+                 ["-1", "-p", "-d", "ll", "acgtacgtacgt"],
+                 ["-c", "-n", "-p", "-d", "ll", "acgtacgtacgtacgt"]):
+        compare(args + [str(p)])
