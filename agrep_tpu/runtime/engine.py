@@ -1097,19 +1097,22 @@ class SgrepEngine:
         # the next match are never printed (sgrep.c:396-403 + lastout)
         if (o.invert and not o.count and not memory_mode
                 and q.delimiter_opt):
-            if (D > 0 and q.sg_sub == "agrep" and len(pos_count)
-                    and int(pos_count[-1]) >= N - 1
+            if (D > 0 and q.sg_sub == "agrep"
                     and q.sg_m // (D + 1) >= 1):
-                # a match ending on the buffer's last byte fires (or
-                # not) depending on the EOF rescan's round machine --
-                # take the replay's s_output events instead of the
-                # dense list (which drops position N-1 wholesale)
+                # the partition engine's events, jumps, and record
+                # spans all depend on the candidate-round machine
+                # (post-jump UNSEEDED resets, s_output's
+                # forward/backward_delimiter jumps): drive the inverse
+                # complements straight from the exact replay's
+                # s_output events and spans
                 from . import sgrep_sim
-                _c, walk_pos, _s, _r = sgrep_sim.agrep_exact(
-                    data, q.sg_pattern, D, q.sg_mask,
-                    q.sg_consts["endpos"], q.delimiter_opt, q.delim,
-                    q.outtail, o.silent)
-                pos = walk_pos + base
+                c_t, walk_pos, walk_spans, _r, walk_blk =                     sgrep_sim.agrep_exact(
+                        data, q.sg_pattern, D, q.sg_mask,
+                        q.sg_consts["endpos"], q.delimiter_opt,
+                        q.delim, q.outtail, o.silent)
+                self._inverse_delim_replay(data, c_t, walk_pos,
+                                           walk_spans, walk_blk, sink)
+                return
             self._inverse_blocks_delim(data, pos, sink, D)
             return
 
@@ -1181,7 +1184,7 @@ class SgrepEngine:
                 # s_output events.  Pure counting keeps the proxy
                 # (AgrepCountWalker), whose post-jump window events
                 # are re-verified against the fresh machine.
-                c_count, walk_pos, walk_spans, walk_raw = \
+                c_count, walk_pos, walk_spans, walk_raw, _blk = \
                     sgrep_sim.agrep_exact(
                         data, q.sg_pattern, D, q.sg_mask,
                         q.sg_consts["endpos"], q.delimiter_opt, q.delim,
@@ -1313,6 +1316,38 @@ class SgrepEngine:
             sink.write(bytes(bytearray(stream[lastout:N])))
         if c_count is not None:
             sink.num_matched += c_count - records_counted
+
+    def _inverse_delim_replay(self, data, c_total, pos, spans, blks,
+                              sink) -> None:
+        """INVERSE -d complements for the D>0 partition engine, driven
+        by the exact replay's s_output events: per block (engine call),
+        each printing event writes [lastout, curtextbegin) and moves
+        lastout to its jump target; the call's tail [lastout, textend]
+        flushes at the end (sgrep.c:1243-1271 + s_output's INVERSE
+        branch :1399-1460)."""
+        from . import sgrep_sim
+        q, o = self.q, self.q.opts
+        vb = sgrep_sim.VirtualSgrepBuffer(
+            data, q.sg_pattern, True, q.delim, q.outtail)
+        k = 0
+        for bi, (start, end, gstart) in enumerate(vb.blocks()):
+            g_end = gstart + (end - start)
+            lastout = gstart
+            while k < len(blks) and int(blks[k]) == bi:
+                if o.filename_only:
+                    sink.num_matched += c_total
+                    sink.write_str("%s\n" % sink.current_filename)
+                    return
+                sb = int(spans[k, 0])
+                lo = min(max(lastout, gstart), len(data))
+                hi = min(max(sb, lo), len(data))
+                sink.write(bytes(bytearray(data[lo:hi])))
+                lastout = int(spans[k, 1])
+                k += 1
+            if lastout <= g_end:
+                lo = min(max(lastout, gstart), len(data))
+                sink.write(bytes(bytearray(data[lo:g_end + 1])))
+        sink.num_matched += c_total
 
     def _inverse_blocks_delim(self, data, pos, sink, D):
         """INVERSE with -d: per-engine-call complement printing with

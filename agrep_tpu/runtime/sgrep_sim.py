@@ -477,8 +477,8 @@ def agrep_exact(data: np.ndarray, pat: bytes, D: int, mask: np.ndarray,
     # reference machine is active-LOW (initmask, 0 bits = progress)
     mask = np.bitwise_not(np.asarray(mask, dtype=np.uint32))
     count = 0
-    out_pos, out_spans, out_raw = [], [], []
-    for (start, end, gstart) in vb.blocks():
+    out_pos, out_spans, out_raw, out_blk = [], [], [], []
+    for bi, (start, end, gstart) in enumerate(vb.blocks()):
         nc = native.agrep_candidates(vb.buf, start, end, pat, D,
                                      shift_tab, d1, member)
         if nc is None:
@@ -498,6 +498,7 @@ def agrep_exact(data: np.ndarray, pat: bytes, D: int, mask: np.ndarray,
             out_pos.append(idxs[sel] + (gstart - 1))
             out_spans.append(
                 np.stack([begins[sel], ends[sel]], axis=1) + gstart)
+            out_blk.append(np.full(int(sel.sum()), bi, dtype=np.int64))
             # record bytes come from the evolving BUFFER, not the
             # stream: an overrun span can print stop-pattern or stale
             # residue bytes that exist nowhere in the data
@@ -509,10 +510,12 @@ def agrep_exact(data: np.ndarray, pat: bytes, D: int, mask: np.ndarray,
     if out_pos:
         pos = np.concatenate(out_pos)
         spans = np.concatenate(out_spans)
+        blks = np.concatenate(out_blk)
     else:
         pos = np.empty(0, dtype=np.int64)
         spans = np.empty((0, 2), dtype=np.int64)
-    return count, pos, spans, out_raw
+        blks = np.empty(0, dtype=np.int64)
+    return count, pos, spans, out_raw, blks
 
 
 def fresh_pulse_ok(buf, tb, frm, e, maskI, endpos, D) -> bool:

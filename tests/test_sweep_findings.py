@@ -417,3 +417,25 @@ def test_supersequence_multibyte_delim_subsequence_events(tmp_path):
                  ["-1", "-p", "-d", "ll", "acgtacgtacgt"],
                  ["-c", "-n", "-p", "-d", "ll", "acgtacgtacgtacgt"]):
         compare(args + [str(p)])
+
+
+def test_inverse_delim_partition_engine_replay(tmp_path):
+    """-v -d under the D>0 partition engine: events, jumps, and record
+    spans all come from the candidate-round machine (post-jump
+    unseeded resets, s_output's forward/backward_delimiter jumps) --
+    the inverse complements are driven by the exact replay's s_output
+    events and spans (family sweep sgrepvd, seeds 0/3/6...)."""
+    import random
+    rnd = random.Random(61)
+    words = [b"alpha", b"hello", b"matching", b"zz", b"xy", b"koala"]
+    out = bytearray()
+    while len(out) < 40000:
+        out += b" ".join(rnd.choice(words) for _ in range(rnd.randint(1, 7)))
+        out += rnd.choice([b"\n", b"$$", b"%%", b""])
+    p = tmp_path / "c.txt"
+    p.write_bytes(bytes(out[:40000]))
+    for args in (["-v", "-d", "o", "-2", "koala"],
+                 ["-v", "-d", "$$", "-1", "alphahello"],
+                 ["-v", "-d", "%%", "-2", "hello"],
+                 ["-v", "-d", "o", "-1", "-n", "koala"]):
+        compare(args + [str(p)])
