@@ -1892,8 +1892,17 @@ class MgrepEngine:
                                 v_s = _nd_first_visit(post + 1,
                                                       cur_end - 1)
                             v = v_s - base
-                            cdrift = 0 if self._vmode else \
-                                _bisect.bisect_left(cbo_marks, v)
+                            # the drift counts seam dup-bytes ALREADY
+                            # rescanned by this call's CBO: a walk
+                            # overshooting its own region's trim (loop
+                            # exit past textend) must not count that
+                            # trailing mark -- cap at the record's
+                            # region index (sweep seed 1201234)
+                            r_rec = _bisect.bisect_left(
+                                cbo_marks, cur_end - 1 - base)
+                            cdrift = 0 if self._vmode else min(
+                                _bisect.bisect_left(cbo_marks, v),
+                                r_rec)
                             cbo_v = (v - (self.p_size - 1) + 1
                                      + cdrift)
                         stop = do_output(0, cur_anchor, cur_begin,

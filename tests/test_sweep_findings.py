@@ -439,3 +439,16 @@ def test_inverse_delim_partition_engine_replay(tmp_path):
                  ["-v", "-d", "%%", "-2", "hello"],
                  ["-v", "-d", "o", "-1", "-n", "koala"]):
         compare(args + [str(p)])
+
+
+def test_complex_flush_cbo_no_own_trim_drift(tmp_path):
+    """The complex-boolean crossing flush can fire at the walk's loop
+    EXIT past its own region's trim (monkey1:1019 residual check): the
+    CBO there has not rescanned that seam's duplicate byte yet, so the
+    per-seam drift must cap at the record's region (sweep seed
+    1201234: -b offset 33 vs 34 on the final record)."""
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"y koalakoala d$dd$dd$dd$dd$dd$dd$d\nCaSeCaSeCaSeC")
+    compare(["-b", "-v", "{alpha;bravo},koala", str(p)])
+    compare(["-b", "{alpha;bravo},koala", str(p)])
+    compare(["-q", "-v", "{alpha;bravo},koala", str(p)])

@@ -26,7 +26,7 @@ WORDS = [b"alpha", b"bravo", b"hello", b"matching", b"xy", b"a",
 
 
 def make_corpus(r: random.Random) -> bytes:
-    style = r.randrange(5)
+    style = r.randrange(8)
     out = bytearray()
     size = r.choice([0, 1, 2, 7, 40, 300, 5000, 40000, 70000])
     while len(out) < size:
@@ -41,9 +41,23 @@ def make_corpus(r: random.Random) -> bytes:
         elif style == 3:
             out += bytes(r.choice(b"acgt") for _ in range(64))
             out += r.choice([b"\n", b""])
-        else:
+        elif style == 4:
             out += r.choice(WORDS) * r.randint(1, 9)
             out += r.choice([b"\n", b" ", b"$$"])
+        elif style == 5:
+            # very long lines: one newline per ~2KB (residue clamps)
+            out += b" ".join(r.choice(WORDS) for _ in range(300))
+            out += r.choice([b"\n", b""])
+        elif style == 6:
+            # latin-1 high bytes + words (codepage folds)
+            out += bytes(r.choice(
+                b"\xe9\xc9\xfc\xdc\x80\xa0ab ") for _ in range(48))
+            out += r.choice([b"\n", b""])
+        else:
+            # NUL-sprinkled word soup (strncpy truncation paths)
+            out += b" ".join(r.choice(WORDS)
+                             for _ in range(r.randint(1, 8)))
+            out += r.choice([b"\x00", b"\n", b""])
     if r.random() < 0.5 and out.endswith(b"\n"):
         out = out[:-1]
     return bytes(out[:size]) if size else bytes(out)
@@ -82,6 +96,8 @@ def make_args(r: random.Random):
                  ("-k", .08)):
         if r.random() < p:
             flags.append(f)
+    if r.random() < 0.06:
+        flags += ["-L", r.choice(["3:0:0", "0:2:0", "0:0:2", "5:1:1"])]
     if r.random() < 0.25:
         flags += ["-d", r.choice(["$$", "o", "%%", "\\n", "ll"])]
     if r.random() < 0.1:
