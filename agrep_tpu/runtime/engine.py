@@ -218,10 +218,81 @@ class BitapEngine:
             last_delim_out = int(pk[-1])
         sink.num_matched += count
 
+    def _memory_search(self, data: np.ndarray, sink: Sink,
+                       D: int) -> None:
+        """Faithful memory-mode scan (bitap.c:309-446): ONE pass over
+        the caller's buffer -- no prefill, no residue copies, no EOF
+        delimiter append; lasti starts at 1 (:318), a leading
+        delimiter pre-decrements j (:320-323), and the pair-unrolled
+        loop's overrun byte reads the writable slack (zeros).
+
+        Per-byte python: conformance-grade for the embedding API's
+        buffer sizes (Glimpse passes records, not corpora).  Bulk
+        scanning belongs to the file path, which is the device-backed
+        one."""
+        from ..ops import bitword
+        q, o = self.q, self.q.opts
+        c = dict(q.consts)
+        # the real machine's Init1 keeps endposition bits STICKY until
+        # the delimiter reset (so the AND/OR verdict reads them all at
+        # the record event); the dense kernel's init1_ns strips them
+        # for pulse events, which this faithful loop does not want
+        c["init1_ns"] = c.get("init1", c["init1_ns"])
+        if q.opts.cost_insert == 0:
+            c["init1_ns"] = 0xFFFFFFFF       # -p (bitap.c:123)
+        mask = q.folded_mask
+        dl = len(q.delim)
+        n = len(data)
+        j = 0
+        if q.delimiter_opt and bytes(bytearray(data[:dl])) == q.delim:
+            j -= 1                           # bitap.c:320-323
+        lasti = 1
+        n_scan = n + (n & 1)                 # pair-unroll overrun
+        st = c["init0"]
+        sts = [c["init0"]] * (D + 1)
+        d_bit = np.uint32(c["d_endpos"])
+        e_bits = np.uint32(c["endpos"])
+        for i in range(n_scan):
+            b = int(data[i]) if i < n else 0
+            cm = int(mask[b])
+            if D == 0 and q.costs is None:
+                st, ev = bitword.step_exact(st, cm, c)
+            elif q.costs is not None:
+                sts, ev = bitword.step_jump(sts, cm, c, D, *q.costs)
+            else:
+                sts, ev = bitword.step_kerr(sts, cm, c, D)
+            if not (ev & d_bit):
+                continue
+            j += 1
+            if q.and_flag:
+                ok = (ev & e_bits) == e_bits
+            else:
+                ok = bool(ev & e_bits)
+            if ok ^ bool(o.invert):
+                if o.filename_only and (sink.new_file
+                                        or not o.post_filter):
+                    sink.num_matched += 1
+                    sink.write_str("%s\n" % sink.current_filename)
+                    sink.new_file = False
+                    return
+                print_end = i - dl
+                if lasti < n:                # !(lasti >= num_read)
+                    byte_offset = (i + 1
+                                   - (dl if q.delimiter_opt else 1))
+                    output_bitap_record(
+                        sink, data, lasti, print_end, j, byte_offset,
+                        dl, q.delimiter_opt, q.delim, q.outtail)
+                if _limits_reached(o, sink):
+                    return
+            lasti = i + 1 - dl
+        sink.finish()
+
     def search_stream(self, data: np.ndarray, sink: Sink, D: int,
                       memory_mode: bool = False) -> None:
         q = self.q
         o = q.opts
+        if memory_mode:
+            return self._memory_search(data, sink, D)
         dl = len(q.delim)
         inject_at = None        # stream position of the glitch byte
         # the EOF delimiter append happens only on a PARTIAL final
@@ -294,8 +365,10 @@ class BitapEngine:
             j0 = -1
         dl_off = dl if q.delimiter_opt else 1
 
-        # iterate records
-        lasti0 = 0 if memory_mode else 1     # initial lasti (stream coords)
+        # iterate records: lasti starts at 1 in BOTH modes (file mode
+        # past the prefilled newline, bitap.c:141; memory mode past the
+        # caller's contract newline, bitap.c:318 `lasti = 1`)
+        lasti0 = 1
         # ---- vectorized flat count: the per-record loop below only
         # contributes (verdict, lasti < data_end, i1 <= i2) to the
         # count, all computable array-wise -- the python loop
@@ -972,7 +1045,22 @@ class SgrepEngine:
                 if rc == 'fname':
                     sink.write_str("%s\n" % sink.current_filename)
                 return
+        data_orig = data                 # pre-trim (sentinel geometry)
         if memory_mode:
+            # memory-mode scan END trims back to the last delimiter
+            # (sgrep.c:597-603): `while(text[end] != '\n' && end > 1)
+            # end--` -- the trailing partial record past it is NEVER
+            # scanned (no matches, no inverse print beyond `end`)
+            end_m = len(data) - 1
+            if end_m >= 0 and not q.delimiter_opt:
+                while end_m > 1 and int(data[end_m]) != 0x0A:
+                    end_m -= 1
+                data = data[:end_m + 1]
+            # -d: the trim is DEAD CODE in the reference's memory
+            # branch -- `offset` keeps its file-mode Max_record value,
+            # so `newbuf < text+offset+D_length` always fires and end
+            # stays at the buffer tail (sgrep.c:599-603; confirmed by
+            # instrumentation: [sgmem] end == num_read-1)
             stream = data
             base = 0
         elif q.delimiter_opt:
@@ -1121,7 +1209,21 @@ class SgrepEngine:
         # reproduce its count exactly.
         c_count = None
         walk_spans = None
-        if D > 0 and q.sg_sub == "agrep" and not memory_mode:
+        if D > 0 and q.sg_sub == "agrep" and memory_mode \
+                and q.sg_m // (D + 1) >= 1:
+            # memory mode: ONE engine call over the caller's buffer --
+            # pulse counting (num_of_matched per pulse, sgrep.c:1187)
+            # with the sentinel + end-trim geometry
+            from . import sgrep_sim
+            c_count = sgrep_sim.agrep_mem_count(
+                data_orig, q.sg_pattern, D, q.sg_mask,
+                q.sg_consts["endpos"], q.delimiter_opt, q.delim,
+                q.outtail, o.silent)
+            if (o.count and not o.filename_only
+                    and o.limit_output == 0 and o.limit_per_file == 0):
+                sink.num_matched += c_count
+                return
+        elif D > 0 and q.sg_sub == "agrep" and not memory_mode:
             from . import sgrep_sim
             # records outgrowing the residue window (MAXLINE,
             # sgrep.c:465-471) clobber the block buffer: candidates
@@ -1247,7 +1349,7 @@ class SgrepEngine:
             begin, end = self._record_span(stream, nl, delim_ends, p, D,
                                            sg_trims)
             if (D == 0 and q.sg_sub == "bm" and not q.delimiter_opt
-                    and not memory_mode and end >= N - 1):
+                    and end >= N - 1):
                 # bm's EOF adjustment fires whenever the record end
                 # reaches textend (sgrep.c:786-789) -- also via a
                 # trailing PARTIAL line after the matched newline: the
@@ -1864,12 +1966,11 @@ class Executor:
         sink.fname = o.always_filename
         _ = getattr(self.engine, "total_line", 0)  # (cumulative)
         self.engine.search_stream(data, sink, q.D, memory_mode=True)
-        nfile = sink.num_matched - sink.prev_num_matched
-        if o.count:
-            if o.invert and q.engine_class == "mgrep":
-                nfile = (getattr(self.engine, "total_line", 0)
-                         - nfile)
-            self._emit_count_line(nfile)
+        # memory mode emits NO count line: exec()'s -1 branch gates it
+        # on `COUNT && ret` where ret is the engine's return value --
+        # 0 on success, so the line never prints (agrep.c:3365, the
+        # "dirty solution for glimpse's -b" comment); the match count
+        # still feeds the Grand Total / return value
         sink.finish()
         return sink.num_matched
 

@@ -220,6 +220,24 @@ class RegexEngine:
                     verdicts[idxs] = got
                 i = j
 
+        # memory mode also checks a verdict at the FIRST newline: the
+        # caller's contract newline is scanned like any byte, so a
+        # virtual leading line [0, nl[0]) gets its own r_output check
+        # (from the raw Init closure, not the post-newline state); the
+        # empty sentinel line prints nothing but COUNTS
+        extra0 = False
+        if memory_mode and len(nl):
+            l0 = int(nl[0])
+            if l0 == 0:
+                v0 = bool(matched0)
+            else:
+                lane0 = np.zeros((1, l0 + 1), dtype=np.uint8)
+                lane0[0, :l0 + 1] = stream[:l0 + 1]
+                v0 = bool(renfa.scan_records(
+                    lane0, np.asarray([l0], dtype=np.int64), mc,
+                    mc["inits"], mc["inits"], backend="numpy")[0])
+            extra0 = v0 ^ bool(o.invert)
+
         # output pass (r_output conventions); iterate matches only
         hit = verdicts ^ o.invert
         if (n_lines and not memory_mode and len(data)
@@ -239,8 +257,15 @@ class RegexEngine:
                 # r_output i >= end guard swallows the appended line
                 hit = hit.copy()
                 hit[n_lines - 1] = False
-            sink.num_matched += int(np.count_nonzero(hit))
+            sink.num_matched += int(np.count_nonzero(hit)) + int(extra0)
             return
+        if extra0:
+            # the virtual leading line: counted; the empty sentinel
+            # prints nothing (observed: memdrv -v on '\n<line>\n')
+            sink.num_matched += 1
+            if o.filename_only:
+                sink.write_str("%s\n" % sink.current_filename)
+                return
         BSR = 49152                            # BlockSize (agrep.h:48)
         for k in np.flatnonzero(hit).tolist():
             p = int(nl[k + 1])                 # stream pos of the '\n'
@@ -289,7 +314,10 @@ class RegexEngine:
             # the event's data offset.
             glitch = 1 if (inject_at is not None
                            and p >= inject_at) else 0
-            cbo = p - 1 + glitch
+            # memory mode has no prepended sentinel newline, so the
+            # C's CurrentByteOffset at a record check sits one AHEAD
+            # of the file-mode convention relative to stream position
+            cbo = p - 1 + glitch + (1 if memory_mode else 0)
             if D > 0 and (p - (0 if memory_mode else 1)
                           + glitch) % 2 == 0:
                 cbo -= 1

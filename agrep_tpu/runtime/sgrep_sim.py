@@ -562,6 +562,57 @@ def agrep_machine_tables(pat: bytes):
     return mask, np.uint32(endpos)
 
 
+def agrep_mem_count(data: np.ndarray, pat: bytes, D: int,
+                    mask: np.ndarray, endpos: int, delimiter: bool,
+                    d_pattern: bytes, outtail: bool,
+                    silent: bool) -> int:
+    """Memory-mode agrep() pulse count (sgrep.c:552-680): ONE call
+    over the caller's buffer -- emergency-stop sentinel (m copies of
+    pat[m-1]) appended past the end, scan end trimmed back to the last
+    delimiter (`while(text[end] != '\\n' && end > 1) end--`), then the
+    same candidate rounds as the file path.  num_of_matched counts
+    PULSES, independent of INVERSE (sgrep.c:1187)."""
+    from .. import native
+    m = len(pat)
+    buf = np.concatenate([np.asarray(data, dtype=np.uint8),
+                          np.full(max(m, 1), pat[m - 1] if m else 0,
+                                  dtype=np.uint8)])
+    end = len(data) - 1
+    if end < 0:
+        return 0
+    if not delimiter:
+        while end > 1 and int(buf[end]) != 0x0A:
+            end -= 1
+    else:
+        dl = len(d_pattern)
+        seg = np.asarray(data, dtype=np.uint8)
+        hit = None
+        if len(seg) >= dl:
+            hit = np.ones(len(seg) - dl + 1, dtype=bool)
+            for k, b in enumerate(d_pattern):
+                hit &= seg[k:len(seg) - dl + 1 + k] == b
+            ends_d = np.flatnonzero(hit)
+        else:
+            ends_d = np.zeros(0, dtype=np.int64)
+        if len(ends_d):
+            nb = int(ends_d[-1]) + (dl if outtail else 0)
+            if nb >= dl:
+                end = nb - 1
+    shift_tab, d1, member, _m, _bs = build_agrep_tables(pat, D)
+    maskI = np.bitwise_not(np.asarray(mask, dtype=np.uint32))
+    delim_arg = d_pattern if delimiter else b""
+    nc = native.agrep_candidates(buf, 0, end, pat, D, shift_tab, d1,
+                                 member)
+    cands = nc if nc is not None else agrep_candidates(buf, 0, end,
+                                                       pat, D)
+    r = native.agrep_rounds(buf, 0, end, np.asarray(cands), maskI,
+                            endpos, D, delim_arg, outtail, silent)
+    if r is None:
+        r = _agrep_rounds_py(buf, 0, end, cands, maskI, endpos, D,
+                             delim_arg, outtail, silent)
+    return int(len(r[0]))
+
+
 def agrep_c_count(data: np.ndarray, events_g: np.ndarray, nl_g: np.ndarray,
                   pat: bytes, D: int, delimiter: bool = False,
                   d_pattern: bytes = b"\n",
