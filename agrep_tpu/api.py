@@ -172,7 +172,19 @@ def fileagrep(argv: list[str], output=None, verbose_total=True) -> int:
 
 
 def memagrep(argv: list[str], data: bytes, output=None) -> int:
-    q = Query(argv=argv)
+    try:
+        q = Query(argv=argv)
+    except AgrepError as e:
+        # exec()-stage conflicts (compat.c): the library prints the
+        # message to stderr and STILL emits the Grand Total line
+        # before the -1 return (agrep.c:3229) -- same as the CLI
+        msg = str(e)
+        if msg:
+            print(msg, file=sys.stderr)
+        if getattr(e, "late", False) and getattr(e, "verbose", 1) > 0:
+            out = output if output is not None else sys.stdout.buffer
+            out.write(b"Grand Total: 0 match(es) found.\n")
+        return -1
     ret = q.search_buffer(data, output)
     if q.opts.verbose > 0:
         out = output if output is not None else sys.stdout.buffer

@@ -264,11 +264,14 @@ class BitapEngine:
             if not (ev & d_bit):
                 continue
             j += 1
+            # verdict (bitap.c:342): `(AND && all) || ((!AND && any)
+            # ^ INVERSE)` -- ^ binds tighter than ||, so INVERSE only
+            # xors the OR clause; AND + -v fires on EVERY record
             if q.and_flag:
-                ok = (ev & e_bits) == e_bits
+                fire = ((ev & e_bits) == e_bits) or bool(o.invert)
             else:
-                ok = bool(ev & e_bits)
-            if ok ^ bool(o.invert):
+                fire = bool(ev & e_bits) ^ bool(o.invert)
+            if fire:
                 if o.filename_only and (sink.new_file
                                         or not o.post_filter):
                     sink.num_matched += 1
@@ -1056,11 +1059,17 @@ class SgrepEngine:
                 while end_m > 1 and int(data[end_m]) != 0x0A:
                     end_m -= 1
                 data = data[:end_m + 1]
-            # -d: the trim is DEAD CODE in the reference's memory
-            # branch -- `offset` keeps its file-mode Max_record value,
-            # so `newbuf < text+offset+D_length` always fires and end
-            # stays at the buffer tail (sgrep.c:599-603; confirmed by
-            # instrumentation: [sgmem] end == num_read-1)
+            elif end_m >= 0:
+                # -d trim with the STALE offset guard: `offset` keeps
+                # its 2*MAXLINE initializer in the memory branch, so
+                # the backward-delimiter trim only engages when the
+                # last delimiter sits at/after text+2048+D_length
+                # (sgrep.c:598-603) -- small buffers never trim
+                from . import sgrep_sim
+                end_m = sgrep_sim._mem_delim_trim(
+                    np.asarray(data, dtype=np.uint8), q.delim,
+                    q.outtail)
+                data = data[:end_m + 1]
             stream = data
             base = 0
         elif q.delimiter_opt:
@@ -1213,16 +1222,19 @@ class SgrepEngine:
                 and q.sg_m // (D + 1) >= 1:
             # memory mode: ONE engine call over the caller's buffer --
             # pulse counting (num_of_matched per pulse, sgrep.c:1187)
-            # with the sentinel + end-trim geometry
+            # with the sentinel + end-trim geometry; print modes drive
+            # straight off the replay's s_output events and spans
             from . import sgrep_sim
-            c_count = sgrep_sim.agrep_mem_count(
-                data_orig, q.sg_pattern, D, q.sg_mask,
-                q.sg_consts["endpos"], q.delimiter_opt, q.delim,
-                q.outtail, o.silent)
+            c_count, walk_pos, walk_spans, walk_raw = \
+                sgrep_sim.agrep_mem_exact(
+                    data_orig, q.sg_pattern, D, q.sg_mask,
+                    q.sg_consts["endpos"], q.delimiter_opt, q.delim,
+                    q.outtail, o.silent)
             if (o.count and not o.filename_only
                     and o.limit_output == 0 and o.limit_per_file == 0):
                 sink.num_matched += c_count
                 return
+            pos = walk_pos           # caller-buffer offsets (base = 0)
         elif D > 0 and q.sg_sub == "agrep" and not memory_mode:
             from . import sgrep_sim
             # records outgrowing the residue window (MAXLINE,
@@ -1415,7 +1427,20 @@ class SgrepEngine:
             if _limits_reached(o, sink):
                 return
         if o.invert and not o.count and lastout <= N - 1:
-            sink.write(bytes(bytearray(stream[lastout:N])))
+            # memory mode: bm/monkey's skip walk runs past the trimmed
+            # textend (the emergency-stop sentinel guarantees a
+            # candidate); a VERIFIED occurrence ending beyond textend
+            # hits `if(text > textend) return 0` (sgrep.c:748, :1581)
+            # BEFORE the INVERSE tail flush (:987) -- the flush never
+            # runs.  The guard precedes the WORDBOUND filter, so a raw
+            # folded occurrence suffices.
+            suppressed = False
+            if memory_mode and D == 0 and q.sg_sub in ("bm", "monkey"):
+                suppressed = self._mem_tail_match(
+                    data_orig, N - 1, resume=lastout,
+                    had_match=records_counted > 0)
+            if not suppressed:
+                sink.write(bytes(bytearray(stream[lastout:N])))
         if c_count is not None:
             sink.num_matched += c_count - records_counted
 
@@ -1589,6 +1614,101 @@ class SgrepEngine:
                     sink.write(b"\n")
                     pending_sentinel = False
                 sink.write(bytes(bytearray(data[lastout_g:g_end + 1])))
+
+    def _mem_tail_match(self, data_orig, te: int,
+                        resume: int = 0, had_match: bool = False) -> bool:
+        """True iff the memory-mode INVERSE tail flush is SKIPPED:
+        bm()'s skip walk is unbounded (the emergency-stop sentinel --
+        m copies of pat[m-1], sgrep.c:594 -- guarantees a landing),
+        so after the last in-region output it overshoots textend onto
+        ONE candidate; if that candidate VERIFIES, `if(text > textend)
+        return 0` (:748) fires BEFORE the flush (:987).  A failed
+        candidate re-enters the loop top, which exits normally and
+        flushes.  Simulated exactly for bm (SHIFT = horspool table of
+        m_preprocess with D=0, :1063-1068; d1 = shift_1, :1073-1085);
+        monkey approximates with any-occurrence-beyond (its :1581
+        guard is reached through a hashed walk, same shape)."""
+        q = self.q
+        pat = q.sg_pattern
+        m = len(pat)
+        if m == 0 or len(data_orig) == 0:
+            return False
+        buf = np.concatenate([np.asarray(data_orig, dtype=np.uint8),
+                              np.full(m, pat[m - 1], dtype=np.uint8)])
+        L = len(buf)
+        tr = np.arange(256, dtype=np.uint8)
+        if q.opts.nocase is not None:
+            tr[65:91] += 32
+        trp = tr[np.frombuffer(pat, dtype=np.uint8)]
+        trb = tr[buf]
+        if q.sg_sub != "bm":
+            # monkey: any folded occurrence ending beyond textend
+            if L < m:
+                return False
+            hit = np.ones(L - m + 1, dtype=bool)
+            for k in range(m):
+                hit &= trb[k:L - m + 1 + k] == trp[k]
+            ends = np.flatnonzero(hit) + m - 1
+            return bool((ends > te).any())
+        SHIFT = np.full(256, m, dtype=np.int64)
+        for i in range(m):
+            if SHIFT[pat[i]] > m - 1 - i:
+                SHIFT[pat[i]] = m - 1 - i
+        d1 = m
+        for k in range(1, m):
+            if pat[m - 1 - k] == pat[m - 1] and k < d1:
+                d1 = k
+        if d1 == 0:
+            d1 = 1
+        dl = len(q.delim) if q.delimiter_opt else 1
+        t = int(resume)
+        shift = int(SHIFT[buf[t]]) if (had_match and 0 <= t < L) else 0
+        guard = 0
+        while t < te and guard < 4 * L + 64:
+            guard += 1
+            while shift:
+                t += shift
+                if t >= L:
+                    return False
+                shift = int(SHIFT[buf[t]])
+            j = 0
+            while j < m and (trb[t - j] if t - j >= 0 else 0) \
+                    == trp[m - 1 - j]:
+                j += 1
+            if j == m:
+                if t > te:
+                    return True
+                if q.opts.wordbound:
+                    after = int(buf[t + 1]) if t + 1 < L else 0
+                    before = int(buf[t - m]) if t - m >= 0 else 0
+                    if _isalnum(after) or _isalnum(before):
+                        shift = 1
+                        continue
+                # in-region verified match: jump to the record end the
+                # way the INVERSE loop does (textbegin = curtextend)
+                if not q.delimiter_opt:
+                    e2 = t + 1
+                    while e2 < te and buf[e2] != 0x0A:
+                        e2 += 1
+                    if e2 < L and buf[e2] == 0x0A:
+                        e2 += 1
+                else:
+                    e2 = None
+                    for cb in range(t + 1, te - dl + 1):
+                        if bytes(bytearray(buf[cb:cb + dl])) == q.delim:
+                            e2 = cb + dl if q.outtail else cb
+                            break
+                    if e2 is None:
+                        e2 = te + 1
+                if e2 <= t:
+                    e2 = t + 1
+                t = e2
+                if t >= L:
+                    return False
+                shift = int(SHIFT[buf[t]])
+            else:
+                shift = d1
+        return False
 
     def _drop_phantom_tail_event(self, data, pos, N):
         """Drop the event at stream position N-1 (a match ending on

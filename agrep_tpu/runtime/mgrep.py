@@ -742,7 +742,34 @@ class MgrepEngine:
             return
         trim_end = None      # block-trim boundary (stream coords)
         virt_append = False  # EOF-rescan delimiter kept virtual
+        mem_scan_end = None  # memory -d trim: bounds the walk, not
+                             # the buffer
         if memory_mode:
+            # countline (newmgrep.c:647) runs over num_read -- the
+            # UNTRIMMED buffer -- even though the scan end was just
+            # cut back
+            if o.invert and o.count and not self._vmode:
+                self.total_line += int(np.count_nonzero(
+                    np.asarray(data) == 0x0A))
+            # memory-mode end trim (newmgrep.c:637-644): back to the
+            # last newline, or for -d the last delimiter with the weak
+            # `newbuf < text+D_length` guard (unlike sgrep's stale
+            # 2*MAXLINE offset, mgrep trims whenever one exists)
+            end_t = len(data) - 1
+            if end_t >= 0 and not q.delimiter_opt:
+                while end_t > 1 and int(data[end_t]) != 0x0A:
+                    end_t -= 1
+                data = data[:end_t + 1]
+            elif end_t >= 0:
+                # the buffer is NOT sliced: monkey1's verify loop runs
+                # FORWARD past textend (`tr[*px] == tr[*qx]` with no
+                # bound, newmgrep.c:946), so a term anchored inside
+                # the scan can complete in the trimmed-off tail; only
+                # the WALK is bounded by the trim (mem_scan_end)
+                from . import sgrep_sim
+                mem_scan_end = sgrep_sim._mem_delim_trim(
+                    np.asarray(data, dtype=np.uint8), q.delim,
+                    q.outtail, guard=0)
             stream = data
             base = 0
         else:
@@ -859,10 +886,10 @@ class MgrepEngine:
                 base = 1
         N = len(stream)
         if o.invert and o.count and not self._vmode \
-                and not (q.delimiter_opt and not memory_mode):
+                and not memory_mode and not q.delimiter_opt:
             # countline over the raw blocks (the -d path counted its
-            # overwritten-but-unclamped head above; the vmode caller
-            # already counted its data)
+            # overwritten-but-unclamped head above; memory mode
+            # counted its untrimmed buffer in the branch above)
             self.total_line += int(np.count_nonzero(data == 0x0A))
 
         m1 = self.p_size - 1
@@ -934,7 +961,10 @@ class MgrepEngine:
                                   stream[np.maximum(bp, 0)], 0)
                 if q.delimiter_opt:
                     dref = np.frombuffer(q.delim, dtype=np.uint8)
-                    neg = (bp < 0) & (dl + bp >= 0)
+                    # memory mode has no memcpy'd delimiter before the
+                    # scan start: the context byte reads as NUL
+                    neg = (bp < 0) & (dl + bp >= 0) \
+                        & (not memory_mode)
                     if neg.any():
                         before = before.copy()
                         before[neg] = dref[(dl + bp)[neg]]
@@ -1214,6 +1244,11 @@ class MgrepEngine:
         bounds = [m + base for m in cbo_marks]       # inclusive ends
         # final region's exclusive end (the INVERSE tail bound)
         final_end = base + len(data)
+        if mem_scan_end is not None:
+            # memory -d: textend = text + (trimmed) end; the walk,
+            # record ends, and the INVERSE tail flush all stop there,
+            # while occurrences still verify into the raw tail
+            final_end = mem_scan_end + 1
         if not memory_mode and not q.delimiter_opt and len(data) \
                 and data[-1] != 0x0A \
                 and len(data) % (2 * 16384) != 1:
@@ -1277,13 +1312,16 @@ class MgrepEngine:
                 r_cur += 1
                 lastout = _region_start(r_cur)
 
-        if q.delimiter_opt and not memory_mode:
+        if q.delimiter_opt:
             # Registration ORDER matters for booleans with -d: a hit
             # can land exactly on the record boundary before the
             # scan's crossing reset fires (newmgrep.c:894 vs :980,
             # :1001), terminals containing the delimiter anchor at
             # curtextend, and satisfied outputs jump the scan to the
-            # record end.  Replay monkey1's actual skip walk.
+            # record end.  Replay monkey1's actual skip walk.  Memory
+            # mode is the same walk over ONE region (the caller's
+            # buffer, trimmed above) with no memcpy'd delimiter before
+            # the scan start and no EOF-rescan bytes after it.
             p_size = self.p_size
             m1w = p_size - 1
             short_mode = p_size == 1   # m_short (newmgrep.c:1300-1506)
@@ -1332,12 +1370,15 @@ class MgrepEngine:
             def _hs(i):
                 j = i - dl
                 if j < 0:
-                    return int(tr1[_dref[i]])
+                    # memory mode: no memcpy'd delimiter -- the bytes
+                    # before the caller's buffer read as NUL
+                    return int(tr1[_dref[i]]) if not memory_mode else 0
                 if j < _n_st:
                     return int(tr1[stream[j]])
-                # virtual EOF-rescan delimiter bytes
+                # virtual EOF-rescan delimiter bytes (file mode only)
                 k = j - _n_st
-                return int(tr1[_dref[k]]) if k < dl else 0
+                return (int(tr1[_dref[k]])
+                        if k < dl and not memory_mode else 0)
             de_arr = delim_ends
 
             cbo_base = [0]

@@ -228,14 +228,25 @@ class RegexEngine:
         extra0 = False
         if memory_mode and len(nl):
             l0 = int(nl[0])
+            # initial seeding differs by machine: re() (M <= SHORTREG
+            # = 15, agrep.h:36 + bitap.c:104) sets A[k]=B[k]=Init[0]
+            # at every level (agrep.c:1293) -- NO deletion closure --
+            # while re1() seeds Init[k] (agrep.c:503).  File mode
+            # never observes this (the prefill newline resets the
+            # state before any data); the memory leading line does.
+            if int(mc["M"]) <= 15:
+                seed0 = [int(mc["init0"])] * (int(mc["D"]) + 1)
+            else:
+                seed0 = list(mc["inits"])
             if l0 == 0:
-                v0 = bool(matched0)
+                _, v0 = renfa.step_newline(
+                    seed0, int(mc["mask"][0x0A]), mc)
             else:
                 lane0 = np.zeros((1, l0 + 1), dtype=np.uint8)
                 lane0[0, :l0 + 1] = stream[:l0 + 1]
                 v0 = bool(renfa.scan_records(
                     lane0, np.asarray([l0], dtype=np.int64), mc,
-                    mc["inits"], mc["inits"], backend="numpy")[0])
+                    seed0, seed0, backend="numpy")[0])
             extra0 = v0 ^ bool(o.invert)
 
         # output pass (r_output conventions); iterate matches only
@@ -260,12 +271,27 @@ class RegexEngine:
             sink.num_matched += int(np.count_nonzero(hit)) + int(extra0)
             return
         if extra0:
-            # the virtual leading line: counted; the empty sentinel
-            # prints nothing (observed: memdrv -v on '\n<line>\n')
+            # the virtual leading line: counted; r_output emits its
+            # DECORATIONS (line number 0, -b offset) but the record
+            # span is empty so no bytes or newline follow (observed:
+            # memdrv -v prints nothing, -v -n prints "0: ")
             sink.num_matched += 1
             if o.filename_only:
                 sink.write_str("%s\n" % sink.current_filename)
                 return
+            p0 = int(nl[0])
+            sink.emit_fname_prefix()
+            if o.linenum:
+                sink.write_str("0: ")
+            cbo0 = p0
+            if int(mc["D"]) > 0 and (p0 - 1) % 2 == 0:
+                cbo0 -= 1
+            if o.bytecount:
+                sink.write_str("%d= " % cbo0)
+            if o.printoffset:
+                sink.write_str("@%d{%d} " % (cbo0 - p0, p0))
+            if o.printrecord and p0 > 0:
+                sink.write(bytes(bytearray(stream[:p0 + 1])))
         BSR = 49152                            # BlockSize (agrep.h:48)
         for k in np.flatnonzero(hit).tolist():
             p = int(nl[k + 1])                 # stream pos of the '\n'
@@ -318,8 +344,11 @@ class RegexEngine:
             # C's CurrentByteOffset at a record check sits one AHEAD
             # of the file-mode convention relative to stream position
             cbo = p - 1 + glitch + (1 if memory_mode else 0)
-            if D > 0 and (p - (0 if memory_mode else 1)
-                          + glitch) % 2 == 0:
+            # pair-slot parity is anchored at the loop's start in BOTH
+            # modes (memory: i=0 with CurrentByteOffset=1, agrep.c
+            # RE1 memory loops): combined with the +1 base, the memory
+            # -b value rounds DOWN to even (newline_idx & ~1)
+            if D > 0 and (p - 1 + glitch) % 2 == 0:
                 cbo -= 1
             if o.bytecount:
                 sink.write_str("%d= " % cbo)

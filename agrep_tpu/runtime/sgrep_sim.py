@@ -562,42 +562,72 @@ def agrep_machine_tables(pat: bytes):
     return mask, np.uint32(endpos)
 
 
-def agrep_mem_count(data: np.ndarray, pat: bytes, D: int,
+def _mem_delim_trim(data: np.ndarray, d_pattern: bytes,
+                    outtail: bool, guard: int = 2 * 1024) -> int:
+    """Scan end after the memory branch's -d trim (sgrep.c:598-603):
+    backward_delimiter(text+end+1, text, ...) then the guard `newbuf <
+    text+offset+D_length` cancels the trim.  sgrep's memory branch
+    keeps `offset` at its 2*MAXLINE initializer (the "as if offset =
+    0" comment lies about the variable), so guard=2048 there: small
+    buffers never trim.  mgrep's memory branch (newmgrep.c:640-643)
+    compares against text+D_length only -- guard=0: the trim engages
+    whenever any delimiter exists.  Trimmed, end lands just before the
+    last delimiter (curbegin, or curbegin+len under -t)."""
+    n = len(data)
+    dl = len(d_pattern)
+    end = n - 1
+    e = n                       # text + end + 1, with text at offset 0
+    if e - dl < 0:
+        nb = 0
+    elif dl == 1 and d_pattern == b"\n":
+        e -= 1
+        while e > 0 and int(data[e]) != 0x0A:
+            e -= 1
+        if outtail and e < n and int(data[e]) == 0x0A:
+            e += 1
+        nb = e
+    else:
+        hit = np.ones(n - dl + 1, dtype=bool)
+        for k, b in enumerate(d_pattern):
+            hit &= data[k:n - dl + 1 + k] == b
+        occ = np.flatnonzero(hit)
+        nb = (int(occ[-1]) + (dl if outtail else 0)) if len(occ) else 0
+    if nb < guard + dl:         # 2*MAXLINE (agrep.h:52) or D_length
+        return end
+    return nb - 1
+
+
+def agrep_mem_exact(data: np.ndarray, pat: bytes, D: int,
                     mask: np.ndarray, endpos: int, delimiter: bool,
-                    d_pattern: bytes, outtail: bool,
-                    silent: bool) -> int:
-    """Memory-mode agrep() pulse count (sgrep.c:552-680): ONE call
-    over the caller's buffer -- emergency-stop sentinel (m copies of
-    pat[m-1]) appended past the end, scan end trimmed back to the last
-    delimiter (`while(text[end] != '\\n' && end > 1) end--`), then the
-    same candidate rounds as the file path.  num_of_matched counts
-    PULSES, independent of INVERSE (sgrep.c:1187)."""
+                    d_pattern: bytes, outtail: bool, silent: bool):
+    """Memory-mode agrep() replay (sgrep.c:552-680): ONE call over the
+    caller's buffer -- emergency-stop sentinel (m copies of pat[m-1])
+    appended past the end, scan end trimmed back to the last delimiter
+    (`while(text[end] != '\\n' && end > 1) end--`; DEAD CODE for -d,
+    where offset keeps Max_record), then the same candidate rounds as
+    the file path.  num_of_matched counts PULSES, independent of
+    INVERSE (sgrep.c:1187).
+
+    Returns (count, out_positions, out_spans, out_raw): like
+    agrep_exact but single-block with tb=0, so spans/positions are
+    already caller-buffer offsets; raw record bytes can overrun into
+    the sentinel copies (the writable slack the contract requires)."""
     from .. import native
     m = len(pat)
+    empty = (0, np.empty(0, dtype=np.int64),
+             np.empty((0, 2), dtype=np.int64), [])
     buf = np.concatenate([np.asarray(data, dtype=np.uint8),
                           np.full(max(m, 1), pat[m - 1] if m else 0,
                                   dtype=np.uint8)])
     end = len(data) - 1
     if end < 0:
-        return 0
+        return empty
     if not delimiter:
         while end > 1 and int(buf[end]) != 0x0A:
             end -= 1
     else:
-        dl = len(d_pattern)
-        seg = np.asarray(data, dtype=np.uint8)
-        hit = None
-        if len(seg) >= dl:
-            hit = np.ones(len(seg) - dl + 1, dtype=bool)
-            for k, b in enumerate(d_pattern):
-                hit &= seg[k:len(seg) - dl + 1 + k] == b
-            ends_d = np.flatnonzero(hit)
-        else:
-            ends_d = np.zeros(0, dtype=np.int64)
-        if len(ends_d):
-            nb = int(ends_d[-1]) + (dl if outtail else 0)
-            if nb >= dl:
-                end = nb - 1
+        end = _mem_delim_trim(np.asarray(data, dtype=np.uint8),
+                              d_pattern, outtail)
     shift_tab, d1, member, _m, _bs = build_agrep_tables(pat, D)
     maskI = np.bitwise_not(np.asarray(mask, dtype=np.uint32))
     delim_arg = d_pattern if delimiter else b""
@@ -610,7 +640,23 @@ def agrep_mem_count(data: np.ndarray, pat: bytes, D: int,
     if r is None:
         r = _agrep_rounds_py(buf, 0, end, cands, maskI, endpos, D,
                              delim_arg, outtail, silent)
-    return int(len(r[0]))
+    idxs, flags, begins, ends = r
+    sel = flags != 0
+    raw = []
+    blen = len(buf)
+    for sb, se in zip(begins[sel], ends[sel]):
+        lo = min(max(int(sb), 0), blen)
+        hi = min(max(int(se), lo), blen)
+        raw.append(bytes(bytearray(buf[lo:hi])))
+    return (int(len(idxs)), idxs[sel] - 1,
+            np.stack([begins[sel], ends[sel]], axis=1), raw)
+
+
+def agrep_mem_count(data, pat, D, mask, endpos, delimiter, d_pattern,
+                    outtail, silent) -> int:
+    """Pulse count only (see agrep_mem_exact)."""
+    return agrep_mem_exact(data, pat, D, mask, endpos, delimiter,
+                           d_pattern, outtail, silent)[0]
 
 
 def agrep_c_count(data: np.ndarray, events_g: np.ndarray, nl_g: np.ndarray,

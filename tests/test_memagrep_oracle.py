@@ -87,6 +87,46 @@ def test_memagrep_records():
         compare_mem(args, data)
 
 
+def test_memagrep_and_inverse_verdict():
+    # bitap verdict precedence (bitap.c:342): ^ binds tighter than ||,
+    # so -v with an AND boolean fires on EVERY record
+    data = (b'\nalpha d$d zz\nkoala d$d zz d$d alpha hello\n'
+            b'd$d helloalpha zz koala\n')
+    for args in (["-v", "-n", "alpha;koala;zz"], ["-n", "alpha;koala;zz"],
+                 ["-v", "-n", "-c", "alpha;koala;zz"]):
+        compare_mem(args, data)
+
+
+def test_memagrep_delim_trim_guards():
+    # sgrep's -d trim guard is the stale 2*MAXLINE offset; mgrep's is
+    # D_length -- both observable only via the library API
+    big = (b"\nzz koala matching hello alpha " * 120)[:3000] + b"\n"
+    for args in (["-d", "o", "-1", "koala"], ["-d", "o", "alpha"],
+                 ["-d", "o", "-v", "alpha"], ["-d", "o", "hello,zz"],
+                 ["-d", "o", "-c", "-1", "hello"]):
+        compare_mem(args, big)
+    compare_mem(["-d", "o", "hello,zz"], b"\nmatching hello zz HELLO\nkOaLa")
+
+
+def test_memagrep_bm_tail_flush():
+    # the skip walk's overshoot candidate decides the INVERSE flush
+    compare_mem(["-v", "koala"], b"\nzz d$dozz koala alphaomatchin")
+    compare_mem(["-v", "nosuchpat"], b"\nzz d$dozz koala alphaomatchin")
+    compare_mem(["-v", "-l", "koala"], b"\nzz d$dozz koala alphaomatchin")
+
+
+def test_memagrep_regex_memory_conventions():
+    data = b'\nxx hello yy\nabc hello def\nno match\nzz hello\n'
+    for args in (["-n", "-b", "-2", "hel*o"], ["-n", "-b", "hel*o"],
+                 ["-n", "-v", "-1", "al(p|f)ha"], ["-b", "-3", "hel*o"]):
+        compare_mem(args, data)
+
+
+def test_memagrep_late_error_grand_total():
+    # exec conflicts still print Grand Total: 0 before the -1 return
+    compare_mem(["-x", "-d", "From ", "hello"], b"\nhi\n")
+
+
 def test_memagrep_fuzz():
     rnd = random.Random(77)
     words = [b"alpha", b"hello", b"matching", b"zz", b"koala", b"d$d"]
@@ -97,9 +137,12 @@ def test_memagrep_fuzz():
             out += b" ".join(rnd.choice(words)
                              for _ in range(rnd.randint(1, 6)))
             out += rnd.choice([b"\n", b"$$", b""])
-        data = bytes(out[:size]) + b"\n"
+        # partial trailing record: exercises the memory end trims
+        data = bytes(out[:size]) + rnd.choice(
+            [b"\n", b"\n", b"", b" tail no newline"])
         pat = rnd.choice(["hello", "koala", "alpha", "nosuch",
-                          "hel*o", "h#o", "hello;zz", "al(p|f)ha"])
+                          "hel*o", "h#o", "hello;zz", "al(p|f)ha",
+                          "alpha;koala;zz", "hello,zz"])
         flags = []
         for f, p in (("-c", .4), ("-n", .2), ("-v", .2), ("-i", .2),
                      ("-b", .1), ("-w", .15)):
@@ -109,12 +152,4 @@ def test_memagrep_fuzz():
             flags.append("-%d" % rnd.randint(1, 2))
         if rnd.random() < .25:
             flags += ["-d", rnd.choice(["$$", "o"])]
-        # two documented-open memory families (docs/CONFORMANCE.md
-        # "memagrep residuals"): sgrep record/tail spans under a
-        # non-newline -d, and mgrep boolean terminal registration
-        if "-d" in flags and flags[flags.index("-d") + 1] == "o" \
-                and pat not in ("hel*o", "h#o", "al(p|f)ha"):
-            continue
-        if ";" in pat:
-            continue
         compare_mem(flags + [pat], data)
