@@ -142,7 +142,21 @@ def fileagrep(argv: list[str], output=None, verbose_total=True) -> int:
     """CLI-equivalent entry: parse argv (without argv[0]), search files,
     print the Grand Total, return the match count (= exit code)."""
     import os
-    q = Query(argv=argv)
+    try:
+        q = Query(argv=argv)
+    except AgrepError as e:
+        # exec()-stage conflicts still print the Grand Total line
+        # before the -1 return (agrep.c:3229) -- same as memagrep.
+        # Early (usage/version) errors keep propagating to the caller.
+        if not getattr(e, "late", False):
+            raise
+        msg = str(e)
+        if msg:
+            print(msg, file=sys.stderr)
+        if getattr(e, "verbose", 1) > 0 and verbose_total:
+            out = output if output is not None else sys.stdout.buffer
+            out.write(b"Grand Total: 0 match(es) found.\n")
+        return -1
     if not q.files:
         # agrep.c:2928 + fileagrep:3310: no files -> error return -1
         print("agrep: no target files found.", file=sys.stderr)

@@ -1083,6 +1083,26 @@ class SgrepEngine:
                 [np.frombuffer(b"\n", dtype=np.uint8), data])
             base = 1
         N = len(stream)
+        amk_bounds = None        # a_monkey/monkey4 per-call spans
+        amk_bufs = None          # their per-block buffer snapshots
+        if not memory_mode:
+            # every scan and PRINT reads the evolving block buffer,
+            # where the residue carry is strncpy (sgrep.c:470): a NUL
+            # in a residue (interior or EOF) zero-fills the rest of
+            # the carried copy.  Swap in a clamped VIEW so events,
+            # record spans, complements, and printed bytes all agree
+            # with what the reference's buffer held.  (bm/monkey
+            # interior-NUL shapes already returned via the block
+            # replay above; this covers the other sub-engines and the
+            # EOF residue.)
+            V = self._sgrep_nul_clamp_view(data)
+            if V is not None:
+                data = V
+                if q.delimiter_opt:
+                    stream = data
+                else:
+                    stream = np.concatenate(
+                        [np.frombuffer(b"\n", dtype=np.uint8), data])
         if q.sg_sub in ("a_monkey", "monkey4") and not memory_mode:
             # the long-approx/DNA filters can miss real matches and
             # choose DP-specific match ends; emulate their control
@@ -1093,10 +1113,30 @@ class SgrepEngine:
             mpb, blocks, _ = scanf(
                 data, q.sg_pattern, D, q.delimiter_opt, q.delim)
             plist = []
-            for bm_list, (bstart, _bend, gstart) in zip(mpb, blocks):
+            for bm_list, (bstart, bend, gstart) in zip(mpb, blocks):
                 for bp in bm_list:
                     plist.append(gstart + (bp - bstart) + base)
             pos = np.asarray(sorted(plist), dtype=np.int64)
+            # record extraction is bounded by the CALL's textbegin/
+            # textend (backward_delimiter(text, textbegin, ...) and
+            # forward_delimiter(text+1, textend, ...), sgrep.c:
+            # 2325-2331): clamp spans to the event's block
+            amk_bounds = [(gstart + base,
+                           gstart + (bend - bstart) + base)
+                          for (bstart, bend, gstart) in blocks]
+            # record BYTES come from the evolving block buffer
+            # (clobbered splices, strncpy clamps, stale residue):
+            # snapshot the buffers of event-bearing blocks
+            amk_bufs = None
+            if any(len(b_) for b_ in mpb):
+                amk_bufs = {}
+                vb2 = sgrep_sim.VirtualSgrepBuffer(
+                    data, q.sg_pattern, q.delimiter_opt, q.delim,
+                    q.outtail)
+                for bi2, (s2, e2, g2) in enumerate(vb2.blocks()):
+                    if bi2 < len(mpb) and len(mpb[bi2]):
+                        amk_bufs[g2 + base] = np.asarray(
+                            vb2.buf[s2:e2 + 2]).copy()
         else:
             events = scan_ops.scan_events(
                 stream, q.sg_mask, q.sg_consts, D, "sgrep")
@@ -1182,11 +1222,12 @@ class SgrepEngine:
             sink.num_matched += int(len(np.unique(lines)))
             return
 
-        # bm()'s INVERSE tail print depends on skip-loop alignment
-        # (early return on a stop-region pseudo-match); emulate the
-        # reference's block loop for that mode.
+        # bm()/monkey()'s INVERSE tail print depends on skip-loop
+        # alignment (early return on a stop-region pseudo-match,
+        # sgrep.c:748/:1581); emulate the reference's block loop.
         if (o.invert and not o.count and D == 0 and not memory_mode
-                and not q.delimiter_opt and q.sg_sub == "bm"):
+                and not q.delimiter_opt
+                and q.sg_sub in ("bm", "monkey")):
             self._bm_inverse_blocks(data, stream, base, pos, nl, sink)
             return
         # with -d each engine call restarts its complement pointer at
@@ -1298,7 +1339,7 @@ class SgrepEngine:
                 # s_output events.  Pure counting keeps the proxy
                 # (AgrepCountWalker), whose post-jump window events
                 # are re-verified against the fresh machine.
-                c_count, walk_pos, walk_spans, walk_raw, _blk = \
+                c_count, walk_pos, walk_spans, walk_raw, walk_blk = \
                     sgrep_sim.agrep_exact(
                         data, q.sg_pattern, D, q.sg_mask,
                         q.sg_consts["endpos"], q.delimiter_opt, q.delim,
@@ -1341,6 +1382,24 @@ class SgrepEngine:
                 sink.num_matched += 1
                 records_counted += 1
                 if o.filename_only:
+                    # agrep() returns at the first pulse of the match-
+                    # bearing BLOCK (sgrep.c:1189), but every earlier
+                    # non-firing engine call already ran its INVERSE
+                    # tail flush (:1242): those raw block prints
+                    # precede the filename line
+                    if o.invert and walk_blk is not None \
+                            and len(walk_blk) and not memory_mode:
+                        from . import sgrep_sim as _sgs
+                        first_blk = int(walk_blk[0])
+                        vbf = _sgs.VirtualSgrepBuffer(
+                            data, q.sg_pattern, q.delimiter_opt,
+                            q.delim, q.outtail)
+                        for fb_i, (fs, fe, fg) in enumerate(
+                                vbf.blocks()):
+                            if fb_i >= first_blk:
+                                break
+                            sink.write(bytes(bytearray(
+                                vbf.buf[fs:fe + 1])))
                     sink.write_str("%s\n" % sink.current_filename)
                     return
                 if not o.count:
@@ -1360,6 +1419,42 @@ class SgrepEngine:
                 continue
             begin, end = self._record_span(stream, nl, delim_ends, p, D,
                                            sg_trims)
+            amk_blo = None
+            amk_snap = None
+            if amk_bounds is not None:
+                # spans are bounded by the engine call's textbegin/
+                # textend (sgrep.c:2260-2283) and -- when the block
+                # buffer snapshot is available -- computed IN it:
+                # clobbered -d residues drift virtual offsets far from
+                # raw ones, so a raw-stream span search looks at the
+                # wrong bytes entirely
+                bi_ = bisect.bisect_right(
+                    [b_[0] for b_ in amk_bounds], p) - 1
+                if 0 <= bi_ < len(amk_bounds):
+                    blo, bhi = amk_bounds[bi_]
+                    amk_blo = blo
+                    snap_ = (amk_bufs.get(blo)
+                             if amk_bufs is not None else None)
+                    if snap_ is not None:
+                        b_r, e_r = self._amk_span(
+                            snap_, p - blo, bhi - blo, q.delim,
+                            q.outtail, q.delimiter_opt)
+                        begin, end = blo + b_r, blo + e_r
+                        amk_snap = snap_
+                    else:
+                        begin = max(begin, blo)
+                        if q.delimiter_opt:
+                            # forward_delimiter returns end+1 when no
+                            # delimiter fits (delim.c:56,69): the
+                            # record includes the byte AT textend
+                            lim = bhi + 1
+                        else:
+                            lim = bhi + (1 if (bhi < N
+                                               and stream[bhi]
+                                               == 0x0A)
+                                         else 0)
+                        if end > lim:
+                            end = lim
             if (D == 0 and q.sg_sub == "bm" and not q.delimiter_opt
                     and end >= N - 1):
                 # bm's EOF adjustment fires whenever the record end
@@ -1419,8 +1514,17 @@ class SgrepEngine:
                     # two in step so they cancel (sgrep.c:1399).
                     p_q = p + (1 if (D > 0 and q.sg_sub == "agrep")
                                else 0)
+                    src, s_b, s_e, s_q = stream, begin, end, p_q
+                    if amk_snap is not None:
+                        # a_monkey/monkey4 record bytes from the
+                        # block buffer snapshot (same coords shifted
+                        # by the block's stream offset)
+                        src = amk_snap
+                        s_b = max(begin - amk_blo, 0)
+                        s_e = min(end - amk_blo, len(src))
+                        s_q = p_q - amk_blo
                     output_sgrep_record(
-                        sink, stream, begin, end, byte_offset, p_q,
+                        sink, src, s_b, s_e, byte_offset, s_q,
                         extra_len=1 if appended_newline else 0)
                     if appended_newline and o.printrecord:
                         sink.write_str("\n")
@@ -1460,20 +1564,29 @@ class SgrepEngine:
         for bi, (start, end, gstart) in enumerate(vb.blocks()):
             g_end = gstart + (end - start)
             lastout = gstart
+            # byte reads go through the evolving block buffer: strncpy
+            # NUL clamps, clobbered splices, and stale residue bytes
+            # are what s_output actually printed
+            buf = vb.buf
+
+            def bslice(glo, ghi):
+                lo_b = start + (max(glo, gstart) - gstart)
+                hi_b = start + (max(ghi, glo, gstart) - gstart)
+                lo_b = max(min(lo_b, len(buf)), 0)
+                hi_b = max(min(hi_b, len(buf)), lo_b)
+                return bytes(bytearray(buf[lo_b:hi_b]))
+
             while k < len(blks) and int(blks[k]) == bi:
                 if o.filename_only:
                     sink.num_matched += c_total
                     sink.write_str("%s\n" % sink.current_filename)
                     return
                 sb = int(spans[k, 0])
-                lo = min(max(lastout, gstart), len(data))
-                hi = min(max(sb, lo), len(data))
-                sink.write(bytes(bytearray(data[lo:hi])))
+                sink.write(bslice(lastout, sb))
                 lastout = int(spans[k, 1])
                 k += 1
             if lastout <= g_end:
-                lo = min(max(lastout, gstart), len(data))
-                sink.write(bytes(bytearray(data[lo:g_end + 1])))
+                sink.write(bslice(lastout, g_end + 1))
         sink.num_matched += c_total
 
     def _inverse_blocks_delim(self, data, pos, sink, D):
@@ -1488,8 +1601,20 @@ class SgrepEngine:
         for (start, end, gstart) in vb.blocks():
             g_end = gstart + (end - start)
             sel = ev_g[(ev_g >= gstart) & (ev_g <= g_end)]
-            # delimiter ends within this block's data range
-            seg = data[gstart:g_end + 1]
+            # all BYTE reads go through the evolving block buffer:
+            # strncpy NUL clamps, clobbered-residue splices, and stale
+            # bytes are what the reference scanned AND printed
+            # (positional virtual-global coords stay as before)
+            buf = vb.buf
+
+            def bslice(glo, ghi):
+                lo_b = start + (glo - gstart)
+                hi_b = start + (ghi - gstart)
+                lo_b = max(min(lo_b, len(buf)), 0)
+                hi_b = max(min(hi_b, len(buf)), lo_b)
+                return bytes(bytearray(buf[lo_b:hi_b]))
+
+            seg = np.asarray(buf[start:end + 1])
             dends = _find_delims(seg, q.delim)
             lastout = gstart
             lastend = gstart
@@ -1498,10 +1623,10 @@ class SgrepEngine:
             # occurrence (at it with -t); EOF/fallback blocks don't
             if q.outtail:
                 trimmed = bytes(bytearray(
-                    data[g_end - dl + 1:g_end + 1])) == q.delim
+                    buf[end - dl + 1:end + 1])) == q.delim
             else:
                 trimmed = bytes(bytearray(
-                    data[g_end + 1:g_end + 1 + dl])) == q.delim
+                    buf[end + 1:end + 1 + dl])) == q.delim
             for e in sel:
                 e = int(e)
                 if e < lastend:
@@ -1530,23 +1655,29 @@ class SgrepEngine:
                 if o.filename_only:
                     sink.write_str("%s\n" % sink.current_filename)
                     return
-                sink.write(bytes(bytearray(
-                    data[lastout:max(rbeg, lastout)])))
+                sink.write(bslice(lastout, max(rbeg, lastout)))
                 lastout = rend
                 lastend = rend
                 resume_buf.append(start + (rend - gstart))
             survives = True
-            if D == 0 and q.sg_sub == "bm":
+            if D == 0 and q.sg_sub in ("bm", "monkey"):
                 tr = np.arange(256, dtype=np.uint8)
                 for cch in range(ord("A"), ord("Z") + 1):
                     tr[cch] = cch + 32
-                shift_tab, shift_1 = sgrep_sim.build_bm_tables(
-                    q.sg_pattern, tr)
-                survives = sgrep_sim.bm_inverse_survives(
-                    vb.buf, start, end, q.sg_pattern, tr, shift_tab,
-                    shift_1, resume_buf)
+                if q.sg_sub == "bm":
+                    shift_tab, shift_1 = sgrep_sim.build_bm_tables(
+                        q.sg_pattern, tr)
+                    survives = sgrep_sim.bm_inverse_survives(
+                        vb.buf, start, end, q.sg_pattern, tr,
+                        shift_tab, shift_1, resume_buf)
+                else:
+                    shift2, _s1 = sgrep_sim.build_monkey_tables(
+                        q.sg_pattern, tr)
+                    survives = sgrep_sim.monkey_inverse_survives(
+                        vb.buf, start, end, q.sg_pattern, tr, shift2,
+                        resume_buf)
             if survives and lastout <= g_end:
-                sink.write(bytes(bytearray(data[lastout:g_end + 1])))
+                sink.write(bslice(lastout, g_end + 1))
 
     def _bm_inverse_blocks(self, data, stream, base, pos, nl, sink):
         """Per-block INVERSE output with bm()'s early-return emulation
@@ -1556,7 +1687,14 @@ class SgrepEngine:
         tr = np.arange(256, dtype=np.uint8)
         for c in range(ord("A"), ord("Z") + 1):
             tr[c] = c + 32
-        shift_tab, shift_1 = sgrep_sim.build_bm_tables(q.sg_pattern, tr)
+        if q.sg_sub == "monkey":
+            shift2_m, _s1m = sgrep_sim.build_monkey_tables(
+                q.sg_pattern, tr)
+            shift_tab = shift_1 = None
+        else:
+            shift_tab, shift_1 = sgrep_sim.build_bm_tables(
+                q.sg_pattern, tr)
+            shift2_m = None
         # -x decrements the scan start onto the sentinel newline
         # (sgrep.c WHOLELINE start--): the FIRST complement write
         # starts there, leading the output with '\n' -- but only when
@@ -1606,14 +1744,124 @@ class SgrepEngine:
             # pseudo-match early-returns the call
             walk_start = (start - 1 if (o.wholeline and gstart == 0)
                           else start)
-            survives = sgrep_sim.bm_inverse_survives(
-                vb.buf, walk_start, end, q.sg_pattern, tr, shift_tab,
-                shift_1, resume_buf)
+            if q.sg_sub == "monkey":
+                survives = sgrep_sim.monkey_inverse_survives(
+                    vb.buf, walk_start, end, q.sg_pattern, tr,
+                    shift2_m, resume_buf)
+            else:
+                survives = sgrep_sim.bm_inverse_survives(
+                    vb.buf, walk_start, end, q.sg_pattern, tr,
+                    shift_tab, shift_1, resume_buf)
             if survives and lastout_g <= g_end:
                 if pending_sentinel:
                     sink.write(b"\n")
                     pending_sentinel = False
                 sink.write(bytes(bytearray(data[lastout_g:g_end + 1])))
+
+    @staticmethod
+    def _amk_span(snap, bp, te_rel, delim, outtail, delimiter_opt):
+        """a_monkey/monkey4 record span around a match in BUFFER
+        coords (sgrep.c:2260-2283): backward/forward newline walks or
+        backward_/forward_delimiter (delim.c:50-96), bounded by the
+        call's textbegin (snap[0]) and textend (snap[te_rel]).  Spans
+        must be computed in the evolving buffer because clobbered -d
+        residues make virtual offsets drift far from raw ones."""
+        if not delimiter_opt:
+            cb = bp
+            while cb > 0 and snap[cb - 1] != 0x0A:
+                cb -= 1
+            if cb == 0 and len(snap) and snap[0] == 0x0A:
+                cb = 1
+            ce = bp + 1
+            while ce < te_rel and snap[ce] != 0x0A:
+                ce += 1
+            if ce < len(snap) and snap[ce] == 0x0A:
+                ce += 1
+            return cb, ce
+        dl = len(delim)
+        if dl == 1 and delim == b"\n":
+            e = bp - 1
+            while e > 0 and snap[e] != 0x0A:
+                e -= 1
+            if outtail and e < len(snap) and snap[e] == 0x0A:
+                e += 1
+            cb = e if bp - dl >= 0 else 0
+            b2 = bp + 1
+            while b2 < te_rel and snap[b2] != 0x0A:
+                b2 += 1
+            if outtail and b2 < len(snap) and snap[b2] == 0x0A:
+                b2 += 1
+            ce = b2 if bp + 1 + dl <= te_rel else te_rel + 1
+            return cb, ce
+        cb = 0
+        if bp - dl >= 0:
+            for g in range(bp - dl, -1, -1):
+                if bytes(bytearray(snap[g:g + dl])) == delim:
+                    cb = g + dl if outtail else g
+                    break
+        ce = te_rel + 1
+        if bp + 1 + dl <= te_rel:
+            for g in range(bp + 1, te_rel - dl + 1):
+                if bytes(bytearray(snap[g:g + dl])) == delim:
+                    ce = g + dl if outtail else g
+                    break
+        return cb, ce
+
+    def _sgrep_nul_clamp_view(self, data):
+        """NUL-clamped view of the stream as the reference's evolving
+        block buffer held it: each interior boundary's residue carry
+        is strncpy (sgrep.c:470), so bytes after the residue's first
+        NUL read as ZERO in the next block's scan and prints.  None
+        when no residue holds an interior NUL (the copy is then
+        byte-identical to the raw data) or when a boundary clobbers /
+        falls back (cascading shapes, other paths handle those)."""
+        q = self.q
+        if len(data) <= 2 * 16384:
+            return None
+        from . import sgrep_sim
+        if not sgrep_sim.nul_near_boundaries(data):
+            return None
+        layout = sgrep_sim.block_layout(
+            data, q.delim if q.delimiter_opt else None, q.outtail)
+        if any(b.clobbered or b.fallback for b in layout):
+            return None
+        V = None
+        arr = np.asarray(data, dtype=np.uint8)
+        for b in layout:
+            seg = arr[b.trim_end:b.trim_end + b.residue]
+            z = np.flatnonzero(seg == 0)
+            if len(z) and int(z[0]) + 1 < b.residue:
+                if V is None:
+                    V = arr.copy()
+                V[b.trim_end + int(z[0]):b.trim_end + b.residue] = 0
+        # the EOF residue is carried by the SAME strncpy before the
+        # post-loop rescan (sgrep.c:478-486): clamp it too.  Non-delim
+        # blocks only trim when the read filled the whole 32KB buffer.
+        B2 = 2 * 16384
+        N = len(arr)
+        lo = ((N - 1) // B2) * B2
+        trim = N - 1
+        if q.delimiter_opt:
+            dl = len(q.delim)
+            f = sgrep_sim._last_delim_start(arr, lo, N, q.delim)
+            if f >= lo + dl:
+                trim = (f + dl - 1) if q.outtail else (f - 1)
+        elif N - lo == B2:
+            chunk = arr[lo:N]
+            nls = np.flatnonzero(chunk == 0x0A)
+            trim = lo + int(nls[-1]) if len(nls) else lo
+        residue = (N - 1) - trim + 1
+        if residue > 1:
+            if residue > 1024:
+                return None          # clamped copy loses bytes: the
+                                     # cascading shapes bail wholesale
+            seg = arr[trim:N]
+            z = np.flatnonzero(seg == 0)
+            if len(z) and int(z[0]) + 1 < residue:
+                if V is None:
+                    V = arr.copy()
+                V[trim + int(z[0]):N] = 0
+        return V
 
     def _mem_tail_match(self, data_orig, te: int,
                         resume: int = 0, had_match: bool = False) -> bool:

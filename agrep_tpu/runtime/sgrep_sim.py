@@ -551,6 +551,56 @@ def fresh_pulse_ok(buf, tb, frm, e, maskI, endpos, D) -> bool:
     return False
 
 
+def monkey_inverse_survives(buf: np.ndarray, start: int, end: int,
+                            pat: bytes, tr: np.ndarray, shift2,
+                            resume_positions) -> bool:
+    """monkey()'s walk over one block (sgrep.c:1563-1801): True when
+    the call reaches its INVERSE tail print, False when a verified
+    candidate beyond textend early-returns (:1581)."""
+    m = len(pat)
+    m1 = m - 1
+    patf = [int(tr[b]) for b in pat]
+    blen = len(buf)
+    text = start + m1
+    textend = end
+    ridx = 0
+    guard = 0
+    while text < textend:
+        h = ((int(tr[buf[text]]) << 3)
+             + int(tr[buf[text - 1]])) if text < blen and text >= 1 \
+            else 0
+        sh = int(shift2[h]) if h < 4096 else m
+        while sh:
+            text += sh
+            if text >= blen:
+                return True      # garbage exit: tail print survives
+            h = (int(tr[buf[text]]) << 3) + int(tr[buf[text - 1]])
+            sh = int(shift2[h]) if h < 4096 else m
+            guard += 1
+            if guard > 10 * (blen + m + 64):
+                return False
+        j = 0
+        while j < m and text - j >= 0 \
+                and int(tr[buf[text - j]]) == patf[m1 - j]:
+            j += 1
+        if j == m:
+            if text > textend:
+                return False     # sgrep.c:1581 early return
+            while ridx < len(resume_positions) and \
+                    resume_positions[ridx] <= text:
+                ridx += 1
+            if ridx < len(resume_positions):
+                text = resume_positions[ridx]
+            else:
+                t = text + 1
+                while t < textend and buf[t] != 0x0A:
+                    t += 1
+                text = t + 1
+        else:
+            text += 1
+    return True
+
+
 def agrep_machine_tables(pat: bytes):
     """(inverted mask u32[256], endpos) of the agrep() round machine
     (initmask/sgrep.c:1043-1050 -- raw bytes, no folding at D>0)."""
