@@ -1233,8 +1233,13 @@ class SgrepEngine:
         # with -d each engine call restarts its complement pointer at
         # the block start, so spans between a block's last delimiter and
         # the next match are never printed (sgrep.c:396-403 + lastout)
+        # -- and the same per-call lastout/tail-flush accounting
+        # (sgrep.c:1242) governs the D>0 partition engine WITHOUT -d:
+        # each block's tail flushes [lastout, textend] independently
         if (o.invert and not o.count and not memory_mode
-                and q.delimiter_opt):
+                and (q.delimiter_opt
+                     or (D > 0 and q.sg_sub == "agrep"
+                         and q.sg_m // (D + 1) >= 1))):
             if (D > 0 and q.sg_sub == "agrep"
                     and q.sg_m // (D + 1) >= 1):
                 # the partition engine's events, jumps, and record
@@ -1559,7 +1564,7 @@ class SgrepEngine:
         from . import sgrep_sim
         q, o = self.q, self.q.opts
         vb = sgrep_sim.VirtualSgrepBuffer(
-            data, q.sg_pattern, True, q.delim, q.outtail)
+            data, q.sg_pattern, q.delimiter_opt, q.delim, q.outtail)
         k = 0
         for bi, (start, end, gstart) in enumerate(vb.blocks()):
             g_end = gstart + (end - start)

@@ -996,6 +996,34 @@ class MgrepEngine:
                 ok &= starts >= 1
             starts = starts[ok]
             anchor = anchor[ok]
+            if self._vmode and self._vmode_marks and len(starts):
+                # a term whose START precedes its scan region's first
+                # byte cannot verify in the reference: the byte before
+                # each region's start is the spliced newline
+                # (newmgrep.c:500, :571), not the previous region's
+                # content that V abuts there.  Keep only a 1-byte
+                # overlap that coincides with that '\n'.
+                mkv_ = np.asarray(self._vmode_marks,
+                                  dtype=np.int64) + base
+                ki_ = np.searchsorted(mkv_, anchor, side="left")
+                # region r's scan starts at mk[r-1]+1 (V holds the
+                # trim byte twice: once as region r-1's last byte,
+                # once as the carried copy opening region r)
+                lb_ = np.where(ki_ > 0,
+                               mkv_[np.maximum(ki_ - 1, 0)] + 1,
+                               np.int64(-1) << 40)
+                miss_ = lb_ - starts
+                bad_ = miss_ > 0
+                if bad_.any():
+                    keep2v = np.ones(len(starts), dtype=bool)
+                    for ii in np.flatnonzero(bad_):
+                        if not (int(miss_[ii]) == 1
+                                and t[:1] == b"\n"):
+                            keep2v[ii] = False
+                    starts = starts[keep2v]
+                    anchor = anchor[keep2v]
+                    if not len(starts):
+                        continue
             if q.delimiter_opt and not memory_mode and delim_marks \
                     and len(starts):
                 # each scan region's buffer holds data[b_prev..]

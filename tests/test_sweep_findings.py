@@ -452,3 +452,42 @@ def test_complex_flush_cbo_no_own_trim_drift(tmp_path):
     compare(["-b", "-v", "{alpha;bravo},koala", str(p)])
     compare(["-b", "{alpha;bravo},koala", str(p)])
     compare(["-q", "-v", "{alpha;bravo},koala", str(p)])
+
+
+def test_agrep_inverse_per_block_flush(tmp_path):
+    """agrep() D>0 INVERSE without -d: each engine call's complement
+    accounting (lastout + the sgrep.c:1242 tail flush) is PER BLOCK --
+    records that tile a long-line corpus leave almost no complement
+    output, where a single whole-file flush would print the entire
+    uncovered tail (sweep seed 830254: 1 byte vs 8302)."""
+    import random
+    rnd = random.Random(830254)
+    words = [b"hello", b"lorem", b"zz", b"ab", b"matching", b"d$d"]
+    out = bytearray()
+    # long lines: few newlines, records span thousands of bytes
+    while len(out) < 70000:
+        out += b" ".join(rnd.choice(words) for _ in range(500))
+        out += rnd.choice([b"\n", b" "])
+    p = tmp_path / "c.txt"
+    p.write_bytes(bytes(out[:70000]))
+    for args in (["-2", "-v", "hello"], ["-1", "-v", "hello"],
+                 ["-2", "-v", "-b", "hello"]):
+        compare(args + [str(p)])
+
+
+def test_vmode_region_crossing_occurrence(tmp_path):
+    """A multi-pattern term straddling a vmode scan-region seam cannot
+    verify in the reference: the byte before each region's start is
+    the spliced newline (newmgrep.c:500/:571), not the previous
+    region's trim byte that the virtual stream abuts there (sweep
+    seed 830047: phantom 'zz' match built from one 'z')."""
+    pf = tmp_path / "p.txt"
+    pf.write_text("zz\nq000\n")
+    p = tmp_path / "c.txt"
+    # no-newline 300-byte buffer starting 'z' + NUL at offset 2: the
+    # EOF rescan's carried copy opens with the duplicated 'z'
+    body = bytearray(b"z\xa0\x00" + bytes(range(1, 250)) + b"q0q0" * 10)
+    p.write_bytes(bytes(body[:300]))
+    for args in (["-f", str(pf)], ["-c", "-f", str(pf)],
+                 ["-v", "-f", str(pf)], ["-u", "-f", str(pf)]):
+        compare(args + [str(p)])
