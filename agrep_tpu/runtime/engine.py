@@ -794,17 +794,25 @@ class SgrepEngine:
         self.q = q
 
     def supports_streaming(self) -> bool:
-        """The -c fast paths stream; record output modes still take the
-        whole-file path (their block-quirk emulations walk the full
-        virtual buffer)."""
+        """The -c fast paths stream, and so does the default record
+        PRINT mode of the D==0 bm/monkey engines (the most common
+        invocation on large files).  Inverse/-l/-d/limit modes still
+        take the whole-file path (their block-quirk emulations walk
+        the full virtual buffer)."""
         q, o = self.q, self.q.opts
         if (q.delimiter_opt or o.invert or o.filename_only
-                or not o.count or o.limit_output or o.limit_per_file):
+                or o.limit_output or o.limit_per_file
+                or getattr(o, "limit_total_file", 0)):
             return False
         if q.D == 0:
-            return (q.sg_sub in ("bm", "monkey")
-                    and b"\n" not in q.sg_pattern)
-        return (q.sg_sub == "agrep" and not o.wordbound
+            if not (q.sg_sub in ("bm", "monkey")
+                    and b"\n" not in q.sg_pattern):
+                return False
+            if o.count:
+                return True
+            # streaming print: plain record output (+-b offsets)
+            return not (o.silent or o.fileout or o.multi_output)
+        return (o.count and q.sg_sub == "agrep" and not o.wordbound
                 and q.sg_m - q.D > 2)
 
     def search_stream_chunked(self, data, sink: Sink, D: int) -> None:
@@ -813,6 +821,8 @@ class SgrepEngine:
         jump to the record end after each count, sgrep.c:815); D>0
         replays agrep()'s overcount walk with streamed events."""
         q, o = self.q, self.q.opts
+        if D == 0 and not o.count:
+            return self._print_stream_chunked(data, sink)
         stream = ByteStream([b"\n", data])
         N = len(stream)
         chunk = scan_ops.STREAM_CHUNK
@@ -1025,6 +1035,213 @@ class SgrepEngine:
                                 dtype=np.int64),
                         len(data) + 4)
         sink.num_matched += walker.finish()
+
+    def _print_stream_chunked(self, data, sink: Sink) -> None:
+        """Streaming record PRINT for the D==0 bm/monkey fast path:
+        chunked scan + incremental record emission, O(chunk) + O(max
+        line) memory.  Byte-identical to search_stream (pinned by
+        tests/test_streaming.py with forced-small chunks).
+        Pathological interior boundaries (clamped or NUL residues,
+        sgrep.c:464-471) take over mid-stream via the byte-exact block
+        replay, exactly like the -c streaming path."""
+        q, o = self.q, self.q.opts
+        from . import sgrep_sim
+        from .. import native
+        n_data = len(data)
+        B2 = 2 * 16384
+        # the EOF residue rescan (only after a full final read,
+        # sgrep.c:478-486) re-reads its span through a strncpy carry:
+        # a NUL there clamps printed bytes -- rare; whole-file path
+        if n_data >= B2 and n_data % B2 == 0:
+            tail = np.asarray(data[n_data - B2:], dtype=np.uint8)
+            nls_f = np.flatnonzero(tail == 0x0A)
+            trim_f = (n_data - B2 + int(nls_f[-1]) if len(nls_f)
+                      else n_data - B2)
+            if n_data - trim_f > 1 \
+                    and bool((np.asarray(data[trim_f:]) == 0).any()):
+                self.search_stream(np.asarray(data), sink, 0)
+                return
+        stream = ByteStream([b"\n", data])
+        N = len(stream)
+        chunk = scan_ops.STREAM_CHUNK
+        m = q.sg_m
+        W = min(max(m + 2, 48), scan_ops.DEFAULT_TILE)
+        lastend = 0
+        last_nl = 0                  # the prepended '\n' at stream 0
+        pend = np.empty(0, dtype=np.int64)
+        g0 = 0
+        while g0 < N:
+            g1 = min(N, g0 + chunk)
+            if g1 < N:
+                g1 = max(((g1 - 1) // B2) * B2 + 1, g0 + 1)
+            lo = g0 - W if g0 >= W else 0
+            text = stream.read(lo, g1)
+            pairs = None
+            if scan_ops._BACKEND == "numpy":
+                pairs = native.bitap_scan_events(
+                    text, q.sg_mask, q.sg_consts, 0, "sgrep", None)
+            if pairs is not None:
+                pp = pairs[0]
+                pos = pp[pp >= (g0 - lo)] + lo
+            else:
+                ev = scan_ops.scan_events(
+                    text, q.sg_mask, q.sg_consts, 0,
+                    "sgrep")[g0 - lo:]
+                pos = np.flatnonzero(ev) + g0
+            body = text[g0 - lo:]
+            nld = native.find_delims_all(body, b"\n")
+            nl = ((nld + g0) if nld is not None
+                  else (np.flatnonzero(body == 0x0A) + g0))
+            if o.wordbound and len(pos):
+                last_char = q.sg_pattern[-1] if q.sg_pattern else 0
+                rel = pos - lo
+                np_text = np.asarray(text)
+                after = np.where(
+                    pos + 1 < N,
+                    np_text[np.minimum(rel + 1, len(np_text) - 1)],
+                    np.uint8(last_char & 0xFF))
+                before = np.where(
+                    rel - m >= 0, np_text[np.maximum(rel - m, 0)],
+                    np.uint8(0x0A))
+                from .mgrep import _ISALNUM_TAB as isaln
+                keep = ~isaln[after] & ~isaln[before]
+                edge_a = (pos + 1 < N) & (rel + 1 >= len(np_text))
+                edge_b = (pos - m >= 0) & (rel - m < 0)
+                for ii in np.flatnonzero(edge_a | edge_b):
+                    p_ = int(pos[ii])
+                    a_b = int(stream[p_ + 1]) if p_ + 1 < N \
+                        else last_char
+                    b_b = int(stream[p_ - m]) if p_ - m >= 0 else 0x0A
+                    keep[ii] = (not _isalnum(a_b)
+                                and not _isalnum(b_b))
+                pos = pos[keep]
+            if g1 == N and len(pos) and int(pos[-1]) == N - 1:
+                pos = self._drop_phantom_tail_event(data, pos, N)
+            # interior 32KB boundary health (clamps/NULs cascade):
+            # emit the clean prefix, then hand the rest to the replay
+            takeover = None
+            rb0 = max(1, (g0 - 1) // B2 + 1) * B2 + 1
+            rbs = np.arange(rb0, min(g1, N - 1) + 1, B2,
+                            dtype=np.int64)
+            if len(rbs):
+                k_ = np.searchsorted(nl, rbs, side="left")
+                trims = np.where(k_ > 0, nl[np.maximum(k_ - 1, 0)],
+                                 np.int64(-1))
+                lo_w = rbs - B2
+                trims = np.where(
+                    trims >= lo_w, trims,
+                    np.where(last_nl >= lo_w, np.int64(last_nl),
+                             lo_w))
+                bad = (rbs - 1) - trims + 1 > 1024
+                if not bad.all():
+                    for i in np.flatnonzero(~bad):
+                        tr_i, rb_i = int(trims[i]), int(rbs[i])
+                        if bool((stream.read(tr_i, rb_i)
+                                 == 0).any()):
+                            bad[i] = True
+                bi = np.flatnonzero(bad)
+                if len(bi):
+                    rb = int(rbs[bi[0]])
+                    trim = int(trims[bi[0]])
+                    takeover = (trim - 1, rb - 1)
+                    pos = pos[pos <= trim]
+            allp = (np.concatenate([pend, pos]) if len(pend)
+                    else pos)
+            pend = np.empty(0, dtype=np.int64)
+            # ---- vectorized plain-record batch: no decorations means
+            # the output is just the matched lines concatenated --
+            # dedup to first-event-per-line, coalesce adjacent spans,
+            # and write big slices.  EOF-adjacent records (the bm/
+            # monkey textend adjustments) go through the scalar loop.
+            fast = (o.printrecord and not o.bytecount
+                    and not o.printoffset and not o.printpattern
+                    and not getattr(sink, "fname", False))
+            if fast and len(allp):
+                emit = allp[allp >= lastend]
+                idx_v = np.searchsorted(nl, emit - 1, "right") - 1
+                begins = np.where(
+                    idx_v >= 0,
+                    (nl[np.maximum(idx_v, 0)] + 1 if len(nl)
+                     else np.int64(0)),
+                    np.int64(last_nl + 1))
+                jdx_v = np.searchsorted(nl, emit + 1, "left")
+                resolved = jdx_v < len(nl)
+                pend = np.concatenate([pend, emit[~resolved]])
+                emit = emit[resolved]
+                begins = begins[resolved]
+                ends = (nl[jdx_v[resolved]] + 1 if len(nl)
+                        else np.empty(0, dtype=np.int64))
+                # EOF-touching records take the scalar loop below
+                near_eof = (g1 == N) & (ends >= N - 1)
+                if np.any(near_eof):
+                    pend = np.concatenate([pend, emit[near_eof]])
+                    emit, begins, ends = (emit[~near_eof],
+                                          begins[~near_eof],
+                                          ends[~near_eof])
+                if len(emit):
+                    e_u, first_i = np.unique(ends, return_index=True)
+                    b_u = begins[first_i]
+                    sink.num_matched += len(e_u)
+                    lastend = int(e_u[-1])
+                    # coalesce adjacent records into single writes
+                    brk = np.flatnonzero(b_u[1:] != e_u[:-1])
+                    seg_lo = np.concatenate([[0], brk + 1])
+                    seg_hi = np.concatenate([brk, [len(e_u) - 1]])
+                    for s_i, h_i in zip(seg_lo.tolist(),
+                                        seg_hi.tolist()):
+                        sink.write(bytes(bytearray(stream.read(
+                            int(b_u[s_i]), int(e_u[h_i])))))
+                allp = pend if g1 == N else np.empty(0,
+                                                     dtype=np.int64)
+                if g1 == N:
+                    pend = np.empty(0, dtype=np.int64)
+            for p in allp.tolist():
+                p = int(p)
+                if p < lastend:
+                    continue
+                idx = int(np.searchsorted(nl, p - 1, "right")) - 1
+                begin = int(nl[idx]) + 1 if idx >= 0 else last_nl + 1
+                jdx = int(np.searchsorted(nl, p + 1, "left"))
+                if jdx < len(nl):
+                    end = int(nl[jdx]) + 1
+                elif g1 == N:
+                    end = N + 1
+                else:
+                    pend = np.concatenate(
+                        [pend, np.asarray([p], dtype=np.int64)])
+                    continue
+                appended = False
+                if q.sg_sub == "bm" and end >= N - 1:
+                    end = N
+                    appended = int(stream[N - 1]) != 0x0A
+                elif end > N:
+                    # monkey: no EOF adjustment (sgrep.c:1597-1599)
+                    if p == N - 1:
+                        end = N
+                        appended = q.sg_pattern[-1:] == b"\n"
+                    else:
+                        end = N - 1
+                        appended = False
+                sink.num_matched += 1
+                lastend = end
+                if begin < end:
+                    rec = stream.read(begin, min(end, N))
+                else:
+                    rec = np.zeros(0, dtype=np.uint8)
+                output_sgrep_record(
+                    sink, rec, 0, len(rec), p - 1, p - begin,
+                    extra_len=1 if appended else 0)
+                if appended and o.printrecord:
+                    sink.write_str("\n")
+            if takeover is not None:
+                sgrep_sim.sgrep_block_replay(
+                    lambda lo_, hi_: np.asarray(data[lo_:hi_],
+                                                dtype=np.uint8),
+                    n_data, q, sink, resume=takeover)
+                return
+            if len(nl):
+                last_nl = int(nl[-1])
+            g0 = g1
 
     def search_stream(self, data: np.ndarray, sink: Sink, D: int,
                       memory_mode: bool = False) -> None:

@@ -99,6 +99,10 @@ STREAM_CASES = [
     ["-2", "-c", "match(i|x)ng"],           # regex chunked count
     ["-1", "-c", "-v", "hel*o"],            # regex inverse count
     ["-c", "h#llo"],                        # FASTREGEX wildcard count
+    ["hello"],                              # bm record PRINT stream
+    ["-b", "hello"],                        # ... with byte offsets
+    ["-w", "matching"],                     # ... wordbound
+    ["-i", "HELLO"],                        # ... case fold
 ]
 
 
