@@ -108,6 +108,146 @@ class MgrepEngine:
         self._vmode_data = None
         self._vmode_dirty = False
 
+    def supports_streaming(self) -> bool:
+        """Flat-OR newline record PRINTING streams in O(chunk) (the
+        matched lines are disjoint and order-preserving); -c already
+        rides the mmap-backed one-pass, and every other mode's block-
+        quirk emulation needs the whole stream."""
+        q, o = self.q, self.q.opts
+        if (q.delimiter_opt or o.invert or o.filename_only or o.silent
+                or o.count or o.multi_output or o.fileout
+                or o.bytecount or o.printoffset or o.printpattern
+                or o.wordbound or o.limit_output or o.limit_per_file
+                or getattr(o, "limit_total_file", 0)):
+            return False
+        if q.bool_tree is not None or q.bool_op == "and":
+            return False
+        if self.p_size <= 1:
+            return False
+        return not any(t and b"\n" in t for t in self.terms)
+
+    def _stream_precheck(self, data) -> bool:
+        """False when the corpus has block-clamp / strncpy-NUL shapes
+        whose printed bytes depend on the evolving buffer (the
+        whole-file path models those); checks only the ~3% boundary
+        windows plus the EOF residue."""
+        B2 = 2 * 16384
+        n = len(data)
+        k = 1
+        while True:
+            end = min(k * B2, n)
+            wlo = max(end - 1025, 0)
+            win = np.asarray(data[wlo:end])
+            if end - wlo > 1024 \
+                    and not bool((win == 0x0A).any()):
+                return False        # residue > MAXLINE: clamped copy
+            if bool((win == 0).any()):
+                return False        # strncpy NUL clamp
+            if end >= n:
+                break
+            k += 1
+        tail_lo = max(n - (B2 + 1025), 0)
+        tail = np.asarray(data[tail_lo:n])
+        nls = np.flatnonzero(tail == 0x0A)
+        lo = (tail_lo + int(nls[-1])) if len(nls) else 0
+        if n - lo > 2 and bool((np.asarray(data[lo:n]) == 0).any()):
+            return False            # EOF rescan carry (newmgrep.c:585)
+        return True
+
+    def search_stream_chunked(self, data, sink, D: int) -> None:
+        if not self._stream_precheck(data):
+            return self.search_stream(np.asarray(data), sink, D)
+        return self._print_stream_chunked(data, sink)
+
+    def _print_stream_chunked(self, data, sink) -> None:
+        """Streaming flat-OR record print: per chunk, find every term
+        occurrence (with a lookahead halo for terms crossing the chunk
+        edge), dedup to one record per line, coalesce adjacent lines
+        into single writes.  Events in a chunk's unterminated tail
+        line defer until their newline arrives.  Byte-identical to
+        search_stream (tests force small chunks)."""
+        from ..ops import scan as scan_ops
+        from .. import native
+        n = len(data)
+        chunk = max(scan_ops.STREAM_CHUNK, 1 << 16)
+        terms = [t for t in self.terms if t]
+        maxlen = max(len(t) for t in terms)
+        fname = bool(getattr(sink, "fname", False))
+        g0 = 0
+        last_nl = -1
+        lastend = 0
+        pend = np.empty(0, dtype=np.int64)
+        while g0 < n:
+            g1 = min(n, g0 + chunk)
+            hi = min(g1 + maxlen - 1, n)
+            region = np.ascontiguousarray(data[g0:hi])
+            parts = []
+            for t in terms:
+                st = _find_occurrences(region, t, self.tr)
+                if len(st):
+                    parts.append(st + g0)
+            ev = (np.sort(np.concatenate(parts)) if parts
+                  else np.empty(0, dtype=np.int64))
+            ev = ev[ev < g1]
+            body = region[:g1 - g0]
+            nld = native.find_delims_all(body, b"\n")
+            nl = ((nld + g0) if nld is not None
+                  else (np.flatnonzero(body == 0x0A) + g0))
+            allp = np.concatenate([pend, ev]) if len(pend) else ev
+            pend = np.empty(0, dtype=np.int64)
+            if len(allp):
+                allp = allp[allp >= lastend]
+            if len(allp):
+                # terms never contain '\n', so data[s] != '\n' and the
+                # first newline >= s bounds s's line
+                jdx = np.searchsorted(nl, allp, side="left")
+                resolved = jdx < len(nl)
+                if g1 >= n:
+                    resolved = np.ones(len(allp), dtype=bool)
+                else:
+                    pend = allp[~resolved]
+                    allp = allp[resolved]
+                    jdx = jdx[resolved]
+            if len(allp):
+                if len(nl):
+                    ends = np.where(jdx < len(nl),
+                                    nl[np.minimum(jdx,
+                                                  len(nl) - 1)] + 1,
+                                    np.int64(n))
+                    begins = np.where(
+                        jdx > 0,
+                        nl[np.maximum(jdx - 1, 0)] + 1,
+                        np.int64(last_nl + 1))
+                else:
+                    ends = np.full(len(allp), n, dtype=np.int64)
+                    begins = np.full(len(allp), last_nl + 1,
+                                     dtype=np.int64)
+                e_u, first_i = np.unique(ends, return_index=True)
+                b_u = begins[first_i]
+                sink.num_matched += len(e_u)
+                lastend = int(e_u[-1])
+                if not fname:
+                    brk = np.flatnonzero(b_u[1:] != e_u[:-1])
+                    seg_lo = np.concatenate([[0], brk + 1])
+                    seg_hi = np.concatenate([brk, [len(e_u) - 1]])
+                    for s_i, h_i in zip(seg_lo.tolist(),
+                                        seg_hi.tolist()):
+                        sink.write(bytes(bytearray(np.asarray(
+                            data[int(b_u[s_i]):int(e_u[h_i])]))))
+                else:
+                    for b_, e_ in zip(b_u.tolist(), e_u.tolist()):
+                        sink.emit_fname_prefix()
+                        sink.write(bytes(bytearray(np.asarray(
+                            data[b_:e_]))))
+                # EOF-rescan append (newmgrep.c:571): a final record
+                # without its newline prints one
+                if (int(e_u[-1]) == n and n
+                        and int(np.asarray(data[n - 1:n])[0]) != 0x0A):
+                    sink.write(b"\n")
+            if len(nl):
+                last_nl = int(nl[-1])
+            g0 = g1
+
     def _fast_or_applicable(self, o, q) -> bool:
         """Flat-OR searches over newline records only need the FIRST
         verified match per line (monkey1 jumps to the record end after

@@ -103,6 +103,8 @@ STREAM_CASES = [
     ["-b", "hello"],                        # ... with byte offsets
     ["-w", "matching"],                     # ... wordbound
     ["-i", "HELLO"],                        # ... case fold
+    ["hello,matching"],                     # mgrep flat-OR PRINT stream
+    ["-i", "HELLO,koala"],                  # ... case fold
 ]
 
 
