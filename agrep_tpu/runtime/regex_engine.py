@@ -27,15 +27,24 @@ class RegexEngine:
         """Pure-count regex streams in O(chunk): lines are independent
         lanes, so chunks cut at line boundaries scan exactly like the
         whole file (the 49152-boundary glitch byte keeps its global
-        offset)."""
+        offset).  Plain record printing streams the same way; the
+        decorated/inverse modes keep the whole-file path (CBO parity
+        and residue-clamp emulation consult global state)."""
         o = self.q.opts
-        if (not o.count or o.filename_only or o.silent
+        if (o.filename_only or o.silent
                 or o.limit_output > 0 or o.limit_per_file > 0):
             return False
         if scan_ops._BACKEND in ("jax", "interpret"):
             return False
         from .. import native
-        return native.get_lib() is not None
+        if native.get_lib() is None:
+            return False
+        if o.count:
+            return True
+        return (o.printrecord and not o.invert and not o.bytecount
+                and not o.printoffset and not o.linenum
+                and not o.printpattern and not o.fileout
+                and not getattr(o, "multi_output", False))
 
     def search_stream_chunked(self, data, sink: Sink, D: int) -> None:
         """Chunked -c: per-chunk native line scans over line-aligned
@@ -44,6 +53,8 @@ class RegexEngine:
         state (re():1649 resets identically at every newline)."""
         from .. import native
         q, o, mc = self.q, self.q.opts, self.mc
+        if not o.count:
+            return self._print_stream_chunked(data, sink)
         cont0, _ = renfa.step_newline(
             list(mc["inits"]), int(mc["mask"][0x0A]), mc)
         N = len(data)
@@ -86,6 +97,82 @@ class RegexEngine:
             first_chunk = False
             lo = cut
         sink.num_matched += total
+
+    def _print_stream_chunked(self, data, sink: Sink) -> None:
+        """Streaming plain record print: per line-aligned chunk, run
+        the native line scanner, emit matched lines with adjacent
+        records coalesced.  Lines crossing a 49152 block boundary from
+        more than Maxline back (or with a NUL in the carry window)
+        take the whole-file path, whose residue-clamp emulation
+        (agrep.c:1426-1431/:1739) needs global state."""
+        from .. import native
+        q, o, mc = self.q, self.q.opts, self.mc
+        N = len(data)
+        if N == 0:
+            return
+        BSR = 49152
+        b = BSR
+        while b < N:
+            win = np.asarray(data[b - 1025:b])
+            if not bool((win == 0x0A).any()) \
+                    or bool((win == 0).any()):
+                self.search_stream(np.asarray(data), sink, 0)
+                return
+            b += BSR
+        cont0, _ = renfa.step_newline(
+            list(mc["inits"]), int(mc["mask"][0x0A]), mc)
+        chunk = max(scan_ops.STREAM_CHUNK, 1 << 16)
+        inj_g = BSR if N > BSR else -1
+        drop_first = bool(data[0] == 0x0A and int(mc["D"]) > 0)
+        first_chunk = True
+        fname = bool(getattr(sink, "fname", False))
+        lo = 0
+        while lo < N:
+            hi = min(lo + chunk, N)
+            cut = N
+            if hi < N:
+                while hi < N:
+                    seg_ = np.asarray(data[lo:hi])
+                    nls_ = np.flatnonzero(seg_ == 0x0A)
+                    if len(nls_):
+                        cut = lo + int(nls_[-1]) + 1
+                        break
+                    hi = min(hi + chunk, N)
+                else:
+                    cut = N
+            seg = np.ascontiguousarray(data[lo:cut])
+            inj = (inj_g - lo if (inj_g >= 0 and lo <= inj_g < cut)
+                   else -1)
+            v = native.renfa_scan_lines(seg, mc, cont0, inj)
+            if v is None:
+                self.search_stream(np.asarray(data), sink, 0)
+                return
+            hits = v != 0
+            if first_chunk and len(hits) and drop_first:
+                hits = hits.copy()
+                hits[0] = False
+            first_chunk = False
+            if hits.any():
+                nls = np.flatnonzero(seg == 0x0A)
+                k_idx = np.flatnonzero(hits[:len(nls)])
+                ends = nls[k_idx] + 1
+                begins = np.where(k_idx > 0,
+                                  nls[np.maximum(k_idx - 1, 0)] + 1,
+                                  np.int64(0))
+                sink.num_matched += len(ends)
+                if not fname:
+                    brk = np.flatnonzero(begins[1:] != ends[:-1])
+                    seg_lo = np.concatenate([[0], brk + 1])
+                    seg_hi = np.concatenate([brk, [len(ends) - 1]])
+                    for s_i, h_i in zip(seg_lo.tolist(),
+                                        seg_hi.tolist()):
+                        sink.write(bytes(bytearray(
+                            seg[int(begins[s_i]):int(ends[h_i])])))
+                else:
+                    for b_, e_ in zip(begins.tolist(), ends.tolist()):
+                        sink.emit_fname_prefix()
+                        sink.write(bytes(bytearray(seg[b_:e_])))
+            lo = cut
 
     def search_stream(self, data: np.ndarray, sink: Sink, D: int,
                       memory_mode: bool = False) -> None:

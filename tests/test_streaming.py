@@ -105,6 +105,8 @@ STREAM_CASES = [
     ["-i", "HELLO"],                        # ... case fold
     ["hello,matching"],                     # mgrep flat-OR PRINT stream
     ["-i", "HELLO,koala"],                  # ... case fold
+    ["hel*o"],                              # regex record PRINT stream
+    ["-2", "mat.hing"],                     # ... with errors
 ]
 
 
