@@ -298,6 +298,111 @@ class MgrepEngine:
             trace.add("chain_hits", int(len(starts)))
         return starts
 
+    def _apply_seam_rules(self, occ_a, occ_i, occ_s, marks, stream,
+                          seam_ctx, virt_append):
+        """Block-seam observability (newmgrep.c:480-567): each region's
+        scan buffer holds the memcpy'd delimiter at start-dl..start-1
+        (:511-512) and begins candidates at start-1 (monkey1's
+        `text = text+start+m1-1`, :832).  A raw-stream occurrence that
+        straddles a seam mark m (start < m < anchor) is therefore
+        scanned by NEITHER region -- region r-1 stops at anchor <= m,
+        region r's earliest candidate has its first byte substituted by
+        the spliced delimiter.  Drops those rows and injects the
+        substituted-byte candidate at s = m-1 (verified against
+        seam_ctx = per-mark (last, prev) context bytes), tagged sub=True
+        so the walk consumes it only in the region starting at m.
+
+        Returns (occ_a, occ_i, occ_s, occ_sub); occ_sub is None when no
+        rows were injected and none need region gating."""
+        q = self.q
+        m1 = self.p_size - 1
+        n_occ = len(occ_a)
+        marks_arr = np.asarray(marks, dtype=np.int64)
+        if not len(marks_arr) or self.p_size < 2:
+            return occ_a, occ_i, occ_s, None
+        if n_occ:
+            ki = np.searchsorted(marks_arr, occ_s, side="right")
+            big = np.int64(1) << 60
+            mv = np.where(ki < len(marks_arr),
+                          marks_arr[np.minimum(ki, len(marks_arr) - 1)],
+                          big)
+            cross = occ_a > mv
+            if cross.any():
+                keep = ~cross
+                occ_a, occ_i, occ_s = (occ_a[keep], occ_i[keep],
+                                       occ_s[keep])
+        # substituted candidates at each seam's s = m-1
+        inj_a, inj_i, inj_s = [], [], []
+        if seam_ctx is not None:
+            n_st = len(stream)
+            dl = len(q.delim) if q.delimiter_opt else 0
+            isaln = _ISALNUM_TAB
+            tr = self.tr
+            for m in marks_arr.tolist():
+                if m < 1:
+                    continue
+                ctx = seam_ctx(m)
+                if ctx is None:
+                    continue
+                c_last, c_prev = ctx
+                fl = int(tr[c_last])
+                win = -1
+                for tid in range(len(self.terms) - 1, -1, -1):
+                    t = self.terms[tid]
+                    if not t or fl != int(tr[t[0]]):
+                        continue
+                    L = len(t)
+                    seg = np.asarray(stream[m:m + L - 1])
+                    if len(seg) < L - 1:
+                        if virt_append and dl:
+                            seg = np.concatenate([
+                                seg, np.frombuffer(q.delim,
+                                                   np.uint8)])[:L - 1]
+                        if len(seg) < L - 1:
+                            continue
+                    tf = tr[np.frombuffer(t[1:], np.uint8)]
+                    if not bool((tr[seg] == tf).all()):
+                        continue
+                    if self.q.opts.wordbound:
+                        ap = m + L - 1
+                        if ap < n_st:
+                            after = int(stream[ap])
+                        elif virt_append and dl and ap - n_st < dl:
+                            after = q.delim[ap - n_st]
+                        else:
+                            after = 0
+                        if isaln[after] or isaln[c_prev]:
+                            continue
+                    win = tid
+                    break
+                if win >= 0:
+                    inj_a.append(m + m1 - 1)
+                    inj_i.append(win)
+                    inj_s.append(m - 1)
+        if not inj_a:
+            # region gating still needed when a raw row's anchor sits
+            # exactly on a mark (p_size==2: region r's first probe
+            # position) -- only then can the walk mis-assign it
+            if m1 == 1 and len(occ_a) \
+                    and bool(np.isin(occ_a, marks_arr).any()):
+                return occ_a, occ_i, occ_s, np.zeros(len(occ_a),
+                                                     dtype=bool)
+            return occ_a, occ_i, occ_s, None
+        occ_sub = np.zeros(len(occ_a), dtype=bool)
+        occ_a = np.concatenate([occ_a,
+                                np.asarray(inj_a, dtype=np.int64)])
+        occ_i = np.concatenate([occ_i,
+                                np.asarray(inj_i, dtype=np.int64)])
+        occ_s = np.concatenate([occ_s,
+                                np.asarray(inj_s, dtype=np.int64)])
+        occ_sub = np.concatenate([occ_sub,
+                                  np.ones(len(inj_a), dtype=bool)])
+        # (anchor asc, raw before sub, idx desc) -- the walk's
+        # first-per-(anchor, class) convention
+        order = np.lexsort((-occ_i, occ_sub, occ_a))
+        return (occ_a[order], occ_i[order], occ_s[order],
+                occ_sub[order])
+
     def _verify_at(self, stream, tb, anchors):
         """Winning term per candidate anchor: max pattern index whose
         occurrence (tr-folded, wordbound-checked when -w) ends its
@@ -914,6 +1019,7 @@ class MgrepEngine:
             base = 0
         else:
             delim_marks = []
+            seam_ctx = None
             if q.delimiter_opt:
                 # mgrep()'s -d block loop (newmgrep.c:480-567):
                 # `memcpy(text+start+residue, D_pattern)` overwrites
@@ -935,9 +1041,10 @@ class MgrepEngine:
                     # virtual stream the reference actually scanned;
                     # splices/losses are embedded, so the overwrite
                     # machinery below is bypassed.
-                    V, delim_marks, trim_end, live_append, nlc = \
-                        _mgrep_delim_clamp_sim(data, q.delim,
-                                               q.outtail)
+                    (V, delim_marks, trim_end, live_append, nlc,
+                     _seam_map) = _mgrep_delim_clamp_sim(
+                        data, q.delim, q.outtail)
+                    seam_ctx = _seam_map.get
                     if o.invert and o.count and not self._vmode:
                         self.total_line += nlc
                     dpat = np.frombuffer(q.delim, dtype=np.uint8)
@@ -959,6 +1066,12 @@ class MgrepEngine:
                 else:
                     ow, delim_marks, trim_end, live_append, raw_dends = \
                         _mgrep_blocks_delim(data, q.delim, q.outtail)
+                    # the non-clamp path guarantees start > dl+2 (the
+                    # clamp-hit margin), so every seam's context bytes
+                    # are the spliced delimiter's tail
+                    _sc = (q.delim[-1],
+                           q.delim[-2] if dl >= 2 else 0)
+                    seam_ctx = lambda _m, _sc=_sc: _sc  # noqa: E731
                     fname = getattr(data, "filename", None)
                     if fname is not None and not memory_mode:
                         # copy-on-write map: only the pages dirtied by the
@@ -1069,23 +1182,11 @@ class MgrepEngine:
             occ_a, occ_i, occ_s = occ_cols
             keep = (occ_a >= m1 - 1) & (occ_s >= -dl)
             occ_a, occ_i, occ_s = occ_a[keep], occ_i[keep], occ_s[keep]
-            if delim_marks and len(occ_a):
-                dm = np.asarray(delim_marks, dtype=np.int64)
-                ki = np.searchsorted(dm, occ_a, side="left")
-                lb = np.where(ki > 0, dm[np.maximum(ki - 1, 0)],
-                              np.int64(-1) << 40)
-                kk = lb - occ_s
-                bad = kk > 0
-                if bad.any():
-                    keep2 = np.ones(len(occ_a), dtype=bool)
-                    for ii in np.flatnonzero(bad):
-                        k = int(kk[ii])
-                        t_ = self.terms[int(occ_i[ii])]
-                        if k > dl or t_[:k] != q.delim[dl - k:]:
-                            keep2[ii] = False
-                    occ_a = occ_a[keep2]
-                    occ_i = occ_i[keep2]
-                    occ_s = occ_s[keep2]
+            occ_sub = None
+            if delim_marks:
+                occ_a, occ_i, occ_s, occ_sub = self._apply_seam_rules(
+                    occ_a, occ_i, occ_s, delim_marks, stream,
+                    seam_ctx, virt_append)
             n_occ = len(occ_a)
         for idx, t in enumerate(self.terms if occ_cols is None else []):
             if not t:
@@ -1164,29 +1265,6 @@ class MgrepEngine:
                     anchor = anchor[keep2v]
                     if not len(starts):
                         continue
-            if q.delimiter_opt and not memory_mode and delim_marks \
-                    and len(starts):
-                # each scan region's buffer holds data[b_prev..]
-                # preceded by the memcpy'd delimiter (the residue copy
-                # truncates backward context): a hit whose start
-                # precedes its region's lower boundary survives only
-                # if the missing prefix coincides with the delimiter
-                # tail
-                dm = np.asarray(delim_marks, dtype=np.int64)
-                ki = np.searchsorted(dm, anchor, side="left")
-                lb = np.where(ki > 0, dm[np.maximum(ki - 1, 0)],
-                              np.int64(-1) << 40)
-                kk = lb - starts
-                bad = kk > 0
-                if bad.any():
-                    sel = np.flatnonzero(bad)
-                    keep2 = np.ones(len(starts), dtype=bool)
-                    for ii in sel:
-                        k = int(kk[ii])
-                        if k > dl or t[:k] != q.delim[dl - k:]:
-                            keep2[ii] = False
-                    starts = starts[keep2]
-                    anchor = anchor[keep2]
             if len(starts):
                 a_parts.append(anchor)
                 i_parts.append(np.full(len(starts), idx, dtype=np.int64))
@@ -1205,6 +1283,22 @@ class MgrepEngine:
                                        occ_s[order])
             else:
                 occ_a = occ_i = occ_s = np.zeros(0, dtype=np.int64)
+            occ_sub = None
+            if q.delimiter_opt and not memory_mode and delim_marks:
+                occ_a, occ_i, occ_s, occ_sub = self._apply_seam_rules(
+                    occ_a, occ_i, occ_s, delim_marks, stream,
+                    seam_ctx, virt_append)
+            elif (not q.delimiter_opt and not memory_mode
+                  and not self._vmode and len(occ_a)
+                  and any(t and b"\n" in t[1:] for t in self.terms)):
+                # newline-record seams: same observability geometry
+                # (text[start-1]='\n', newmgrep.c:500); only terms with
+                # an interior/trailing '\n' can straddle a trim mark,
+                # and the '\n'+'\n' substituted candidate never
+                # verifies for real patterns -- drops only
+                mks = [m + base for m in _mgrep_block_ends(data)]
+                occ_a, occ_i, occ_s, occ_sub = self._apply_seam_rules(
+                    occ_a, occ_i, occ_s, mks, stream, None, False)
             n_occ = len(occ_a)
         final_abort = False
         if (self.p_size == 1 and not memory_mode
@@ -1523,6 +1617,12 @@ class MgrepEngine:
                     # EVERY verifying entry at an anchor registers --
                     # keep all rows (descending tid per anchor)
                     first = np.arange(n_occ, dtype=np.int64)
+                elif occ_sub is not None:
+                    # raw and substituted seam rows at the same anchor
+                    # belong to DIFFERENT regions: keep one per class
+                    first = np.flatnonzero(np.concatenate(
+                        [[True], (occ_a[1:] != occ_a[:-1])
+                         | (occ_sub[1:] != occ_sub[:-1])]))
                 else:
                     first = np.flatnonzero(np.concatenate(
                         [[True], occ_a[1:] != occ_a[:-1]]))
@@ -1565,13 +1665,16 @@ class MgrepEngine:
             if first is None:
                 wa, wi, ws = occ_a, occ_i, occ_s
                 wl = None            # looked up lazily (term_len[wi])
+                w_sub = occ_sub
             elif n_occ:
                 wa = occ_a[first]
                 wi = occ_i[first]
                 ws = occ_s[first]
                 wl = term_len[occ_i[first]]
+                w_sub = occ_sub[first] if occ_sub is not None else None
             else:
                 wa = wi = ws = wl = np.zeros(0, dtype=np.int64)
+                w_sub = None
             # ---- native count walk: pure flat-OR -c consumes the
             # event rows without any output state, so the whole
             # region replay runs in C (threaded across regions)
@@ -1580,6 +1683,7 @@ class MgrepEngine:
                     and not o.multi_output and o.limit_output <= 0
                     and o.limit_per_file <= 0
                     and not (is_and or is_complex) and not short_mode
+                    and w_sub is None
                     and os.environ.get(
                         "AGREP_TPU_NO_NATIVE_WALK") != "1"):
                 from .. import native
@@ -1661,7 +1765,28 @@ class MgrepEngine:
 
                 nv = tb_region if short_mode else tb_region + m1w - 1
                 j = int(np.searchsorted(wa, nv, side="left"))
+
+                def _skip_inelig(jj):
+                    # seam rows are region-bound: a substituted-byte
+                    # candidate (s = mark-1, first byte = the spliced
+                    # delimiter tail) exists only for the region
+                    # starting at its mark; a raw row whose start
+                    # precedes this region's first byte belongs to the
+                    # PREVIOUS region's scan (p_size==2 shares the
+                    # anchor position across the seam)
+                    if w_sub is None:
+                        return jj
+                    while jj < len(wa):
+                        if w_sub[jj]:
+                            if int(ws[jj]) == tb_region - 1:
+                                return jj
+                        elif r == 0 or int(ws[jj]) >= tb_region:
+                            return jj
+                        jj += 1
+                    return jj
+
                 while True:
+                    j = _skip_inelig(j)
                     a = int(wa[j]) if j < len(wa) else None
                     if a is not None and a > te:
                         a = None
@@ -2410,7 +2535,11 @@ def _delim_clamp_hit(data, delim, outtail) -> bool:
         t_arr = np.where(ok, le - dl, -1)
     trims = np.where(t_arr >= 0, t_arr, ends_in)
     residues = ends_in - trims + 1
-    return bool((residues > 1024).any())
+    # margin: keep start > dl+2 on the fast path so every seam's
+    # candidate context is the spliced delimiter tail (start <= dl
+    # skips the splice and exposes stale buffer bytes -- the byte-sim
+    # models those exactly)
+    return bool((residues > 1024 - dl - 4).any())
 
 
 def _mgrep_delim_clamp_sim(data, delim, outtail):
@@ -2420,7 +2549,7 @@ def _mgrep_delim_clamp_sim(data, delim, outtail):
     truncation), the start<0 clamp's byte loss, the head splice
     landing inside block data, and read-clobber interactions.
 
-    Returns (V, marks, trim_end, live_append, nl_count): V is the
+    Returns (V, marks, trim_end, live_append, nl_count, ctxs): V is the
     concatenation of every scan call's [start, end] span in the
     OVERLAP model (each seam's duplicated trim byte appears once,
     shared -- the walk's existing region convention); marks/trim_end
@@ -2434,6 +2563,9 @@ def _mgrep_delim_clamp_sim(data, delim, outtail):
     dpat = np.frombuffer(delim, dtype=np.uint8)
     buf = np.zeros(MAXLINE + BLK + dl + 4, dtype=np.uint8)
     pieces = []
+    ctxs = []      # per scan call: (buf[start-1], buf[start-2]) after
+                   # the splice writes -- region r's candidate at
+                   # start-1 reads these, not the previous block's data
     start, residue, pos = MAXLINE, 0, 0
     nl_count = 0
     while pos < N:
@@ -2454,6 +2586,8 @@ def _mgrep_delim_clamp_sim(data, delim, outtail):
         buf[start + residue:start + residue + dl] = dpat
         nl_count += int(np.count_nonzero(
             buf[MAXLINE:MAXLINE + num_read] == 0x0A))
+        ctxs.append((int(buf[start - 1]) if start >= 1 else 0,
+                     int(buf[start - 2]) if start >= 2 else 0))
         pieces.append(buf[start:end + 1].copy())
         residue = buf_end - end + 1
         ns = MAXLINE - residue
@@ -2471,6 +2605,8 @@ def _mgrep_delim_clamp_sim(data, delim, outtail):
         if start > dl:
             buf[start - dl:start] = dpat
         buf[start + residue:start + residue + dl] = dpat
+        ctxs.append((int(buf[start - 1]) if start >= 1 else 0,
+                     int(buf[start - 2]) if start >= 2 else 0))
         live_append = True
         # scan span ends at start+residue (the first appended-delim
         # byte); the caller materializes the appended delimiter, so
@@ -2478,16 +2614,18 @@ def _mgrep_delim_clamp_sim(data, delim, outtail):
         pieces.append(buf[start:start + residue].copy())
     parts = [pieces[0]]
     marks = []
+    ctx_map = {}
     off = len(pieces[0])
-    for pc in pieces[1:]:
+    for k, pc in enumerate(pieces[1:], start=1):
         marks.append(off - 1)         # the shared duplicated byte
+        ctx_map[off - 1] = ctxs[k]
         parts.append(pc[1:])
         off += len(pc) - 1
     V = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
     trim_end = marks.pop() if live_append and marks else None
     if live_append and trim_end is not None:
         marks.append(trim_end)        # _mgrep_blocks_delim keeps it
-    return V, marks, trim_end, live_append, nl_count
+    return V, marks, trim_end, live_append, nl_count, ctx_map
 
 
 def _mgrep_blocks_delim(data, delim, outtail):

@@ -491,3 +491,44 @@ def test_vmode_region_crossing_occurrence(tmp_path):
     for args in (["-f", str(pf)], ["-c", "-f", str(pf)],
                  ["-v", "-f", str(pf)], ["-u", "-f", str(pf)]):
         compare(args + [str(p)])
+
+
+def test_seam_candidate_byte_substitution(tmp_path):
+    """Round-5 fuzz find (seed 910035, minimized to 32769 bytes): a
+    term whose start abuts a -d block seam.  Each scan region's
+    candidate at start-1 reads the spliced delimiter's last byte
+    (newmgrep.c:511, monkey1 :832), not the previous block's data the
+    flattened stream abuts there -- and the raw-byte twin at the same
+    anchor belongs to the PREVIOUS region, where the record jump can
+    consume it.  JUMP costs keep D_pattern in the raw "<o" form
+    (agrep.c:2682-2694, preproce.c:68-70)."""
+    import random
+    rnd = random.Random(910035)
+    words = [b"alpha", b"bravo", b"hello", b"matching", b"xy", b"a",
+             b"koala", b"zz", b"ab", b"lorem", b"CaSe", b"d$d"]
+    out = bytearray()
+    while len(out) < 40000:
+        out += rnd.choice(words) * rnd.randint(1, 9)
+        out += rnd.choice([b"\n", b" ", b"$$"])
+    pf = tmp_path / "p.txt"
+    pats = [rnd.choice(words) for _ in range(15)]
+    pf.write_bytes(b"".join(x + b"\n" for x in pats)
+                   + b"".join(b"q%03d\n" % k for k in range(15)))
+    # the minimized shape: one byte past the 32KB block boundary with
+    # the 2-byte straddler "xy" ending exactly at the seam
+    p = tmp_path / "c.txt"
+    body = bytearray(b"xy hello zz\n")
+    while len(body) < 32766:
+        body += b"lorem alpha "
+    p.write_bytes(bytes(body[:32766]) + b"xyx")
+    for flags in (["-c", "-w"], ["-c"], ["-w"], [], ["-v", "-c"]):
+        compare(flags + ["-d", "o", "-D2", "-I1", "-S1",
+                         "-f", str(pf), str(p)])
+    # the original 40KB corpus across several flag mixes
+    p2 = tmp_path / "c2.txt"
+    p2.write_bytes(bytes(out[:40000]))
+    for flags in (["-c", "-w"], ["-c"], []):
+        compare(flags + ["-d", "o", "-D2", "-I1", "-S1",
+                         "-f", str(pf), str(p2)])
+        compare(flags + ["-d", "ll", "-D2", "-I1", "-S1",
+                         "-f", str(pf), str(p2)])

@@ -5,6 +5,12 @@ hunt divergences; anything it finds should be minimized and pinned as
 a regression test.
 
   python tools/fuzz_sweep.py [n_cases] [seed0]
+  python tools/fuzz_sweep.py --stratified [n_cases] [seed0]
+
+Stratified mode de-biases the grid (round-4 verdict: the uniform grid
+samples rare flag intersections like -f+costs+-d+-w with ~0.5% joint
+probability): every case draws at least TWO of {-f, costs, -d, -w,
+-v, -t} and a corpus size straddling a 32KB mgrep block boundary.
 """
 
 import io
@@ -105,10 +111,73 @@ def make_args(r: random.Random):
     return flags, pat
 
 
-def run_case(i, seed, tmpdir):
+def make_corpus_straddle(r: random.Random) -> bytes:
+    """Corpus whose size lands within +-24 bytes of a 32KB (or 64KB)
+    mgrep block boundary -- the residue/seam machinery fires on every
+    case instead of almost never."""
+    blk = r.choice([32768, 32768, 65536])
+    size = blk + r.randint(-24, 24)
+    out = bytearray()
+    style = r.randrange(4)
+    while len(out) < size:
+        if style == 0:
+            out += b" ".join(r.choice(WORDS)
+                             for _ in range(r.randint(1, 8)))
+            out += r.choice([b"\n", b"\n", b"$$\n", b"", b"o"])
+        elif style == 1:
+            out += r.choice(WORDS) * r.randint(1, 9)
+            out += r.choice([b"\n", b" ", b"$$", b"o", b"ll"])
+        elif style == 2:
+            # long lines: residues grow past MAXLINE (clamp regime)
+            out += b" ".join(r.choice(WORDS) for _ in range(300))
+            out += r.choice([b"\n", b""])
+        else:
+            out += bytes(r.choice(b"ab\nxyo$") for _ in range(64))
+    return bytes(out[:size])
+
+
+STRATA = ("f", "costs", "d", "w", "v", "t")
+
+
+def make_args_stratified(r: random.Random):
+    """At least two of {-f, costs, -d, -w, -v, -t} per case."""
+    picks = r.sample(STRATA, r.choice([2, 2, 2, 3, 3, 4]))
+    flags = []
+    use_f = "f" in picks
+    if "costs" in picks:
+        flags += ["-D%d" % r.choice([1, 2, 3]),
+                  "-I%d" % r.choice([1, 2]), "-S%d" % r.choice([1, 2])]
+    if "d" in picks:
+        flags += ["-d", r.choice(["$$", "o", "ll", "%%", "\\n"])]
+    if "w" in picks:
+        flags.append("-w")
+    if "v" in picks:
+        flags.append("-v")
+    if "t" in picks:
+        flags.append("-t")
+    for f, p in (("-c", .5), ("-i", .2), ("-b", .1), ("-l", .05),
+                 ("-s", .08), ("-q", .08), ("-h", .08), ("-u", .05),
+                 ("-k", .05)):
+        if r.random() < p:
+            flags.append(f)
+    if not use_f and r.random() < 0.3:
+        flags.append("-%d" % r.randint(1, 4))
+    if r.random() < 0.06:
+        flags += ["-L", r.choice(["3:0:0", "0:2:0", "5:1:1"])]
+    pat = r.choice([w.decode("latin-1") for w in WORDS]
+                   + ["alpha;hello", "a,b", "xy"])
+    return flags, pat, use_f
+
+
+def run_case(i, seed, tmpdir, stratified=False):
     r = random.Random(seed)
-    corpus = make_corpus(r)
-    flags, pat = make_args(r)
+    if stratified:
+        corpus = make_corpus_straddle(r)
+        flags, pat, force_f = make_args_stratified(r)
+    else:
+        corpus = make_corpus(r)
+        flags, pat = make_args(r)
+        force_f = False
     path = os.path.join(tmpdir, "c%d.txt" % (i % 8))
     with open(path, "wb") as f:
         f.write(corpus)
@@ -119,7 +188,7 @@ def run_case(i, seed, tmpdir):
         with open(path2, "wb") as f:
             f.write(make_corpus(r))
         paths.append(path2)
-    if r.random() < 0.15:
+    if force_f or r.random() < 0.15:
         # -f pattern file instead of a single pattern
         npat = r.choice([2, 5, 30, 120])
         pats = [r.choice(WORDS).decode("latin-1")
@@ -179,14 +248,17 @@ def run_case(i, seed, tmpdir):
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
-    seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    argv = sys.argv[1:]
+    stratified = "--stratified" in argv
+    argv = [a for a in argv if a != "--stratified"]
+    n = int(argv[0]) if len(argv) > 0 else 500
+    seed0 = int(argv[1]) if len(argv) > 1 else 1000
     import tempfile
     tmpdir = tempfile.mkdtemp(prefix="sweep_")
     bad = 0
     for i in range(n):
         try:
-            res = run_case(i, seed0 + i, tmpdir)
+            res = run_case(i, seed0 + i, tmpdir, stratified)
         except subprocess.TimeoutExpired:
             continue
         except Exception as e:      # noqa: BLE001 -- report and go on
