@@ -113,31 +113,55 @@ class _TokenStream:
         self.pos -= 1
 
 
-def _parse_tree(ts: _TokenStream, terminals: list) -> BoolNode:
+def _garble_leaf(text: str, depth: int, frames: dict) -> str:
+    """aparse_tree's plain-terminal stack leak (asplit.c:239-260): the
+    copy buffer zeroes [len+1] but never [len], so strcpy appends ONE
+    byte of whatever the frame's buffer held there -- deterministically
+    the residue of the PREVIOUS plain terminal parsed at the same
+    recursion depth (aparse_tree frames at equal depth reuse the same
+    stack slot; a fresh slot reads as NUL).  `{kernel;device},zebra`
+    thus searches for "zebral" as its third terminal -- stable
+    run-to-run (six-run probe), not heap noise."""
+    buf = frames.setdefault(depth, bytearray(300))
+    raw = text.encode("latin-1")
+    L = len(raw)
+    junk = buf[L] if L < len(buf) else 0
+    out = text + (chr(junk) if junk else "")
+    buf[:L] = raw
+    if L + 1 < len(buf):
+        buf[L + 1] = 0
+    return out
+
+
+def _parse_tree(ts: _TokenStream, terminals: list, depth: int = 0,
+                frames: dict | None = None) -> BoolNode:
+    if frames is None:
+        frames = {}
     kind, text = ts.next()
     if kind == "{":
-        t = _parse_tree(ts, terminals)
+        t = _parse_tree(ts, terminals, depth + 1, frames)
         kind, _ = ts.next()
         if kind != "}":
             raise BoolParseError("parse error")
-        return _infix_lookahead(ts, terminals, t)
+        return _infix_lookahead(ts, terminals, t, depth, frames)
     if kind == "~":
         kind, text = ts.next()
         if kind == "a":
+            # the ~a leaf path NUL-terminates properly (asplit.c:189)
             t = _make_leaf(terminals, text, negate=True)
         elif kind == "{":
-            t = _parse_tree(ts, terminals)
+            t = _parse_tree(ts, terminals, depth + 1, frames)
             t.negate = not t.negate
             kind, _ = ts.next()
             if kind != "}":
                 raise BoolParseError("parse error")
         else:
             raise BoolParseError("parse error")
-        return _infix_lookahead(ts, terminals, t)
+        return _infix_lookahead(ts, terminals, t, depth, frames)
     if kind == "a":
         if not text:
             raise BoolParseError("empty term")
-        n = _make_leaf(terminals, text)
+        n = _make_leaf(terminals, _garble_leaf(text, depth, frames))
         kind2, _ = ts.next()
         if kind2 == "}":
             ts.unget()
@@ -145,19 +169,20 @@ def _parse_tree(ts: _TokenStream, terminals: list) -> BoolNode:
         if kind2 == "e":
             return n
         if kind2 in (",", ";"):
-            right = _parse_tree(ts, terminals)
+            right = _parse_tree(ts, terminals, depth + 1, frames)
             return BoolNode(op="and" if kind2 == ";" else "or",
                             left=n, right=right)
         raise BoolParseError("parse error")
     raise BoolParseError("parse error")
 
 
-def _infix_lookahead(ts: _TokenStream, terminals: list, t: BoolNode) -> BoolNode:
+def _infix_lookahead(ts: _TokenStream, terminals: list, t: BoolNode,
+                     depth: int, frames: dict) -> BoolNode:
     kind, _ = ts.next()
     if kind == "e":
         return t
     if kind in (",", ";"):
-        right = _parse_tree(ts, terminals)
+        right = _parse_tree(ts, terminals, depth + 1, frames)
         return BoolNode(op="and" if kind == ";" else "or", left=t, right=right)
     if kind == "}":
         ts.unget()

@@ -64,7 +64,7 @@ def get_lib():
     lib.bm_inverse_survives.restype = ctypes.c_int
     lib.bm_inverse_survives.argtypes = [u8p, i64, i64, i64, u8p, i64,
                                         i32p, ctypes.c_int32, u8p,
-                                        i64p, i64]
+                                        i64p, i64, ctypes.c_int32]
     lib.agrep_candidates.restype = i64
     lib.agrep_candidates.argtypes = [u8p, i64, i64, i64, u8p, i64, i64,
                                      i32p, ctypes.c_int32, u8p, i64p,

@@ -82,7 +82,12 @@ int bm_inverse_survives(const uint8_t* buf, int64_t buflen,
                         int64_t start, int64_t end, const uint8_t* pat,
                         int64_t m, const int32_t* shift_tab,
                         int32_t shift_1, const uint8_t* tr,
-                        const int64_t* resume, int64_t n_resume) {
+                        const int64_t* resume, int64_t n_resume,
+                        int32_t wordbound) {
+    auto isaln = [](uint8_t c) {
+        return (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z')
+            || (c >= 'a' && c <= 'z');
+    };
     int64_t text = start;
     int64_t sh = 0;
     int64_t textend = end;
@@ -104,6 +109,16 @@ int bm_inverse_survives(const uint8_t* buf, int64_t buflen,
                tr[buf[text - j]] == tr[pat[m - 1 - j]]) j++;
         if (j == m) {
             if (text > textend) return 0;   // sgrep.c:748
+            if (wordbound) {
+                // sgrep.c:749-753: rejected match steps by 1 (the
+                // `shift=1; goto CONT` path), no record jump
+                uint8_t a1 = (text + 1 < buflen) ? buf[text + 1] : 0;
+                uint8_t b1 = (text - m >= 0) ? buf[text - m] : 0;
+                if (isaln(a1) || isaln(b1)) {
+                    sh = 1;
+                    continue;
+                }
+            }
             // jump to this match's curtextend: the first resume entry
             // past text (record ends strictly increase with matches)
             while (ridx < n_resume && resume[ridx] <= text) ridx++;

@@ -110,8 +110,10 @@ def compile_chain(terms: list, tr: np.ndarray):
     for tid, t in enumerate(terms):
         if not t:
             continue
-        if len(t) > 31 or len(t) > TAIL_HALO - 32 + 1:
-            return None          # needs the word-packed/host path
+        if len(t) > 128:
+            # the multi-word chain covers terms to 4 lookahead words
+            # (LOOK <= rows/32); longer takes the word-packed/host path
+            return None
         spec = []
         for ch in t:
             f = int(tr[ch])
@@ -134,6 +136,15 @@ def compile_chain(terms: list, tr: np.ndarray):
 
 
 @functools.cache
+def _chain_look(term_specs: tuple) -> int:
+    """Lookahead words needed: terms longer than 32 positions chain
+    across words.  Restricted to {1, 2, 4} so the lookahead BlockSpec
+    index (j+1)*nw/LOOK stays integral (nw = rows/32 = 4)."""
+    t_max = max((len(s) for s in term_specs), default=1) - 1
+    lk = t_max // 32 + 1
+    return 1 if lk <= 1 else (2 if lk <= 2 else 4)
+
+
 def _get_chain_kernel(eq_specs: tuple, term_specs: tuple,
                       interpret: bool = False, rows: int = ROWS):
     import jax
@@ -141,19 +152,22 @@ def _get_chain_kernel(eq_specs: tuple, term_specs: tuple,
     from jax.experimental import pallas as pl
 
     nw = rows // 32
+    look = _chain_look(term_specs)
+    if look > nw:
+        look = nw            # interpret's rows=32: single-word only
 
     def kernel(windows_ref, next_ref, out_ref):
         blk = windows_ref[...]           # u8[rows, 1, 8, 128]
-        nxt = next_ref[...]              # u8[32, 1, 8, 128]
+        nxt = next_ref[...]              # u8[32*look, 1, 8, 128]
 
-        # 1. byte bit-planes for this step's nw words + 1 lookahead
+        # 1. byte bit-planes for this step's nw words + look lookahead
         planes = []
-        for w in range(nw + 1):
+        for w in range(nw + look):
             acc = [jnp.zeros((SUB, LANE), dtype=jnp.uint32)
                    for _ in range(8)]
             for r in range(32):
                 row = (blk[w * 32 + r, 0] if w < nw
-                       else nxt[r, 0]).astype(jnp.uint32)
+                       else nxt[(w - nw) * 32 + r, 0]).astype(jnp.uint32)
                 for b in range(8):
                     v = row & jnp.uint32(1 << b)
                     if r > b:
@@ -165,7 +179,7 @@ def _get_chain_kernel(eq_specs: tuple, term_specs: tuple,
 
         # 2. equality planes per word (cube OR-of-ANDs over planes)
         eqs = []
-        for w in range(nw + 1):
+        for w in range(nw + look):
             P8 = planes[w]
             N8 = [~p for p in P8]
             row_eqs = []
@@ -184,17 +198,20 @@ def _get_chain_kernel(eq_specs: tuple, term_specs: tuple,
                 row_eqs.append(acc_e)
             eqs.append(row_eqs)
 
-        # 3. shifted-AND chains, OR over terms
+        # 3. shifted-AND chains, OR over terms (position t draws from
+        # word w + t//32 shifted by t%32 -- multi-word terms chain
+        # through the lookahead words)
         for w in range(nw):
             shifted: dict = {}           # (eq_idx, t) -> plane
 
             def sh(e, t, w=w):
-                if t == 0:
-                    return eqs[w][e]
+                wo, tb = t // 32, t % 32
+                if tb == 0:
+                    return eqs[w + wo][e]
                 key = (e, t)
                 if key not in shifted:
-                    shifted[key] = ((eqs[w][e] >> t)
-                                    | (eqs[w + 1][e] << (32 - t)))
+                    shifted[key] = ((eqs[w + wo][e] >> tb)
+                                    | (eqs[w + wo + 1][e] << (32 - tb)))
                 return shifted[key]
 
             out = jnp.zeros((SUB, LANE), dtype=jnp.uint32)
@@ -219,10 +236,12 @@ def _get_chain_kernel(eq_specs: tuple, term_specs: tuple,
             in_specs=[
                 pl.BlockSpec((rows, 1, SUB, LANE),
                              lambda i, j: (j, i, 0, 0)),
-                # the next grid step's first word: same array, one
-                # 32-row block past this step's rows
-                pl.BlockSpec((32, 1, SUB, LANE),
-                             lambda i, j: ((j + 1) * nw, i, 0, 0)),
+                # the next grid step's first `look` words: same array,
+                # starting one row-block past this step's rows
+                # ((j+1)*nw/look is integral: look in {1,2,4}, nw=4)
+                pl.BlockSpec((32 * look, 1, SUB, LANE),
+                             lambda i, j: ((j + 1) * nw // look,
+                                           i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((nw, 1, SUB, LANE),
                                    lambda i, j: (j, i, 0, 0)),
@@ -264,9 +283,12 @@ def chain_plane(text, prog, interpret: bool = False):
     import jax
     import jax.numpy as jnp
     eq_specs, term_specs, _tids, _maxlen = prog
-    rows = 32 if interpret else ROWS
+    look = _chain_look(term_specs)
+    # interpret runs a 32-row block for compile time, but multi-word
+    # lookahead needs nw >= look: use the full block then
+    rows = ROWS if (not interpret or look > 1) else 32
     N = int(text.shape[0])
-    L, H = LANE_BODY, TAIL_HALO
+    L, H = LANE_BODY, 32 * (look + 1)
     T = max(1, -(-N // L))
     G = -(-T // GLANES)
     # one full trailing pad block so the (j+1) lookahead block of the

@@ -39,23 +39,56 @@ SUB, LANE = 8, 128
 GLANES = SUB * LANE   # tile-lanes per lane-group (one (8,128) tile)
 
 
+def _cube_cover_u8(byte_set: set, cap: int = 16):
+    """Cover a byte set with (mask, value) cubes -- a cube holds the
+    bytes b with (b & mask) == value, so one masked-equality compare
+    tests a whole subcube (maskgen.c:96-127 builds these classes for
+    free; this recovers a compact device test for scattered sets).
+    Greedy: free every maskable bit of each seed.  Returns a tuple of
+    cubes or None past cap."""
+    remaining = set(byte_set)
+    cubes = []
+    while remaining:
+        seed = min(remaining)
+        mask = 0xFF
+        for b in range(8):
+            trial = mask & ~(1 << b)
+            val = seed & trial
+            ok = True
+            for v in range(256):
+                if (v & trial) == val and v not in byte_set:
+                    ok = False
+                    break
+            if ok:
+                mask = trial
+        val = seed & mask
+        cubes.append((mask, val))
+        remaining = {v for v in remaining if (v & mask) != val}
+        if len(cubes) > cap:
+            return None
+    return tuple(cubes)
+
+
 def ranges_from_mask(mask_table: np.ndarray):
     """Decompose a uint32[256] mask table into per-bit byte tests.
 
-    Returns a tuple of (bit_value, ((lo, hi), ...), (fold_c, ...))
-    entries -- static kernel parameters.  A fold_c entry matches the
-    case pair {c, c^0x20} with ONE compare on (byte | 0x20) -- half the
-    tests for the (always-folded) simple-pattern tables.  Feasible
-    when every bit's byte set decomposes into few tests; returns None
-    when the table is too irregular (caller falls back to XLA)."""
+    Returns a tuple of (bit_value, ((lo, hi), ...), (fold_c, ...),
+    ((cube_mask, cube_val), ...)) entries -- static kernel parameters.
+    A fold_c entry matches the case pair {c, c^0x20} with ONE compare
+    on (byte | 0x20); a cube entry matches (byte & mask) == val --
+    scattered character classes (maskgen.c:96-127) that defeat the
+    run decomposition usually collapse into a few cubes.  Per bit the
+    cheaper decomposition wins; returns None when the table is too
+    irregular even for cubes (caller falls back to XLA)."""
     out = []
     total = 0
     for b in range(32):
         bit = np.uint32(1 << b)
-        sel = set(int(v) for v in
-                  np.flatnonzero((mask_table & bit) != 0))
-        if not sel:
+        sel_all = set(int(v) for v in
+                      np.flatnonzero((mask_table & bit) != 0))
+        if not sel_all:
             continue
+        sel = set(sel_all)
         folds = []
         for c in sorted(sel):
             if (c & 0x20) and (c ^ 0x20) in sel and c in sel:
@@ -72,17 +105,22 @@ def ranges_from_mask(mask_table: np.ndarray):
                 prev = run[i]
                 i += 1
             ranges.append((lo, prev))
-        if len(ranges) + len(folds) > 16:
+        n_rf = len(ranges) + len(folds)
+        cubes = _cube_cover_u8(sel_all) if n_rf > 2 else None
+        if cubes is not None and len(cubes) < n_rf:
+            out.append((int(bit), (), (), tuple(cubes)))
+        elif n_rf <= 16:
+            out.append((int(bit), tuple(ranges), tuple(folds), ()))
+        else:
             return None
-        out.append((int(bit), tuple(ranges), tuple(folds)))
     # positions with identical byte sets (repeated pattern chars)
     # share ONE compare: merge their bits
     merged: dict = {}
-    for bit, ranges, folds in out:
-        key = (ranges, folds)
+    for bit, ranges, folds, cubes in out:
+        key = (ranges, folds, cubes)
         merged[key] = merged.get(key, 0) | bit
-    out = [(bits, r, f) for (r, f), bits in merged.items()]
-    total = sum(len(r) + len(f) for _, r, f in out)
+    out = [(bits, r, f, cu) for (r, f, cu), bits in merged.items()]
+    total = sum(len(r) + len(f) + len(cu) for _, r, f, cu in out)
     if total > 64:
         return None
     return tuple(out)
@@ -175,17 +213,19 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
                 x = x << (31 - b)
             return (x >> 31).astype(jnp.uint32)
 
-        any_folds = any(f for _, _, f in bit_ranges)
+        any_folds = any(f for _, _, f, _ in bit_ranges)
 
         def cmask_row(row32):
             # static compare-tree mask lookup on one (8,128) i32 tile:
             # lo <= x <= hi  iff  sign((x-lo) | (hi-x)) == 0; single
             # chars and case pairs {c, c^0x20} are one equality --
             # x == c  iff  sign((x^c) - 1) < 0 (x^c is in [0, 255]),
-            # three ops instead of the two-sided range test's five
+            # three ops instead of the two-sided range test's five;
+            # cubes test (x & mask) == val -- one masked equality per
+            # subcube covers a scattered class (maskgen.c:96-127)
             cm = jnp.zeros((SUB, LANE), dtype=jnp.uint32)
             rowf = (row32 | 0x20) if any_folds else row32
-            for bitval, ranges, folds in bit_ranges:
+            for bitval, ranges, folds, cubes in bit_ranges:
                 hit = None                       # all-ones on hit
                 for (lo, hi) in ranges:
                     if lo == hi:
@@ -195,6 +235,9 @@ def _get_pallas_scan(D: int, W: int, bit_ranges: tuple,
                     hit = h if hit is None else (hit | h)
                 for c in folds:
                     h = ((rowf ^ c) - 1) >> 31
+                    hit = h if hit is None else (hit | h)
+                for (cmask, cval) in cubes:
+                    h = (((row32 & cmask) ^ cval) - 1) >> 31
                     hit = h if hit is None else (hit | h)
                 cm = cm | (hit.astype(jnp.uint32) & jnp.uint32(bitval))
             return cm

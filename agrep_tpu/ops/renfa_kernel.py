@@ -57,6 +57,13 @@ def ranges_wide(mask_table: np.ndarray):
                 prev = sel[i]
                 i += 1
             ranges.append((lo, prev))
+        if len(ranges) > 2:
+            # scattered class: a cube cover (OR of masked equalities)
+            # is usually far cheaper -- see kernels._cube_cover_u8
+            from .kernels import _cube_cover_u8
+            cubes = _cube_cover_u8(set(sel))
+            if cubes is not None and len(cubes) < len(ranges):
+                ranges = [(-int(m), int(v)) for m, v in cubes]
         if len(ranges) > 16:
             return None
         total += len(ranges)
@@ -106,7 +113,10 @@ def _get_lanes_kernel(D: int, M: int, bit_ranges: tuple,
             for bitval, ranges in bit_ranges:
                 hit = None
                 for (lo, hi) in ranges:
-                    if lo == hi:
+                    if lo < 0:
+                        # cube entry (-mask, val): (x & mask) == val
+                        h = (((row32 & (-lo)) ^ hi) - 1) >> 31
+                    elif lo == hi:
                         h = ((row32 ^ lo) - 1) >> 31
                     else:
                         h = ~(((row32 - lo) | (hi - row32)) >> 31)

@@ -1881,6 +1881,10 @@ class SgrepEngine:
                 lastout = rend
                 lastend = rend
                 resume_buf.append(start + (rend - gstart))
+                if _limits_reached(o, sink):
+                    # sgrep.c:974-975: the limit return skips the
+                    # call's INVERSE tail and all further blocks
+                    return
             survives = True
             if D == 0 and q.sg_sub in ("bm", "monkey"):
                 tr = np.arange(256, dtype=np.uint8)
@@ -1891,13 +1895,14 @@ class SgrepEngine:
                         q.sg_pattern, tr)
                     survives = sgrep_sim.bm_inverse_survives(
                         vb.buf, start, end, q.sg_pattern, tr,
-                        shift_tab, shift_1, resume_buf)
+                        shift_tab, shift_1, resume_buf,
+                        wordbound=bool(o.wordbound))
                 else:
                     shift2, _s1 = sgrep_sim.build_monkey_tables(
                         q.sg_pattern, tr)
                     survives = sgrep_sim.monkey_inverse_survives(
                         vb.buf, start, end, q.sg_pattern, tr, shift2,
-                        resume_buf)
+                        resume_buf, wordbound=bool(o.wordbound))
             if survives and lastout <= g_end:
                 sink.write(bslice(lastout, g_end + 1))
 
@@ -1960,6 +1965,9 @@ class SgrepEngine:
                 lastout_g = rend
                 lastend_g = rend
                 resume_buf.append(start + (rend - gstart))
+                if _limits_reached(o, sink):
+                    # sgrep.c:974-975: skip the tail and later blocks
+                    return
             # -x shifts the very first scan start onto the sentinel
             # newline (WHOLELINE start--), which changes the skip-walk
             # alignment -- and with it whether the emergency-stop
@@ -1969,11 +1977,13 @@ class SgrepEngine:
             if q.sg_sub == "monkey":
                 survives = sgrep_sim.monkey_inverse_survives(
                     vb.buf, walk_start, end, q.sg_pattern, tr,
-                    shift2_m, resume_buf)
+                    shift2_m, resume_buf,
+                    wordbound=bool(o.wordbound))
             else:
                 survives = sgrep_sim.bm_inverse_survives(
                     vb.buf, walk_start, end, q.sg_pattern, tr,
-                    shift_tab, shift_1, resume_buf)
+                    shift_tab, shift_1, resume_buf,
+                    wordbound=bool(o.wordbound))
             if survives and lastout_g <= g_end:
                 if pending_sentinel:
                     sink.write(b"\n")

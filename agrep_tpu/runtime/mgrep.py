@@ -103,6 +103,20 @@ class MgrepEngine:
         self._chain_prog = None       # exact device scan program
         self._chain_tried = False
         self._vmode = False          # scanning a clamped virtual stream
+        self._plain_dirty = False    # non-newline trim mark on the
+                                     # plain path (newline-free final
+                                     # block): lines cross regions
+        # mgrep's scan buffer is malloc'd per file at a constant size
+        # (newmgrep.c:476) -- glibc returns the same chunk, so bytes
+        # past a short file's final read are the PREVIOUS file's (or
+        # the same file's previous block's) data at those offsets.
+        # The verify loop (:946) and the wordbound after-byte probe
+        # (:875) read them.  Zeros model the first allocation's fresh
+        # pages; offsets past 2*BLOCKSIZE are never written.
+        self._stale = np.zeros(2 * 16384 + 300, dtype=np.uint8)
+        self._eof_win = None         # current file's post-EOF bytes
+        self._eof_subs = []          # stale-completed term candidates
+        self._eof_wb_risky = False
         self._vmode_marks = None
         self._vmode_dmarks = None
         self._vmode_data = None
@@ -155,9 +169,15 @@ class MgrepEngine:
         return True
 
     def search_stream_chunked(self, data, sink, D: int) -> None:
-        if not self._stream_precheck(data):
+        self._prep_eof_stale(np.asarray(data))
+        if self._eof_subs or not self._stream_precheck(data):
+            # stale-completed tail candidates need the full-table
+            # walk (search_stream re-preps; prep is idempotent)
             return self.search_stream(np.asarray(data), sink, D)
-        return self._print_stream_chunked(data, sink)
+        try:
+            return self._print_stream_chunked(data, sink)
+        finally:
+            self._commit_stale(np.asarray(data))
 
     def _print_stream_chunked(self, data, sink) -> None:
         """Streaming flat-OR record print: per chunk, find every term
@@ -257,14 +277,85 @@ class MgrepEngine:
             return False
         if o.multi_output or q.delimiter_opt:
             return False
-        if self._vmode_dirty:
+        if self._vmode_dirty or self._plain_dirty:
             # non-newline region trims split lines: first-per-line
             # pruning would drop the follow-on region's record
+            return False
+        if self._eof_subs or (o.wordbound and self._eof_wb_risky):
+            # post-EOF stale buffer bytes can complete or suppress a
+            # match at the file tail: needs the full-table walk
             return False
         n_live = sum(1 for t in self.terms if t)
         if n_live < ONE_PASS_MIN:
             return False
         return not any(t and b"\n" in t for t in self.terms)
+
+    def _prep_eof_stale(self, darr: np.ndarray) -> None:
+        """Model what this file's final scan call sees PAST its last
+        read byte: buffer offsets >= num_read hold the previous
+        block's bytes (same file) or the previous file's (the
+        malloc'd chunk is reused, newmgrep.c:476).  Computes the
+        300-byte post-EOF window, the wordbound after-byte risk, and
+        any stale-completed term candidates.  Idempotent; the
+        persistent state advances only in _commit_stale."""
+        BLK2 = 2 * 16384
+        N = len(darr)
+        self._eof_win = None
+        self._eof_subs = []
+        self._eof_wb_risky = False
+        if N == 0:
+            return
+        r = N % BLK2
+        if r == 0:
+            r = BLK2
+        win = np.zeros(300, dtype=np.uint8)
+        if N > BLK2:
+            # final block's stale tail = the previous block of the
+            # SAME file: buffer offset j held data[N-r-BLK2+j]
+            src_lo = N - r - BLK2
+            hi = min(r + 300, BLK2)
+            win[:hi - r] = darr[src_lo + r:src_lo + hi]
+        else:
+            win[:] = self._stale[r:r + 300]
+        self._eof_win = win
+        tr = self.tr
+        tail_n = min(N, 260)
+        fd_tail = tr[np.asarray(darr[N - tail_n:])]
+        win_f = tr[win]
+        subs = []
+        wb_risk = False
+        for tid in range(len(self.terms) - 1, -1, -1):
+            t = self.terms[tid]
+            L = len(t)
+            if not t:
+                continue
+            tf = tr[np.frombuffer(t, np.uint8)]
+            if L <= tail_n and bool((fd_tail[tail_n - L:] == tf).all()):
+                wb_risk = True      # ends exactly at EOF: after-byte
+                                    # is win[0], not 0
+            for k in range(max(1, L - 299), L):
+                if k > tail_n:
+                    continue
+                if not bool((fd_tail[tail_n - k:] == tf[:k]).all()):
+                    continue
+                if bool((win_f[:L - k] == tf[k:]).all()):
+                    after = int(win[L - k]) if L - k < 300 else 0
+                    subs.append((N - k, tid, after))
+        self._eof_subs = subs
+        self._eof_wb_risky = wb_risk and _ISALNUM_TAB[int(win[0])]
+
+    def _commit_stale(self, darr: np.ndarray) -> None:
+        BLK2 = 2 * 16384
+        N = len(darr)
+        if N == 0:
+            return
+        r = N % BLK2
+        if r == 0:
+            r = BLK2
+        st = self._stale
+        st[:r] = darr[N - r:]
+        if N > BLK2:
+            st[r:BLK2] = darr[N - BLK2:N - r]
 
     def _chain_starts(self, stream: np.ndarray) -> np.ndarray | None:
         """Exact match-start positions from the device chain kernel
@@ -402,6 +493,75 @@ class MgrepEngine:
         order = np.lexsort((-occ_i, occ_sub, occ_a))
         return (occ_a[order], occ_i[order], occ_s[order],
                 occ_sub[order])
+
+    def _apply_eof_stale_rows(self, occ_a, occ_i, occ_s, occ_sub, o,
+                              base, n_data, bound, has_rescan,
+                              term_len, stream):
+        """Post-EOF stale-buffer effects on the final scan call
+        (newmgrep.c:946 verify overrun, :875 wordbound after-byte):
+
+        * a match ending exactly at EOF, observed by a BLOCK call
+          (anchor <= bound), sees after = stale[r] -- drop it when
+          that byte is alnum under -w (the EOF rescan's copy, when it
+          runs, sees the appended delimiter instead and keeps its own
+          rows);
+        * a term whose tail completes in the stale bytes matches in
+          the reference but has no raw-stream twin -- inject it.
+
+        Returns the updated (occ_a, occ_i, occ_s, occ_sub)."""
+        eof_end = base + n_data
+        changed = False
+        if (o.wordbound and self._eof_wb_risky and len(occ_a)):
+            ends = occ_s + term_len[occ_i]
+            at = ends == eof_end
+            if has_rescan:
+                at &= occ_a <= bound
+            if at.any():
+                keep = ~at
+                occ_a, occ_i, occ_s = (occ_a[keep], occ_i[keep],
+                                       occ_s[keep])
+                if occ_sub is not None:
+                    occ_sub = occ_sub[keep]
+                changed = True
+        inj_a, inj_i, inj_s = [], [], []
+        m1 = self.p_size - 1
+        isaln = _ISALNUM_TAB
+        for s_d, tid, after in self._eof_subs:
+            st = base + s_d
+            a = st + m1
+            if a > bound:
+                continue            # past the block call's textend
+            if o.wordbound:
+                bp = st - 1
+                before = int(stream[bp]) if 0 <= bp < len(stream) \
+                    else 0
+                if isaln[after] or isaln[before]:
+                    continue
+            inj_a.append(a)
+            inj_i.append(tid)
+            inj_s.append(st)
+        if inj_a:
+            changed = True
+            if occ_sub is None:
+                occ_sub = np.zeros(len(occ_a), dtype=bool)
+            occ_a = np.concatenate(
+                [occ_a, np.asarray(inj_a, dtype=np.int64)])
+            occ_i = np.concatenate(
+                [occ_i, np.asarray(inj_i, dtype=np.int64)])
+            occ_s = np.concatenate(
+                [occ_s, np.asarray(inj_s, dtype=np.int64)])
+            occ_sub = np.concatenate(
+                [occ_sub, np.zeros(len(inj_a), dtype=bool)])
+        if changed and occ_sub is not None and len(occ_a):
+            order = np.lexsort((-occ_i, occ_sub, occ_a))
+            occ_a, occ_i, occ_s, occ_sub = (
+                occ_a[order], occ_i[order], occ_s[order],
+                occ_sub[order])
+        elif changed and len(occ_a):
+            order = np.lexsort((-occ_i, occ_a))
+            occ_a, occ_i, occ_s = (occ_a[order], occ_i[order],
+                                   occ_s[order])
+        return occ_a, occ_i, occ_s, occ_sub
 
     def _verify_at(self, stream, tb, anchors):
         """Winning term per candidate anchor: max pattern index whose
@@ -906,8 +1066,22 @@ class MgrepEngine:
 
     def search_stream(self, data: np.ndarray, sink: Sink, D: int,
                       memory_mode: bool = False) -> None:
+        fresh = not memory_mode and not self._vmode
+        if fresh:
+            self._prep_eof_stale(np.asarray(data))
+        try:
+            return self._search_stream_impl(data, sink, D, memory_mode)
+        finally:
+            if fresh:
+                self._commit_stale(np.asarray(data))
+
+    def _search_stream_impl(self, data: np.ndarray, sink: Sink, D: int,
+                            memory_mode: bool = False) -> None:
         q, o = self.q, self.q.opts
         dl = len(q.delim)
+        n0 = len(data)          # raw file length (data may be rebound)
+        clamped = False
+        live_append = False
         # ---- clamped residues (newmgrep.c:556-562): records larger
         # than MAXLINE crossing 32KB block ends lose bytes from the
         # scan; search the stitched stream the reference actually saw
@@ -931,6 +1105,17 @@ class MgrepEngine:
             from . import sgrep_sim
             trigger = bool(((ends - lastnl) > 1024).any()) \
                 or sgrep_sim.nul_near_boundaries(darr)
+            # non-newline trim on the (non-clamped) plain path: only
+            # the final block can have one (an interior newline-free
+            # block always trips the clamp trigger above) -- its line
+            # spans two scan regions, so first-per-line pruning and
+            # line-keyed grouping are unsound for it
+            self._plain_dirty = False
+            if len(ends):
+                fstart = int(ends[-2]) if len(ends) > 1 else 0
+                if (int(lastnl[-1]) < fstart
+                        and len(darr) - fstart > 1):
+                    self._plain_dirty = True
             if not trigger and len(ends):
                 # the EOF rescan's residue carry is ALSO strncpy
                 # (newmgrep.c:585): a NUL in the final residue
@@ -1137,6 +1322,7 @@ class MgrepEngine:
                     np.frombuffer(b"\n", dtype=np.uint8), data,
                     np.frombuffer(b"\n", dtype=np.uint8)])
                 base = 1
+                clamped = False
         N = len(stream)
         if o.invert and o.count and not self._vmode \
                 and not memory_mode and not q.delimiter_opt:
@@ -1362,6 +1548,28 @@ class MgrepEngine:
             b, e = _mgrep_record_span(stream, nl, delim_ends, anchor,
                                       q, base, len(data), lo, hi)
             gb = e
+            if (not q.delimiter_opt and not self._vmode
+                    and not memory_mode and bounds):
+                # records never cross a scan region: curtextbegin is
+                # floored at textbegin (= the region's dup trim byte)
+                # and curtextend is capped at textend, consuming the
+                # trim byte only when it is a newline
+                # (newmgrep.c:878-882).  Matters when a trim is NOT a
+                # newline (newline-free final block): the nl-derived
+                # span would leak into the neighbouring region.
+                ri0 = _bisect.bisect_left(bounds, anchor)
+                refire = (self.p_size == 1 and ri0 < len(bounds)
+                          and bounds[ri0] == anchor)
+                if not refire:      # refire fires in region ri0+1
+                    if ri0 > 0:
+                        mk0 = bounds[ri0 - 1]
+                        b = max(b, mk0 + (1 if int(stream[mk0]) == 0x0A
+                                          else 0))
+                    if ri0 < len(bounds):
+                        te0 = bounds[ri0]
+                        e = min(e, te0 + (1 if int(stream[te0]) == 0x0A
+                                          else 0))
+                    gb = e
             if (self.p_size == 1 and not q.delimiter_opt
                     and not self._vmode and not memory_mode and bounds
                     and anchor <= bounds[-1]):
@@ -1375,9 +1583,14 @@ class MgrepEngine:
                 # bounded by that call's own trim: the record that
                 # actually prints is the residue-clipped one.
                 ri = _bisect.bisect_left(bounds, anchor)
-                if (ri < len(bounds) and bounds[ri] == anchor
-                        and int(stream[anchor]) == 0x0A):
-                    b = max(b, anchor + 1)
+                if ri < len(bounds) and bounds[ri] == anchor:
+                    # non-newline trims (newline-free final block):
+                    # the refired record INCLUDES the dup trim byte
+                    # (curtextbegin floors at textbegin, which isn't
+                    # consumed when it isn't a newline)
+                    b = max(b, anchor
+                            + (1 if int(stream[anchor]) == 0x0A
+                               else 0))
                     e = min(e, _region_end_excl(ri + 1))
                     gb = e
             if self._vmode and self._vmode_marks:
@@ -1521,6 +1734,27 @@ class MgrepEngine:
         elif not memory_mode and q.delimiter_opt \
                 and trim_end is not None:
             final_end += 1          # one appended delim byte (:576)
+
+        # ---- post-EOF stale-buffer rows (previous file / previous
+        # block bytes past the final read -- see _prep_eof_stale)
+        if (not memory_mode and not self._vmode and not clamped
+                and self._eof_win is not None
+                and (self._eof_subs
+                     or (o.wordbound and self._eof_wb_risky))):
+            if q.delimiter_opt:
+                has_rescan = bool(live_append)
+                eof_bound = trim_end if (has_rescan
+                                         and trim_end is not None) \
+                    else base + n0 - 1
+            else:
+                nblocks = (n0 + 2 * 16384 - 1) // (2 * 16384)
+                has_rescan = len(cbo_marks) == nblocks and nblocks > 0
+                eof_bound = (cbo_marks[-1] + base if has_rescan
+                             else base + n0 - 1)
+            occ_a, occ_i, occ_s, occ_sub = self._apply_eof_stale_rows(
+                occ_a, occ_i, occ_s, occ_sub, o, base, n0, eof_bound,
+                has_rescan, term_len, stream)
+            n_occ = len(occ_a)
 
         r_cur = 0
 
@@ -2105,6 +2339,7 @@ class MgrepEngine:
             # hop the next line's anchors; that shape takes the
             # sequential loop below)
             line_id = np.searchsorted(nl, occ_a + 1, side="left")
+            mkv_plain = None
             if self._vmode and self._vmode_marks:
                 # one anchor group per (line, scan region): a line
                 # split by a non-newline trim produces a record on
@@ -2113,6 +2348,20 @@ class MgrepEngine:
                                  dtype=np.int64) + base
                 reg_all = np.searchsorted(mkv, occ_a, side="left")
                 key = line_id * (np.int64(len(mkv)) + 2) + reg_all
+            elif (not memory_mode and bounds
+                  and any(int(stream[mb]) != 0x0A for mb in bounds)):
+                # plain path with a non-newline trim (newline-free
+                # final block): same region split, shared-dup-byte
+                # coordinates
+                mkv_plain = np.asarray(bounds, dtype=np.int64)
+                # m_short probes its textend and ABORTS on a hit there
+                # (newmgrep.c:1345): an anchor ON a trim byte fires in
+                # the NEXT call's rescan of the dup byte instead
+                reg_all = np.searchsorted(
+                    mkv_plain, occ_a,
+                    side="right" if self.p_size == 1 else "left")
+                key = line_id * (np.int64(len(mkv_plain)) + 2) + reg_all
+                mkv = None
             else:
                 mkv = None
                 key = line_id
@@ -2140,6 +2389,21 @@ class MgrepEngine:
                     rbeg = np.where(r > 0,
                                     mkv[np.maximum(r - 1, 0)] + 1,
                                     base)
+                    ends = np.minimum(ends, rend)
+                    begins = np.maximum(begins, rbeg)
+                elif mkv_plain is not None:
+                    # plain coordinates share the dup trim byte: the
+                    # region starts AT the mark (textbegin), which the
+                    # record includes unless it is a newline
+                    r = reg_all[first_idx]
+                    mk_i = np.minimum(r, len(mkv_plain) - 1)
+                    is_nl = (stream[mkv_plain[mk_i]] == 0x0A)\
+                        .astype(np.int64)
+                    rend = np.where(r < len(mkv_plain),
+                                    mkv_plain[mk_i] + is_nl, N)
+                    pmk = mkv_plain[np.maximum(r - 1, 0)]
+                    p_nl = (stream[pmk] == 0x0A).astype(np.int64)
+                    rbeg = np.where(r > 0, pmk + p_nl, base)
                     ends = np.minimum(ends, rend)
                     begins = np.maximum(begins, rbeg)
                 for t in range(len(first_idx)):
@@ -2482,27 +2746,25 @@ def _mgrep_block_ends(data: np.ndarray) -> list:
     BLK = 2 * 16384
     marks = []
     pos = 0
-    end_g = -1
     N = len(data)
     while pos < N:
         num_read = min(BLK, N - pos)
-        span_start = end_g if end_g >= 0 else 0
         span_end = pos + num_read          # exclusive, data coords
-        seg = data[span_start:span_end]
+        # the trim search floor is MAXLINE -- only the FRESH read is
+        # examined (`end > MAXLINE`, newmgrep.c:499): a newline-free
+        # block trims at its own first byte, never inside the residue
+        seg = data[pos:span_end]
         nl = np.flatnonzero(seg == 0x0A)
         if len(nl):
-            e = span_start + int(nl[-1])
+            e = pos + int(nl[-1])
         else:
-            # no newline in the block: `end` walks back to the scan
-            # start (newmgrep.c:498), i.e. the previous block's mark
-            e = span_start
+            e = pos
         pos += num_read
         residue = span_end - e             # includes the duplicate byte
         if pos < N or residue > 1:
             # intermediate block, or the EOF residue rescan
             # (newmgrep.c:577 runs only when residue > 1)
             marks.append(e)
-        end_g = e
     return marks
 
 

@@ -272,7 +272,7 @@ def build_bm_tables(pat: bytes, tr: np.ndarray):
 
 def bm_inverse_survives(buf: np.ndarray, start: int, end: int,
                         pat: bytes, tr: np.ndarray, shift_tab, shift_1,
-                        resume_positions) -> bool:
+                        resume_positions, wordbound: bool = False) -> bool:
     """Walk bm()'s skip loop over one block and report whether the
     function reaches its INVERSE tail print (True) or early-returns on a
     stop-region pseudo-match (False).
@@ -290,7 +290,8 @@ def bm_inverse_survives(buf: np.ndarray, start: int, end: int,
         return bool(lib.bm_inverse_survives(
             _np.ascontiguousarray(buf), len(buf), int(start), int(end),
             _np.ascontiguousarray(patv), len(pat), shift32,
-            int(shift_1), _np.ascontiguousarray(tr), res, len(res)))
+            int(shift_1), _np.ascontiguousarray(tr), res, len(res),
+            1 if wordbound else 0))
     m = len(pat)
     patf = [int(tr[b]) for b in pat]
     text = start
@@ -320,6 +321,14 @@ def bm_inverse_survives(buf: np.ndarray, start: int, end: int,
         if j == m:
             if text > textend:
                 return False        # sgrep.c:748 early return
+            if wordbound:
+                # sgrep.c:749-753: rejected match steps by 1 (the
+                # `shift=1; goto CONT` path), no record jump
+                a1 = int(buf[text + 1]) if text + 1 < blen else 0
+                b1 = int(buf[text - m]) if text - m >= 0 else 0
+                if _isaln(a1) or _isaln(b1):
+                    sh = 1
+                    continue
             # a real match: jump to its record end -- the first resume
             # entry past text (record ends strictly increase)
             while ridx < len(resume_positions) and \
@@ -551,9 +560,14 @@ def fresh_pulse_ok(buf, tb, frm, e, maskI, endpos, D) -> bool:
     return False
 
 
+def _isaln(b: int) -> bool:
+    return (48 <= b <= 57) or (65 <= b <= 90) or (97 <= b <= 122)
+
+
 def monkey_inverse_survives(buf: np.ndarray, start: int, end: int,
                             pat: bytes, tr: np.ndarray, shift2,
-                            resume_positions) -> bool:
+                            resume_positions,
+                            wordbound: bool = False) -> bool:
     """monkey()'s walk over one block (sgrep.c:1563-1801): True when
     the call reaches its INVERSE tail print, False when a verified
     candidate beyond textend early-returns (:1581)."""
@@ -586,6 +600,13 @@ def monkey_inverse_survives(buf: np.ndarray, start: int, end: int,
         if j == m:
             if text > textend:
                 return False     # sgrep.c:1581 early return
+            if wordbound:
+                # sgrep.c:1585-1589 reject: goto CONT -> text++
+                a1 = int(buf[text + 1]) if text + 1 < blen else 0
+                b1 = int(buf[text - m]) if text - m >= 0 else 0
+                if _isaln(a1) or _isaln(b1):
+                    text += 1
+                    continue
             while ridx < len(resume_positions) and \
                     resume_positions[ridx] <= text:
                 ridx += 1

@@ -257,6 +257,71 @@ def test_wide_class_eligible_and_exact():
         scan_ops.set_backend(old)
     assert np.array_equal(ev_k, ev_n)
     assert int((ev_n != 0).sum()) > 0
+    # round 5: the 18-single scattered class decomposes via cube
+    # entries (masked equalities) and must ALSO match numpy exactly
     q2 = compile_query("[a1c3e5g7i9k!m#o%q=]atching",
                        Options(D=1, approx=True, linenum=True))
-    assert ranges_from_mask(q2.folded_mask.astype(np.uint32)) is None
+    mt2 = q2.folded_mask.astype(np.uint32)
+    assert ranges_from_mask(mt2) is not None
+    text2 = rng.choice(np.frombuffer(b"ma1c3e5gatching !%q=\n", np.uint8),
+                       200000)
+    try:
+        scan_ops.set_backend("interpret")
+        ev_k2 = scan_ops.scan_events(text2, mt2, q2.consts, 1, "bitap")
+        scan_ops.set_backend("numpy")
+        ev_n2 = scan_ops.scan_events(text2, mt2, q2.consts, 1, "bitap")
+    finally:
+        scan_ops.set_backend(old)
+    assert np.array_equal(ev_k2, ev_n2)
+
+
+def test_cube_cover_decomposition_soundness():
+    """ranges_from_mask with cube entries must reconstruct the exact
+    mask table for scattered classes (maskgen.c:96-127 shapes)."""
+    import numpy as np
+    from agrep_tpu.ops.kernels import ranges_from_mask
+
+    rng = np.random.RandomState(7)
+    for trial in range(40):
+        mt = np.zeros(256, dtype=np.uint32)
+        nbits = rng.randint(1, 6)
+        for b in range(nbits):
+            k = rng.randint(1, 30)
+            sel = rng.choice(256, size=k, replace=False)
+            for c in sel:
+                mt[c] |= np.uint32(1 << b)
+        r = ranges_from_mask(mt)
+        if r is None:
+            continue
+        rec = np.zeros(256, dtype=np.uint32)
+        for x in range(256):
+            xf = x | 0x20
+            for bits, ranges, folds, cubes in r:
+                hit = False
+                for (lo, hi) in ranges:
+                    hit |= lo <= x <= hi
+                for c in folds:
+                    hit |= xf == c
+                for (cm, cv) in cubes:
+                    hit |= (x & cm) == cv
+                if hit:
+                    rec[x] |= np.uint32(bits)
+        assert (rec == mt).all(), trial
+
+
+def test_cube_cover_scattered_class_accepted():
+    """The 18-scattered-char class that used to reject to the host
+    ('mask-ranges') must now decompose (BENCH fallback_class18)."""
+    import numpy as np
+    from agrep_tpu.ops.kernels import ranges_from_mask
+
+    cls = b"a1c3e5g7i9k!m#o%q="
+    mt = np.zeros(256, dtype=np.uint32)
+    for c in cls:
+        mt[c] |= np.uint32(1)
+    for i, ch in enumerate(b"atching"):
+        mt[ch] |= np.uint32(1 << (i + 1))
+    r = ranges_from_mask(mt)
+    assert r is not None
+    total = sum(len(a) + len(b) + len(c) for _, a, b, c in r)
+    assert total <= 20

@@ -532,3 +532,18 @@ def test_seam_candidate_byte_substitution(tmp_path):
                          "-f", str(pf), str(p2)])
         compare(flags + ["-d", "ll", "-D2", "-I1", "-S1",
                          "-f", str(pf), str(p2)])
+
+
+def test_complex_boolean_terminal_stack_leak(tmp_path):
+    """aparse_tree's plain-terminal path appends one stack byte to
+    each terminal (asplit.c:239-260): frames at equal recursion depth
+    reuse the same slot, so the byte is the previous same-depth
+    terminal's residue.  {kernel;device},zebra => third terminal
+    "zebral" (stable across runs)."""
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"zebra x\nzebral x\nkernel device\nccc\nccca\n"
+                  b"kernel device zebra\nkernel device zebral\n")
+    for pat in ("{kernel;device},zebra", "{kernel,device},zebra",
+                "{aaaa;bb},ccc", "{aaaa;bb},cccaa", "{a;b},c"):
+        compare(["-c", pat, str(p)])
+        compare([pat, str(p)])
