@@ -230,6 +230,42 @@ def _on_tpu() -> bool:
         return False
 
 
+_put_bw = [None]
+
+
+def device_put_bandwidth() -> float:
+    """Measured host->device upload bandwidth in GB/s (one 4MB
+    device_put, cached).  The corpus-placement gate: a real TPU host
+    uploads at PCIe/DMA rates (tens of GB/s) and should scan on
+    device; the remote-tunnel dev harness uploads at ~0.04 GB/s and
+    should not."""
+    if _put_bw[0] is None:
+        try:
+            import time
+
+            import jax
+            buf = np.zeros(4 << 20, dtype=np.uint8)
+            jax.device_put(buf).block_until_ready()      # warm path
+            t0 = time.perf_counter()
+            jax.device_put(buf).block_until_ready()
+            dt = max(time.perf_counter() - t0, 1e-9)
+            _put_bw[0] = (len(buf) / dt) / 1e9
+        except Exception:
+            _put_bw[0] = 0.0
+    return _put_bw[0]
+
+
+def fast_device_link() -> bool:
+    """True when scanning on device beats the host even counting the
+    upload (threshold ~1 GB/s; AGREP_TPU_ASSUME_FAST_LINK=1 forces it
+    for end-to-end validation on slow-link harnesses)."""
+    if os.environ.get("AGREP_TPU_ASSUME_FAST_LINK") == "1":
+        return True
+    if os.environ.get("AGREP_TPU_ASSUME_FAST_LINK") == "0":
+        return False
+    return device_put_bandwidth() >= 1.0
+
+
 _last_reject = ["none"]    # reason of the most recent _try_pallas None
 
 

@@ -357,6 +357,19 @@ class MgrepEngine:
         if N > BLK2:
             st[r:BLK2] = darr[N - BLK2:N - r]
 
+    def _device_route(self, n: int) -> bool:
+        """True when the one-pass device chain should take the scan
+        regardless of term count: real device + a link fast enough
+        that upload + kernel beats the host paths (VERDICT r4 #3: the
+        corpus-placement gate, now an explicit measured decision)."""
+        if n < (1 << 16):
+            return False
+        from ..ops import scan as scan_ops
+        if scan_ops._BACKEND == "interpret":
+            return os.environ.get("AGREP_TPU_DEVICE_ROUTE") == "1"
+        return (scan_ops._BACKEND == "jax" and scan_ops._on_tpu()
+                and scan_ops.fast_device_link())
+
     def _chain_starts(self, stream: np.ndarray) -> np.ndarray | None:
         """Exact match-start positions from the device chain kernel
         (ops/chain_kernel.py) -- the one-pass -f scan on TPU.  Returns
@@ -993,6 +1006,21 @@ class MgrepEngine:
           dense device pass per <=31-position group;
         * few terms, small scan: vectorized per-term host compares."""
         n_live = sum(1 for t in self.terms if t)
+        dev_route = self._device_route(len(stream))
+        if dev_route:
+            # fast device link: the exact chain scan (any term count)
+            # beats the host pruning paths even counting the upload --
+            # starts have no false positives, so qgram_occurrences
+            # degenerates to sparse term-id attribution at true hits
+            from ..compile import multi as multi_mod3
+            if self._qgram_tables is None:
+                self._qgram_tables = multi_mod3.build_qgram_tables(
+                    self.terms, self.tr)
+            starts = self._chain_starts(stream)
+            if starts is not None:
+                return multi_mod3.qgram_occurrences(
+                    stream, self.terms, self.tr, self._qgram_tables,
+                    cand_anchor_rel=starts)
         if n_live >= ONE_PASS_MIN:
             if self._qgram_tables is None:
                 from ..compile import multi as multi_mod2
@@ -1008,9 +1036,8 @@ class MgrepEngine:
                 self._qgram_tables = multi_mod.build_qgram_tables(
                     self.terms, self.tr)
             tb = self._qgram_tables
-            # exact device scan first: the chain kernel's starts have
-            # no false positives, so qgram_occurrences degenerates to
-            # sparse term-id attribution at true hits
+            # exact device scan (slow-link fallback order: the host
+            # pruning path above won when the link was slow)
             starts = self._chain_starts(stream)
             if starts is not None:
                 return multi_mod.qgram_occurrences(
@@ -1158,6 +1185,7 @@ class MgrepEngine:
                 and o.count and not o.invert and not o.filename_only
                 and not o.silent and o.limit_output <= 0
                 and o.limit_per_file <= 0
+                and not self._device_route(len(data))
                 and self._fast_or_applicable(o, q)):
             if self._qgram_tables is None:
                 from ..compile import multi as multi_mod2

@@ -63,7 +63,8 @@ def bench_scan(text: np.ndarray) -> float:
 
 
 def bench_mask_machine(text: np.ndarray, D: int,
-                       costs: tuple | None = None) -> float:
+                       costs: tuple | None = None,
+                       pattern: str = "matching") -> float:
     """Device time of the D-error Pallas mask-machine scan (optionally
     with non-uniform -D/-I/-S costs); returns bytes/sec."""
     import jax
@@ -78,7 +79,7 @@ def bench_mask_machine(text: np.ndarray, D: int,
         ci, cs, cd = costs
         opts.jump = True
         opts.cost_insert, opts.cost_subst, opts.cost_delete = ci, cs, cd
-    q = compile_query("matching", opts)
+    q = compile_query(pattern, opts)
     c = q.consts
     W = 48
     windows, _ = _pad_and_window(text, W, 2048 - W)
@@ -382,7 +383,8 @@ def gate_cli(args: list, label: str, failures: list) -> None:
 
 
 def gate_kernel_events(text: np.ndarray, D: int, costs: tuple | None,
-                       label: str, failures: list) -> None:
+                       label: str, failures: list,
+                       pattern: str = "matching") -> None:
     """Pallas (device) event stream == numpy backend event stream."""
     from agrep_tpu.options import Options
     from agrep_tpu.compile.query import compile_query
@@ -392,7 +394,7 @@ def gate_kernel_events(text: np.ndarray, D: int, costs: tuple | None,
         ci, cs, cd = costs
         opts.jump = True
         opts.cost_insert, opts.cost_subst, opts.cost_delete = ci, cs, cd
-    q = compile_query("matching", opts)
+    q = compile_query(pattern, opts)
     mt = q.folded_mask.astype(np.uint32)
     try:
         scan.set_backend("jax")
@@ -524,6 +526,8 @@ def run_conformance_gate(tmpd: str, patfile: str, para_path: str,
     gate_kernel_events(ktext, 0, None, "kernel_k0", failures)
     gate_kernel_events(ktext, 2, None, "kernel_k2", failures)
     gate_kernel_events(ktext, 3, (1, 1, 2), "kernel_costs", failures)
+    gate_kernel_events(ktext, 1, None, "kernel_class18", failures,
+                       pattern="[a1c3e5g7i9k!m#o%q=]atching")
     gate_regex_lanes(ktext, "kernel_regex", failures)
     gate_qgram(text[:1 << 20], patfile, "kernel_qgram", failures)
     gate_chain(ktext, patfile, "kernel_chain", failures)
@@ -602,6 +606,56 @@ def main():
     ck = configs["f100_chain_kernel"]
     ck["vs_ref"] = (round(ck["gbs"] / ck["ref_gbs"], 1)
                     if ck["ref_gbs"] > 0 else 0.0)
+
+    # END-TO-END device engagement (VERDICT r4 #3): the real CLI with
+    # the corpus-placement gate forced open -- fileagrep -> mgrep ->
+    # chain kernel -> host walk, counts checked against the oracle
+    # inline.  On this harness the wall time is upload-bound (the
+    # tunnel moves ~0.04 GB/s; link_gbs is reported so a real TPU
+    # host's number is interpretable); the row PROVES the device path
+    # end-to-end rather than inferring it from the kernel row.
+    def bench_f100_device_e2e():
+        import io
+        import subprocess
+        from agrep_tpu.api import fileagrep
+        from agrep_tpu.ops import scan as scan_ops
+        e2e_path = os.path.join(tmpd, "dev_e2e.txt")
+        e2e_mb = 16
+        with open(e2e_path, "wb") as f:
+            f.write(text[:e2e_mb << 20].tobytes())
+        exe = _oracle_exe()
+        ref_out = subprocess.run(
+            [exe, "-c", "-f", patfile, e2e_path],
+            capture_output=True).stdout if exe else None
+        os.environ["AGREP_TPU_ASSUME_FAST_LINK"] = "1"
+        try:
+            best, out = 0.0, b""
+            for _ in range(2):
+                buf = io.BytesIO()
+                t0 = time.perf_counter()
+                fileagrep(["-c", "-f", patfile, e2e_path], output=buf)
+                dt = time.perf_counter() - t0
+                if (e2e_mb << 20) / dt > best:
+                    best = (e2e_mb << 20) / dt
+                out = buf.getvalue()
+        finally:
+            os.environ.pop("AGREP_TPU_ASSUME_FAST_LINK", None)
+        ok = out == ref_out
+        return best, ok, round(scan_ops.device_put_bandwidth(), 3)
+
+    dev_bps, dev_ok, link = _retry(bench_f100_device_e2e) or (0.0,
+                                                              False, 0)
+    configs["f100_device_e2e"] = {
+        "gbs": round(dev_bps / 1e9, 3),
+        "ref_gbs": configs["f100_onepass"]["ref_gbs"],
+        "conformance": "pass" if dev_ok else "FAIL",
+        "link_gbs": link,
+        "note": "CLI end-to-end, device route forced; upload-bound "
+                "on this tunnel harness",
+    }
+    de = configs["f100_device_e2e"]
+    de["vs_ref"] = (round(de["gbs"] / de["ref_gbs"], 1)
+                    if de["ref_gbs"] > 0 else 0.0)
     para = make_para_corpus(tmpd)
     configs["f100_records"] = {
         "gbs": round(_retry(bench_f100_records, para, patfile) / 1e9,
@@ -621,28 +675,15 @@ def main():
     # rejection reason (pallas_reject_mask-ranges).
     FB_PAT = "[a1c3e5g7i9k!m#o%q=]atching"
 
-    def bench_fallback_shape() -> float:
-        import io
-        from agrep_tpu.api import fileagrep
-        fb_path = os.path.join(tmpd, "fb.txt")
-        fb_mb = 16
-        with open(fb_path, "wb") as f:
-            f.write(text[:fb_mb << 20].tobytes())
-        best = 0.0
-        for _ in range(2):
-            buf = io.BytesIO()
-            t0 = time.perf_counter()
-            fileagrep(["-1", "-c", FB_PAT, fb_path], output=buf)
-            dt = time.perf_counter() - t0
-            best = max(best, (fb_mb << 20) / dt)
-        return best
-
-    fb_bps = _retry(bench_fallback_shape)
+    # round 5: the scattered class decomposes into cube tests
+    # (kernels.ranges_from_mask) and rides the same Pallas mask
+    # machine as every other shape -- same slope methodology
+    fb_bps = _retry(bench_mask_machine, text, 1, None, FB_PAT)
     configs["fallback_class18"] = {
         "gbs": round(fb_bps / 1e9, 3),
         "ref_gbs": round(bench_reference(
             path, ["-1", "-c", FB_PAT]) / 1e9, 4),
-        "note": "pallas-rejected shape (mask-ranges), host backend",
+        "note": "18-char scattered class, cube-cover kernel path",
     }
     fbc = configs["fallback_class18"]
     fbc["vs_ref"] = (round(fbc["gbs"] / fbc["ref_gbs"], 1)

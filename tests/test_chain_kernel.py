@@ -132,7 +132,10 @@ def test_hundred_terms():
 
 def test_compile_rejects_oversize():
     tr = ident_tr()
-    assert CK.compile_chain([b"x" * 32], tr) is None
+    # round 5: multi-word chains accept terms to 128 bytes
+    assert CK.compile_chain([b"x" * 32], tr) is not None
+    assert CK.compile_chain([b"x" * 128], tr) is not None
+    assert CK.compile_chain([b"x" * 129], tr) is None
     many = [bytes([97 + (i % 26)]) * 30 for i in range(100)]
     assert CK.compile_chain(many, tr) is None   # 3000 positions
 
@@ -213,3 +216,46 @@ def test_chain_cli_count_and_print(tmp_path):
         o_out, _, o_rc = run_oracle(args)
         m_out, _, m_rc = run_ours(args, backend="interpret")
         assert (m_out, m_rc) == (o_out, o_rc), args
+
+
+def test_device_route_small_term_set(tmp_path, monkeypatch):
+    """Round 5: the device chain route engages for ANY term count
+    (ONE_PASS_MIN applies only to the host pruning paths) behind the
+    corpus-placement gate; interpret mode opts in via
+    AGREP_TPU_DEVICE_ROUTE=1."""
+    import io
+    import subprocess
+
+    import numpy as np
+
+    from agrep_tpu.api import fileagrep
+    from agrep_tpu.ops import scan as scan_ops
+    from tests.oracle import ORACLE
+
+    monkeypatch.setenv("AGREP_TPU_DEVICE_ROUTE", "1")
+    old = scan_ops._BACKEND
+    scan_ops.set_backend("interpret")
+    try:
+        corpus = (b"alpha bravo words\nhello zebra\n" * 3000)
+        p = tmp_path / "c.txt"
+        p.write_bytes(corpus)
+        pf = tmp_path / "p.txt"
+        pf.write_text("hello\nzebra\nalpha\n")     # 3 terms < 24
+        ref = subprocess.run(
+            [ORACLE, "-c", "-f", str(pf), str(p)],
+            capture_output=True).stdout
+        buf = io.BytesIO()
+        fileagrep(["-c", "-f", str(pf), str(p)], output=buf)
+        assert buf.getvalue() == ref
+        # long multi-word term through the same route
+        pf2 = tmp_path / "p2.txt"
+        longt = "alpha bravo words\nhello zebra\nalpha bravo"[:40]
+        pf2.write_text(longt.replace("\n", " ") + "\nnosuch\n")
+        ref2 = subprocess.run(
+            [ORACLE, "-c", "-f", str(pf2), str(p)],
+            capture_output=True).stdout
+        buf2 = io.BytesIO()
+        fileagrep(["-c", "-f", str(pf2), str(p)], output=buf2)
+        assert buf2.getvalue() == ref2
+    finally:
+        scan_ops.set_backend(old)
