@@ -524,11 +524,16 @@ class MgrepEngine:
         Returns the updated (occ_a, occ_i, occ_s, occ_sub)."""
         eof_end = base + n_data
         changed = False
+        # m_short ABORTS on a hit at its textend before registration
+        # (newmgrep.c:1345): the anchor ON the final trim refires in
+        # the EOF rescan, whose after-context is the appended
+        # delimiter, not the stale byte -- strict bound for p_size==1
+        strict = self.p_size == 1
         if (o.wordbound and self._eof_wb_risky and len(occ_a)):
             ends = occ_s + term_len[occ_i]
             at = ends == eof_end
             if has_rescan:
-                at &= occ_a <= bound
+                at &= (occ_a < bound) if strict else (occ_a <= bound)
             if at.any():
                 keep = ~at
                 occ_a, occ_i, occ_s = (occ_a[keep], occ_i[keep],
@@ -542,7 +547,7 @@ class MgrepEngine:
         for s_d, tid, after in self._eof_subs:
             st = base + s_d
             a = st + m1
-            if a > bound:
+            if (a >= bound if strict and has_rescan else a > bound):
                 continue            # past the block call's textend
             if o.wordbound:
                 bp = st - 1
@@ -1694,7 +1699,16 @@ class MgrepEngine:
                 if cbo_override is not None:
                     cbo = cbo_override
                 else:
-                    reg = _bisect.bisect_left(bounds, anchor)
+                    # the text-- drift desyncs within ONE scan call;
+                    # the block loop recomputes CBO at call end
+                    # (newmgrep.c:550), so a new region resets it.  An
+                    # m_short anchor ON a trim mark fires in the NEXT
+                    # call's rescan (the textend abort+refire), hence
+                    # bisect_right for p_size==1
+                    if self.p_size == 1:
+                        reg = _bisect.bisect_right(bounds, anchor)
+                    else:
+                        reg = _bisect.bisect_left(bounds, anchor)
                     if reg != cbo_region[0]:
                         cbo_region[0] = reg
                         short_drift[0] = 0
@@ -2315,6 +2329,11 @@ class MgrepEngine:
                     continue
                 if not (is_and or is_complex):
                     sink.num_matched += 1
+                    if _limits_reached_mg(o, sink):
+                        # the block loop's post-call limit check
+                        # (newmgrep.c:562-565): no further regions
+                        # scanned or flushed
+                        return
                     continue
                 live = np.asarray([bool(t) for t in self.terms])
                 p2 = k0
@@ -2340,6 +2359,8 @@ class MgrepEngine:
                     p2 = g2
                 if not fired_any:
                     _inv_flush(r, rs)
+                elif _limits_reached_mg(o, sink):
+                    return        # newmgrep.c:562-565 post-call check
             return
 
         stop = False
@@ -2557,6 +2578,17 @@ class MgrepEngine:
             inv_advance(len(bounds))
             if lastout < final_end and not final_abort:
                 sink.write(bytes(bytearray(stream[lastout:final_end])))
+
+
+def _limits_reached_mg(o, sink) -> bool:
+    """The block loop's post-call limit check (newmgrep.c:562-565)."""
+    if o.limit_output > 0 and sink.num_matched >= o.limit_output:
+        return True
+    if o.limit_per_file > 0 and \
+            (sink.num_matched - sink.prev_num_matched) \
+            >= o.limit_per_file:
+        return True
+    return False
 
 
 def _isalnum(b: int) -> bool:

@@ -200,3 +200,42 @@ def test_regex_streaming_rss(tmp_path, monkeypatch):
     # they stream through; the whole-file path would add the padded
     # anonymous copy + lane matrices on top (several x the file size)
     assert rss1 - rss0 < (size >> 10) + (24 << 10), (rss0, rss1, size)
+
+
+def test_regex_streaming_under_lane_backend(tmp_path, monkeypatch):
+    """Round 5: regex -c and plain record print stream under the
+    jax/interpret backends too -- per-chunk verdicts ride the lanes
+    kernel (every line restarts from the same post-newline closure),
+    byte-identical to the whole-file path."""
+    import io
+    import random
+    import subprocess
+
+    from agrep_tpu.api import fileagrep
+    from agrep_tpu.ops import scan as scan_ops
+    from tests.oracle import ORACLE
+
+    rnd = random.Random(5)
+    words = ["working", "wotking", "worming", "lorem", "hello"]
+    out = []
+    for _ in range(6000):
+        out.append(" ".join(rnd.choice(words)
+                            for _ in range(rnd.randint(2, 6))))
+    data = ("\n".join(out) + "\n").encode()
+    p = tmp_path / "c.txt"
+    p.write_bytes(data)
+    monkeypatch.setattr(scan_ops, "STREAM_CHUNK", 1 << 16)
+    old = scan_ops._BACKEND
+    scan_ops.set_backend("interpret")
+    try:
+        for args in (["-2", "-c", "wo(r|t)king"],
+                     ["-c", "wo(r|t)king"],
+                     ["wo(r|t)king"],
+                     ["-1", "w[aeiou]rking"]):
+            ref = subprocess.run([ORACLE] + args + [str(p)],
+                                 capture_output=True).stdout
+            buf = io.BytesIO()
+            fileagrep(args + [str(p)], output=buf)
+            assert buf.getvalue() == ref, args
+    finally:
+        scan_ops.set_backend(old)

@@ -547,3 +547,53 @@ def test_complex_boolean_terminal_stack_leak(tmp_path):
                 "{aaaa;bb},ccc", "{aaaa;bb},cccaa", "{a;b},c"):
         compare(["-c", pat, str(p)])
         compare([pat, str(p)])
+
+
+def test_silent_inverse_limit_stops_block_loop(tmp_path):
+    """-v -s with -L: a fired-silent call trips the block loop's
+    post-call limit check (newmgrep.c:562-565) -- later regions are
+    neither scanned nor complement-flushed (round-5 seed 510130)."""
+    body = bytearray()
+    while len(body) < 40000:
+        body += b"xyxy lorem koala zz words\n"
+    p = tmp_path / "c.txt"
+    p.write_bytes(bytes(body[:40000]))
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"zz\nxy\nq000\n")
+    compare(["-v", "-s", "-L", "5:1:1", "-f", str(pf), str(p)])
+    compare(["-v", "-s", "-L", "1:0:0", "-f", str(pf), str(p)])
+
+
+def test_mshort_eof_refire_skips_stale_suppression(tmp_path):
+    """A term matching AT the final trim byte refires in the EOF
+    rescan (newmgrep.c:1345), where the after-context is the appended
+    newline -- the previous file's stale buffer byte must NOT
+    suppress it under -w (round-5 seed 510156: 2-byte file 'zz'
+    scanned after a 32KB file)."""
+    big = tmp_path / "big.txt"
+    big.write_bytes((b"d$dd$d words filler\n" * 2000)[:32761])
+    small = tmp_path / "small.txt"
+    small.write_bytes(b"zz")
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"zz\na\nq000\n")
+    compare(["-w", "-c", "-f", str(pf), str(big), str(small)])
+
+
+def test_mshort_refire_cbo_drift_resets(tmp_path):
+    """The m_short text-- drift desyncs CBO only within ONE scan
+    call (the block loop recomputes it, newmgrep.c:550): an anchor ON
+    a non-newline trim mark fires in the NEXT call's rescan with a
+    fresh drift (round-5 seed 510197, -q offset off-by-one)."""
+    body = bytearray()
+    while len(body) < 32742:
+        body += b"filler words here xx\n"
+    body = body[:32742]
+    body[-1:] = b"\n"
+    data = bytes(body) + b"zz hello borase xx\n" + b"bravobravobravobravo"
+    p = tmp_path / "c.txt"
+    p.write_bytes(data)
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"a\nbravo\nq000\n")
+    compare(["-D2", "-I2", "-S1", "-t", "-q", "-h", "-u",
+             "-f", str(pf), str(p)])
+    compare(["-q", "-f", str(pf), str(p)])
