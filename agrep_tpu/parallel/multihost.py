@@ -107,16 +107,11 @@ def run_with_requeue(items: list, worker, fallback=None,
     return results
 
 
-def merge_outputs(local_blob: bytes, marks: list,
-                  local_count: int) -> tuple[bytes, int]:
-    """All-gather every process's per-file output chunks and rebuild
-    the single stream in GLOBAL file order (the reference's ordering
-    contract: file order x byte offset, agrep.c:3229-3231).
-
-    local_blob: this process's concatenated per-file output;
-    marks: (global_file_index, start_offset_in_blob) pairs, ascending;
-    Returns (merged_bytes, global_match_count) -- identical on every
-    process; only process 0 should write the bytes."""
+def gather_pieces(local_blob: bytes, marks: list,
+                  local_count: int) -> tuple[list, int]:
+    """All-gather every process's per-file output chunks; returns
+    ((global_file_index, bytes) pairs sorted in global file order,
+    global_match_count) -- identical on every process."""
     import jax
     from jax.experimental import multihost_utils
     nproc = jax.process_count()
@@ -142,7 +137,43 @@ def merge_outputs(local_blob: bytes, marks: list,
             end = int(mks[p, i + 1, 1]) if i + 1 < nm else nb
             pieces.append((gi, blobs[p, off:end].tobytes()))
     pieces.sort(key=lambda t: t[0])
+    return pieces, total
+
+
+def merge_outputs(local_blob: bytes, marks: list,
+                  local_count: int) -> tuple[bytes, int]:
+    """All-gather every process's per-file output chunks and rebuild
+    the single stream in GLOBAL file order (the reference's ordering
+    contract: file order x byte offset, agrep.c:3229-3231).
+
+    local_blob: this process's concatenated per-file output;
+    marks: (global_file_index, start_offset_in_blob) pairs, ascending;
+    Returns (merged_bytes, global_match_count) -- identical on every
+    process; only process 0 should write the bytes."""
+    pieces, total = gather_pieces(local_blob, marks, local_count)
     return b"".join(b for _, b in pieces), total
+
+
+def allgather_rows(rows: np.ndarray) -> np.ndarray:
+    """All-gather variable-count int64 rows from every process.
+    rows: (n, k) local array; returns the concatenation over all
+    processes (padded exchange, then trimmed)."""
+    import jax
+    from jax.experimental import multihost_utils
+    rows = np.asarray(rows, dtype=np.int64).reshape(len(rows), -1)
+    k = rows.shape[1] if rows.size else 1
+    meta = np.asarray([len(rows), k], dtype=np.int64)
+    metas = np.asarray(multihost_utils.process_allgather(meta))
+    maxn = max(1, int(metas[:, 0].max()))
+    k = max(k, int(metas[:, 1].max()))
+    pad = np.zeros((maxn, k), dtype=np.int64)
+    if rows.size:
+        pad[:len(rows), :rows.shape[1]] = rows
+    alls = np.asarray(multihost_utils.process_allgather(pad))
+    out = [alls[p, :int(metas[p, 0])]
+           for p in range(alls.shape[0])]
+    return (np.concatenate(out) if out
+            else np.zeros((0, k), dtype=np.int64))
 
 
 def global_count(local_count: int, mesh=None) -> int:

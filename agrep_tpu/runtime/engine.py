@@ -2298,6 +2298,29 @@ class SgrepEngine:
         return begin, end
 
 
+def commit_stale_path(engine, path: str) -> None:
+    """Advance an mgrep engine's reused-buffer stale model past a file
+    this process did NOT scan (multihost partition): only the last two
+    block windows of bytes matter, read via seek."""
+    BLK2 = 2 * 16384
+    try:
+        n = os.path.getsize(path)
+        if n == 0:
+            return
+        with open(path, "rb") as f:
+            f.seek(max(0, n - 2 * BLK2))
+            tail = np.frombuffer(f.read(), dtype=np.uint8)
+        r = n % BLK2
+        if r == 0:
+            r = BLK2
+        st = engine._stale
+        st[:r] = tail[len(tail) - r:]
+        if n > BLK2:
+            st[r:BLK2] = tail[len(tail) - BLK2:len(tail) - r]
+    except (OSError, IOError, AttributeError):
+        pass
+
+
 def _limits_reached(o: Options, sink: Sink) -> bool:
     if o.limit_output > 0 and sink.num_matched >= o.limit_output:
         return True
@@ -2370,10 +2393,18 @@ class Executor:
             # globally-first record's FIRSTOUTPUT byte games are
             # re-applied at the host merge (multihost.merge fix-up)
             sink.first_output = False
+        mh_last_gi = -1
         for i, path in enumerate(files):
             gi = _mh["indices"][i] if _mh else i
             if _mh:
                 _mh["boundary"](gi)
+                if hasattr(self.engine, "_commit_stale"):
+                    # the reference scans ALL files through one reused
+                    # buffer: replay the skipped files' tails so this
+                    # process's stale model matches the global sequence
+                    for gj in range(mh_last_gi + 1, gi):
+                        commit_stale_path(self.engine, all_files[gj])
+                mh_last_gi = gi
             sink.prev_num_matched = sink.num_matched
             sink.current_filename = (str(gi) if o.printfilenumber
                                      else path)
@@ -2402,19 +2433,30 @@ class Executor:
                     self._scan_with_requeue(data, sink, size,
                                             stream_min)
             nfile = sink.num_matched - sink.prev_num_matched
+            if _mh is not None and "file_counts" in _mh:
+                _mh["file_counts"].append(
+                    (gi, nfile, getattr(self.engine, "total_line", 0)))
             if nfile > 0:
                 nomatch = False
                 sink.files_matched += 1
             if o.count and not o.fileout:
+                emit = True
                 if o.invert and q.engine_class == "mgrep":
-                    # INVERSE multi-pattern counts LINES not matched:
-                    # total_line - (num_of_matched - prev) -- and
-                    # total_line is the GLOBAL accumulator, never
-                    # reset between files (agrep.c:3445-3486,
-                    # countline newmgrep.c:518,694)
-                    nfile = (getattr(self.engine, "total_line", 0)
-                             - nfile)
-                self._emit_count_line(nfile)
+                    if _mh is not None and _mh.get("mg_inv_defer"):
+                        # partitioned: this process's total_line lacks
+                        # the other processes' files -- the cumulative
+                        # count lines are formatted at the merge
+                        emit = False
+                    else:
+                        # INVERSE multi-pattern counts LINES not
+                        # matched: total_line - (num_of_matched -
+                        # prev) -- total_line is the GLOBAL
+                        # accumulator, never reset between files
+                        # (agrep.c:3445-3486, newmgrep.c:518,694)
+                        nfile = (getattr(self.engine, "total_line", 0)
+                                 - nfile)
+                if emit:
+                    self._emit_count_line(nfile)
             if o.fileout and nfile:
                 self._file_out(path)
             if (o.limit_output > 0 and sink.num_matched >= o.limit_output) \
@@ -2453,10 +2495,15 @@ class Executor:
         reference's single-process ordering, agrep.c:3229-3231), the
         match count is summed across processes (exit-code contract,
         main.c:89-96), and only process 0 writes the merged stream.
-        Modes whose output or state couples files globally (-B, -L
-        limits, mgrep -v cumulative line totals, -r) run entirely on
-        process 0 instead -- correct, not partitioned.  Returns None
-        when not actually multi-process."""
+        Round 5 partitions two previously-serial modes: global -L
+        limits run limit-free in parallel, then the merge walks the
+        gathered per-file counts in global order, keeps whole files
+        before the cutoff and re-runs the straddling file with the
+        remaining quota on its owner; mgrep -v count lines (cumulative
+        total_line, agrep.c:3445-3486) defer formatting to the merge,
+        which replays the per-file line totals in global order.  Only
+        -B (interactive rescans) and -r stay on process 0.  Returns
+        None when not actually multi-process."""
         from ..parallel import multihost
         try:
             pid, nproc = multihost.init_multihost()
@@ -2465,10 +2512,13 @@ class Executor:
         if nproc <= 1:
             return None
         q, o = self.q, self.q.opts
-        serial = (o.bestmatch or o.limit_output > 0
-                  or o.limit_total_file > 0 or o.limit_per_file > 0
-                  or o.recursive
-                  or (o.invert and q.engine_class == "mgrep"))
+        mg_inv_count = (o.invert and q.engine_class == "mgrep"
+                        and o.count)
+        limits_g = o.limit_output > 0 or o.limit_total_file > 0
+        serial = (o.bestmatch or o.recursive
+                  or (limits_g and o.fileout)
+                  or (mg_inv_count and (o.fileout or limits_g
+                                        or o.limit_per_file > 0)))
         real_sink = self.sink
         if serial:
             # cross-file-coupled modes: process 0 runs the normal
@@ -2489,16 +2539,39 @@ class Executor:
             marks.append((gi, len(buf)))
 
         mine = multihost.assign_files(files, nproc, pid)
+        file_counts: list = []
+        saved_limits = (o.limit_output, o.limit_total_file)
+        if limits_g:
+            # pass 1 runs limit-free (per-file -L stays local); the
+            # merge imposes the global cutoffs
+            o.limit_output = 0
+            o.limit_total_file = 0
         self.sink = capture
         try:
             self.run_files([f for _, f in mine],
                            _mh={"global_files": files,
                                 "indices": [i for i, _ in mine],
-                                "boundary": boundary})
+                                "boundary": boundary,
+                                "file_counts": file_counts,
+                                "mg_inv_defer": mg_inv_count})
         finally:
             self.sink = real_sink
-        merged, total = multihost.merge_outputs(
+            o.limit_output, o.limit_total_file = saved_limits
+        pieces, total = multihost.gather_pieces(
             bytes(buf), marks, capture.num_matched)
+        merged = b"".join(b for _, b in pieces)
+        # gathered (gi, matched_delta, total_line_after) rows drive
+        # both deferred count-line formatting and the limit cutoff
+        rows = multihost.allgather_rows(np.asarray(
+            [(gi, nf, tl) for gi, nf, tl in file_counts],
+            dtype=np.int64).reshape(len(file_counts), 3))
+        per_file = {int(r[0]): (int(r[1]), int(r[2])) for r in rows}
+        if limits_g:
+            merged, total = self._mh_apply_limits(
+                files, per_file, dict(pieces), total, multihost)
+        if mg_inv_count:
+            merged = self._mh_format_inverse_counts(
+                files, per_file, merged)
         if pid == 0:
             # FIRSTOUTPUT fix-up (agrep.c:376, output():3820-3832):
             # in record-print bitap modes the globally first printed
@@ -2512,6 +2585,126 @@ class Executor:
             real_sink.write(merged)
         real_sink.num_matched = total
         return total
+
+    def _mh_format_inverse_counts(self, files, per_file,
+                                  merged: bytes) -> bytes:
+        """mgrep -v -c count lines, formatted at the merge: the
+        printed value is cumulative-total_line minus the file's
+        matched count (agrep.c:3445-3486; total_line never resets,
+        newmgrep.c:518,694).  total_line deltas are reconstructed
+        from each process's own cumulative sequence."""
+        q, o = self.q, self.q.opts
+        from ..parallel import multihost
+        nproc = __import__("jax").process_count()
+        # per-process cumulative -> per-file deltas
+        deltas = {}
+        last_by_proc: dict = {}
+        for gi in sorted(per_file):
+            owner = gi % nproc
+            prev = last_by_proc.get(owner, 0)
+            deltas[gi] = per_file[gi][1] - prev
+            last_by_proc[owner] = per_file[gi][1]
+        out = bytearray()
+        sink2 = Sink(out.extend, o)
+        sink2.fname = len(files) > 1
+        if o.no_filename:
+            sink2.fname = False
+        if o.always_filename:
+            sink2.fname = True
+        cum = 0
+        for gi in range(len(files)):
+            if gi not in per_file:
+                continue            # unreadable file: no count line
+            nf, _tl = per_file[gi]
+            cum += deltas[gi]
+            sink2.current_filename = (str(gi) if o.printfilenumber
+                                      else files[gi])
+            sink2.new_file = True
+            old_sink = self.sink
+            self.sink = sink2
+            try:
+                self._emit_count_line(cum - nf)
+            finally:
+                self.sink = old_sink
+        return bytes(out)
+
+    def _mh_apply_limits(self, files, per_file, pieces, total,
+                         multihost):
+        """Impose global -L cutoffs on the gathered per-file pieces:
+        walk files in global order accumulating matches; whole files
+        before the cutoff keep their pass-1 output, a match-straddling
+        file re-runs on its owner with the remaining quota (exactly
+        the bytes the reference's mid-scan stop emits), everything
+        after drops (agrep.c:3571-3575)."""
+        import jax
+        q, o = self.q, self.q.opts
+        pid = jax.process_index()
+        cum = 0
+        files_matched = 0
+        cut_gi = None
+        quota = 0
+        for gi in range(len(files)):
+            if gi not in per_file:
+                continue
+            nf = per_file[gi][0]
+            if o.limit_output > 0 and cum + nf >= o.limit_output:
+                cut_gi = gi
+                quota = o.limit_output - cum
+                break
+            cum += nf
+            if nf > 0:
+                files_matched += 1
+                if (o.limit_total_file > 0
+                        and files_matched >= o.limit_total_file):
+                    cut_gi = gi
+                    quota = -1        # whole-file cut: keep gi as-is
+                    break
+        if cut_gi is None:
+            return b"".join(b for _, b in sorted(pieces.items())), total
+        out = bytearray()
+        new_total = 0
+        for gi in range(cut_gi):
+            if gi in pieces:
+                out.extend(pieces[gi])
+                new_total += per_file.get(gi, (0, 0))[0]
+        if quota < 0:
+            out.extend(pieces.get(cut_gi, b""))
+            new_total += per_file.get(cut_gi, (0, 0))[0]
+        else:
+            # the straddling file re-runs with the remaining quota on
+            # its owner; the piece is broadcast through merge_outputs
+            owner = cut_gi % jax.process_count()
+            blob = b""
+            cnt = 0
+            if pid == owner:
+                b2 = bytearray()
+                cap2 = Sink(b2.extend, o)
+                cap2.fname = self.sink.fname
+                cap2.first_output = False
+                cap2.current_filename = (str(cut_gi)
+                                         if o.printfilenumber
+                                         else files[cut_gi])
+                cap2.new_file = True
+                saved = (o.limit_output, o.limit_total_file)
+                o.limit_output = quota
+                o.limit_total_file = 0
+                old_sink = self.sink
+                self.sink = cap2
+                try:
+                    self.run_files([files[cut_gi]],
+                                   _mh={"global_files": files,
+                                        "indices": [cut_gi],
+                                        "boundary": lambda gi2: None})
+                finally:
+                    self.sink = old_sink
+                    o.limit_output, o.limit_total_file = saved
+                blob = bytes(b2)
+                cnt = cap2.num_matched
+            rblob, rcnt = multihost.merge_outputs(
+                blob, [(cut_gi, 0)], cnt)
+            out.extend(rblob)
+            new_total += rcnt
+        return bytes(out), new_total
 
     def _scan_with_requeue(self, data, sink, size, stream_min) -> None:
         """One file's scan with failure re-queueing (SURVEY.md section

@@ -357,6 +357,25 @@ class MgrepEngine:
         if N > BLK2:
             st[r:BLK2] = darr[N - BLK2:N - r]
 
+    def _clamp_total_line(self, anchor: int, base: int, n0: int,
+                          stream, memory_mode: bool) -> None:
+        """A -L limit stop exits the block loop mid-file
+        (newmgrep.c:562-565): countline never sees the unread blocks,
+        so the INVERSE -c line total drops the newlines past the
+        stopping block's end (round-5 seeds 520011/520311)."""
+        o, q = self.q.opts, self.q
+        if not (o.invert and o.count) or memory_mode or self._vmode:
+            return
+        B2L = 2 * 16384
+        d_off = max(anchor - base, 0)
+        bend = min((d_off // B2L + 1) * B2L, n0)
+        if bend >= n0:
+            return
+        src = np.asarray(stream[base + bend:base + n0])
+        beyond = int(np.count_nonzero(src == 0x0A))
+        if beyond:
+            self.total_line -= beyond
+
     def _device_route(self, n: int) -> bool:
         """True when the one-pass device chain should take the scan
         regardless of term count: real device + a link fast enough
@@ -1509,15 +1528,22 @@ class MgrepEngine:
                     seam_ctx, virt_append)
             elif (not q.delimiter_opt and not memory_mode
                   and not self._vmode and len(occ_a)
-                  and any(t and b"\n" in t[1:] for t in self.terms)):
+                  and (self._plain_dirty
+                       or any(t and b"\n" in t[1:]
+                              for t in self.terms))):
                 # newline-record seams: same observability geometry
-                # (text[start-1]='\n', newmgrep.c:500); only terms with
-                # an interior/trailing '\n' can straddle a trim mark,
-                # and the '\n'+'\n' substituted candidate never
-                # verifies for real patterns -- drops only
+                # (text[start-1]='\n', newmgrep.c:500).  A '\n' trim
+                # can only be straddled by a '\n'-bearing term, but a
+                # NON-newline trim (newline-free final block) is
+                # crossed by ordinary terms too -- e.g. "alpha"
+                # spanning the final block boundary is scanned by
+                # neither call (round-5 seed 520159).  The substituted
+                # candidate reads the written context newline.
                 mks = [m + base for m in _mgrep_block_ends(data)]
+                ctx_nd = (0x0A, 0)
                 occ_a, occ_i, occ_s, occ_sub = self._apply_seam_rules(
-                    occ_a, occ_i, occ_s, mks, stream, None, False)
+                    occ_a, occ_i, occ_s, mks, stream,
+                    (lambda _m, _c=ctx_nd: _c), False)
             n_occ = len(occ_a)
         final_abort = False
         if (self.p_size == 1 and not memory_mode
@@ -1740,6 +1766,8 @@ class MgrepEngine:
                 or (o.limit_per_file > 0 and
                     sink.num_matched - sink.prev_num_matched
                     >= o.limit_per_file):
+                self._clamp_total_line(anchor, base, n0, stream,
+                                       memory_mode)
                 return True
             return False
 
@@ -2333,6 +2361,8 @@ class MgrepEngine:
                         # the block loop's post-call limit check
                         # (newmgrep.c:562-565): no further regions
                         # scanned or flushed
+                        self._clamp_total_line(int(occ_a[k0]), base,
+                                               n0, stream, memory_mode)
                         return
                     continue
                 live = np.asarray([bool(t) for t in self.terms])
@@ -2360,6 +2390,10 @@ class MgrepEngine:
                 if not fired_any:
                     _inv_flush(r, rs)
                 elif _limits_reached_mg(o, sink):
+                    self._clamp_total_line(int(occ_a[p2 if p2 < k1
+                                                     else k0]),
+                                           base, n0, stream,
+                                           memory_mode)
                     return        # newmgrep.c:562-565 post-call check
             return
 

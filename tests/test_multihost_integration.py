@@ -118,8 +118,8 @@ def test_two_process_merge_equals_single(corpus, mode):
 
 def test_two_process_grand_total_and_serial_modes(corpus):
     files, pf = corpus
-    # -V prints the Grand Total (psum'd); -L limits run serially on
-    # process 0 but must still match the single-process run
+    # -V prints the Grand Total (psum'd); -L limits partition with a
+    # merge-side cutoff (round 5) and must match the single-process run
     for args in (["-V1", "-c", "matching", *files],
                  ["-L", "7:0:0", "matching", *files]):
         want_out, want_rc = run_single(args)
@@ -150,3 +150,30 @@ def test_two_process_record_delimiter(tmp_path):
     assert out0 == want_out
     assert out1 == b""
     assert rc0 == want_rc and rc1 == want_rc
+
+
+@pytest.mark.parametrize("mode", [
+    "limit_output", "limit_output_cut", "limit_total_file",
+    "mgrep_inverse_count", "mgrep_inverse_print",
+])
+def test_two_process_partitioned_limits_and_mgrep_inverse(corpus,
+                                                          mode):
+    """Round 5 (VERDICT r4 #8): global -L limits and mgrep -v leave
+    the process-0 serial path -- limits merge per-file counts then
+    cut (re-running the straddling file with the remaining quota);
+    mgrep -v count lines replay the cumulative total_line at the
+    merge."""
+    files, pf = corpus
+    args = {
+        # cutoff inside file 2 of 5: exercises the quota re-run
+        "limit_output": ["-L", "7:0:0", "-c", "matching", *files],
+        "limit_output_cut": ["-L", "9:0:0", "matching", *files],
+        "limit_total_file": ["-L", "0:2:0", "-c", "matching", *files],
+        "mgrep_inverse_count": ["-v", "-c", "-f", pf, *files],
+        "mgrep_inverse_print": ["-v", "-f", pf, *files],
+    }[mode]
+    want_out, want_rc = run_single(args)
+    (out0, rc0), (out1, rc1) = run_two_procs(args)
+    assert out0 == want_out, mode
+    assert out1 == b"", mode
+    assert rc0 == want_rc and rc1 == want_rc, mode

@@ -597,3 +597,41 @@ def test_mshort_refire_cbo_drift_resets(tmp_path):
     compare(["-D2", "-I2", "-S1", "-t", "-q", "-h", "-u",
              "-f", str(pf), str(p)])
     compare(["-q", "-f", str(pf), str(p)])
+
+
+def test_limit_stop_clamps_inverse_countline(tmp_path):
+    """-v -c with -L: the limit stop exits the block loop mid-file
+    (newmgrep.c:562-565), so countline never sees unread blocks --
+    the inverse count drops their newlines (round-5 seeds
+    520011/520311)."""
+    body = bytearray()
+    while len(body) < 70000:
+        body += b"lorem hello words zz xy\n"
+    p = tmp_path / "c.txt"
+    p.write_bytes(bytes(body[:70000]))
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"zz\nxy\nhello\nq000\n")
+    compare(["-v", "-c", "-L", "3:0:0", "-f", str(pf), str(p)])
+    compare(["-v", "-c", "-L", "0:0:2", "-f", str(pf), str(p)])
+
+
+def test_ordinary_term_crossing_nonnewline_trim(tmp_path):
+    """A term straddling a NON-newline block trim (newline-free final
+    block) is scanned by neither call: the block call trims before
+    it, the rescan's copy starts past its head (round-5 seed 520159:
+    'alpha' spanning the final 32KB boundary counted once too many)."""
+    body = bytearray()
+    while len(body) < 65535:
+        body += b"filler words and text\n"
+    body = bytes(body[:65534]) + b"\n"
+    data = body + b"alpha koala koala "
+    p = tmp_path / "c.txt"
+    p.write_bytes(data)
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"alpha\nq000\nq001\n")
+    for flags in (["-b"], ["-c"], [], ["-D3", "-I1", "-S1", "-t",
+                                       "-i", "-b"]):
+        compare(flags + ["-f", str(pf), str(p)])
+    pf2 = tmp_path / "p2.txt"
+    pf2.write_bytes(b"koala\nq000\nq001\n")
+    compare(["-b", "-f", str(pf2), str(p)])
