@@ -457,6 +457,21 @@ class MgrepEngine:
         # substituted candidates at each seam's s = m-1
         inj_a, inj_i, inj_s = [], [], []
         if seam_ctx is not None:
+            # cheap prefilter: candidates need a term whose FIRST byte
+            # folds to a context byte -- with per-32KB seams and no
+            # such term (the usual case), skip the whole loop
+            tr0 = self.tr
+            heads = {int(tr0[t[0]]) for t in self.terms if t}
+            ctx_heads = set()
+            for m0 in marks_arr.tolist():
+                c0 = seam_ctx(m0)
+                if c0 is not None:
+                    ctx_heads.add(int(tr0[c0[0]]))
+                    if len(ctx_heads) > 8:
+                        break
+            if not (heads & ctx_heads):
+                seam_ctx = None
+        if seam_ctx is not None:
             n_st = len(stream)
             dl = len(q.delim) if q.delimiter_opt else 0
             isaln = _ISALNUM_TAB
@@ -1426,6 +1441,12 @@ class MgrepEngine:
                     occ_a, occ_i, occ_s, delim_marks, stream,
                     seam_ctx, virt_append)
             n_occ = len(occ_a)
+        nd_marks_w = None
+        if (o.wordbound and occ_cols is None and not q.delimiter_opt
+                and not memory_mode and not self._vmode):
+            nd_marks_w = np.asarray(
+                [m + base for m in _mgrep_block_ends(data)],
+                dtype=np.int64)
         for idx, t in enumerate(self.terms if occ_cols is None else []):
             if not t:
                 continue
@@ -1457,6 +1478,19 @@ class MgrepEngine:
                         if at_mk.any():
                             before = before.copy()
                             before[at_mk] = dref[-1]
+                elif not memory_mode and not self._vmode \
+                        and nd_marks_w is not None:
+                    # no-delim twin: the byte before a region's scan
+                    # start is the written newline (newmgrep.c:500 /
+                    # the EOF rescan's :571) -- an occurrence starting
+                    # ON a trim mark (the residue dup byte) is
+                    # word-bounded by '\n', not by the raw previous
+                    # byte (round-5 seed 530213: term 'a' at a
+                    # non-newline block trim)
+                    at_mk = np.isin(starts, nd_marks_w)
+                    if at_mk.any():
+                        before = before.copy()
+                        before[at_mk] = 0x0A
                 keep = ~isaln[after] & ~isaln[before]
                 starts = starts[keep]
                 if not len(starts):

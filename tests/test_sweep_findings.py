@@ -635,3 +635,24 @@ def test_ordinary_term_crossing_nonnewline_trim(tmp_path):
     pf2 = tmp_path / "p2.txt"
     pf2.write_bytes(b"koala\nq000\nq001\n")
     compare(["-b", "-f", str(pf2), str(p)])
+
+
+def test_wordbound_at_nonnewline_trim_refire(tmp_path):
+    """A term starting ON a block trim mark refires in the next scan
+    call where the byte before it is the WRITTEN newline
+    (newmgrep.c:500/:571), not the raw previous byte -- -w must not
+    reject it on the raw neighbour (round-5 seed 530213: term 'a' at
+    a non-newline trim preceded by 'h')."""
+    body = bytearray()
+    while len(body) < 65375:
+        body += b"word lines filler\n"
+    body = bytes(body[:65374]) + b"\n"
+    mid = (b"alpha" * 33)[:161]          # no newline to EOF
+    data = body + mid + b"a xyozzzzzzzzzz$$b"
+    assert data[65536:65537] == b"a"
+    p = tmp_path / "c.txt"
+    p.write_bytes(data)
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"a\nxy\nzz\nq000\n")
+    compare(["-w", "-f", str(pf), str(p)])
+    compare(["-w", "-c", "-f", str(pf), str(p)])
