@@ -124,20 +124,23 @@ class MgrepEngine:
 
     def supports_streaming(self) -> bool:
         """Flat-OR newline record PRINTING streams in O(chunk) (the
-        matched lines are disjoint and order-preserving); -c already
+        matched lines are disjoint and order-preserving); round 5 adds
+        boolean AND/complex record print and count the same way (the
+        per-record terminal masks are line-local); -c flat-OR already
         rides the mmap-backed one-pass, and every other mode's block-
         quirk emulation needs the whole stream."""
         q, o = self.q, self.q.opts
         if (q.delimiter_opt or o.invert or o.filename_only or o.silent
-                or o.count or o.multi_output or o.fileout
+                or o.multi_output or o.fileout
                 or o.bytecount or o.printoffset or o.printpattern
                 or o.wordbound or o.limit_output or o.limit_per_file
                 or getattr(o, "limit_total_file", 0)):
             return False
-        if q.bool_tree is not None or q.bool_op == "and":
-            return False
         if self.p_size <= 1:
             return False
+        is_bool = q.bool_tree is not None or q.bool_op == "and"
+        if o.count and not is_bool:
+            return False           # flat-OR -c has its own one-pass
         return not any(t and b"\n" in t for t in self.terms)
 
     def _stream_precheck(self, data) -> bool:
@@ -166,6 +169,13 @@ class MgrepEngine:
         lo = (tail_lo + int(nls[-1])) if len(nls) else 0
         if n - lo > 2 and bool((np.asarray(data[lo:n]) == 0).any()):
             return False            # EOF rescan carry (newmgrep.c:585)
+        if n > B2 and n % B2 != 1:
+            # newline-free final read: its trim is a NON-newline mark
+            # that splits a line into two scan regions (per-region
+            # records / AND masks) -- whole-file path models that
+            fstart = (n - 1) // B2 * B2
+            if not bool((np.asarray(data[fstart:n]) == 0x0A).any()):
+                return False
         return True
 
     def search_stream_chunked(self, data, sink, D: int) -> None:
@@ -174,7 +184,10 @@ class MgrepEngine:
             # stale-completed tail candidates need the full-table
             # walk (search_stream re-preps; prep is idempotent)
             return self.search_stream(np.asarray(data), sink, D)
+        q = self.q
         try:
+            if q.bool_tree is not None or q.bool_op == "and":
+                return self._bool_stream_chunked(data, sink)
             return self._print_stream_chunked(data, sink)
         finally:
             self._commit_stale(np.asarray(data))
@@ -193,6 +206,11 @@ class MgrepEngine:
         terms = [t for t in self.terms if t]
         maxlen = max(len(t) for t in terms)
         fname = bool(getattr(sink, "fname", False))
+        # 1-byte final read without a newline: no EOF rescan, so the
+        # final record stops BEFORE the last byte and gains no
+        # appended newline (newmgrep.c:577 guard)
+        no_rescan = (n % (2 * 16384) == 1 and n > 1
+                     and int(np.asarray(data[n - 1:n])[0]) != 0x0A)
         g0 = 0
         last_nl = -1
         lastend = 0
@@ -229,17 +247,18 @@ class MgrepEngine:
                     allp = allp[resolved]
                     jdx = jdx[resolved]
             if len(allp):
+                cap_e = n - 1 if no_rescan else n
                 if len(nl):
                     ends = np.where(jdx < len(nl),
                                     nl[np.minimum(jdx,
                                                   len(nl) - 1)] + 1,
-                                    np.int64(n))
+                                    np.int64(cap_e))
                     begins = np.where(
                         jdx > 0,
                         nl[np.maximum(jdx - 1, 0)] + 1,
                         np.int64(last_nl + 1))
                 else:
-                    ends = np.full(len(allp), n, dtype=np.int64)
+                    ends = np.full(len(allp), cap_e, dtype=np.int64)
                     begins = np.full(len(allp), last_nl + 1,
                                      dtype=np.int64)
                 e_u, first_i = np.unique(ends, return_index=True)
@@ -260,10 +279,114 @@ class MgrepEngine:
                         sink.write(bytes(bytearray(np.asarray(
                             data[b_:e_]))))
                 # EOF-rescan append (newmgrep.c:571): a final record
-                # without its newline prints one
-                if (int(e_u[-1]) == n and n
+                # without its newline prints one -- unless the rescan
+                # never runs (no_rescan above)
+                if (int(e_u[-1]) == n and n and not no_rescan
                         and int(np.asarray(data[n - 1:n])[0]) != 0x0A):
                     sink.write(b"\n")
+            if len(nl):
+                last_nl = int(nl[-1])
+            g0 = g1
+
+    def _bool_stream_chunked(self, data, sink) -> None:
+        """Streaming boolean AND / complex-tree record print+count:
+        per line-aligned chunk, per-term occurrences build the
+        per-line terminal masks (newmgrep.c amatched_terminals[];
+        terms never contain '\\n', so a line's mask is chunk-local
+        once its newline arrives), the tree evaluates vectorized, and
+        matched lines print in order.  Byte-identical to the
+        whole-file walk (tests force small chunks)."""
+        from ..compile import boolean
+        from ..ops import scan as scan_ops
+        from .. import native
+        q, o = self.q, self.q.opts
+        n = len(data)
+        chunk = max(scan_ops.STREAM_CHUNK, 1 << 16)
+        term_ids = [i for i, t in enumerate(self.terms) if t]
+        NT = len(self.terms)
+        live = np.asarray([bool(t) for t in self.terms])
+        is_complex = q.bool_tree is not None
+        maxlen = max(len(self.terms[i]) for i in term_ids)
+        fname = bool(getattr(sink, "fname", False))
+        no_rescan = (n % (2 * 16384) == 1 and n > 1
+                     and int(np.asarray(data[n - 1:n])[0]) != 0x0A)
+        g0 = 0
+        last_nl = -1
+        # pending rows of the unterminated tail line: (pos, tid)
+        pend_p = np.empty(0, dtype=np.int64)
+        pend_t = np.empty(0, dtype=np.int64)
+        while g0 < n:
+            g1 = min(n, g0 + chunk)
+            hi = min(g1 + maxlen - 1, n)
+            region = np.ascontiguousarray(data[g0:hi])
+            pp, tt = [pend_p], [pend_t]
+            for tid in term_ids:
+                st = _find_occurrences(region, self.terms[tid],
+                                       self.tr)
+                st = st[st + g0 < g1]
+                if len(st):
+                    pp.append(st + g0)
+                    tt.append(np.full(len(st), tid, dtype=np.int64))
+            allp = np.concatenate(pp)
+            allt = np.concatenate(tt)
+            body = region[:g1 - g0]
+            nld = native.find_delims_all(body, b"\n")
+            nl = ((nld + g0) if nld is not None
+                  else (np.flatnonzero(body == 0x0A) + g0))
+            pend_p = np.empty(0, dtype=np.int64)
+            pend_t = np.empty(0, dtype=np.int64)
+            n_lines = len(nl) + (1 if g1 >= n else 0)
+            if len(allp):
+                jdx = np.searchsorted(nl, allp, side="left")
+                if g1 < n:
+                    un = jdx >= len(nl)
+                    pend_p, pend_t = allp[un], allt[un]
+                    allp, allt, jdx = (allp[~un], allt[~un],
+                                       jdx[~un])
+            else:
+                jdx = np.empty(0, dtype=np.int64)
+            if n_lines:
+                hits = np.zeros((n_lines, NT), dtype=bool)
+                if len(allp):
+                    hits[jdx, allt] = True
+                if is_complex:
+                    ok = boolean.eval_tree_vec(q.bool_tree, "or",
+                                               hits)
+                else:
+                    ok = hits[:, live].all(axis=1)
+                # a line with no occurrence at all cannot satisfy a
+                # pure-AND; complex trees with ~ negation can match
+                # empty lines -- the reference only EVALUATES records
+                # that registered at least one terminal
+                # (amatched_terminals set inside the scan loop,
+                # newmgrep.c:894; DOWITHMASK gates the eval)
+                any_hit = np.zeros(n_lines, dtype=bool)
+                if len(allp):
+                    any_hit[jdx] = True
+                ok &= any_hit
+                sel = np.flatnonzero(ok)
+                if len(sel):
+                    cap_e = n - 1 if no_rescan else n
+                    ends = np.where(sel < len(nl),
+                                    nl[np.minimum(sel, len(nl) - 1)]
+                                    + 1, np.int64(cap_e))
+                    begins = np.where(
+                        sel > 0, nl[np.maximum(sel - 1, 0)] + 1,
+                        np.int64(last_nl + 1))
+                    if o.count:
+                        sink.num_matched += len(sel)
+                    else:
+                        sink.num_matched += len(sel)
+                        for b_, e_ in zip(begins.tolist(),
+                                          ends.tolist()):
+                            if fname:
+                                sink.emit_fname_prefix()
+                            sink.write(bytes(bytearray(np.asarray(
+                                data[b_:e_]))))
+                        if (int(ends[-1]) == n and n and not no_rescan
+                                and int(np.asarray(
+                                    data[n - 1:n])[0]) != 0x0A):
+                            sink.write(b"\n")
             if len(nl):
                 last_nl = int(nl[-1])
             g0 = g1
@@ -1662,6 +1785,14 @@ class MgrepEngine:
                         te0 = bounds[ri0]
                         e = min(e, te0 + (1 if int(stream[te0]) == 0x0A
                                           else 0))
+                    elif (n0 % (2 * 16384) == 1 and n0 > 1
+                          and int(stream[base + n0 - 1]) != 0x0A):
+                        # 1-byte final read without a newline: residue
+                        # stays 1, the EOF rescan (and its appended
+                        # newline) never runs, and the final call's
+                        # curtextend stops AT its textend -- the last
+                        # byte is outside every record
+                        e = min(e, base + n0 - 1)
                     gb = e
             if (self.p_size == 1 and not q.delimiter_opt
                     and not self._vmode and not memory_mode and bounds
@@ -2490,7 +2621,16 @@ class MgrepEngine:
                 sink.num_matched += len(first_idx)
             else:
                 safe_e = np.minimum(uniq, len(nl) - 1)
+                cap_e = N
+                if (not memory_mode and n0 % (2 * 16384) == 1
+                        and n0 > 1
+                        and int(stream[base + n0 - 1]) != 0x0A):
+                    # no EOF rescan (1-byte final read): the final
+                    # call's record stops before its textend byte
+                    cap_e = base + n0 - 1
                 ends = np.where(uniq < len(nl), nl[safe_e] + 1, N)
+                if cap_e < N:
+                    ends = np.minimum(ends, cap_e)
                 bj = np.searchsorted(nl, occ_a[first_idx] - 1,
                                      side="right") - 1
                 begins = np.where(bj >= 0, nl[np.maximum(bj, 0)] + 1, 0)

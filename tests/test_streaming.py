@@ -239,3 +239,107 @@ def test_regex_streaming_under_lane_backend(tmp_path, monkeypatch):
             assert buf.getvalue() == ref, args
     finally:
         scan_ops.set_backend(old)
+
+
+def test_boolean_stream_chunked_equivalence(tmp_path, monkeypatch):
+    """Round 5: boolean AND / complex-tree record print+count stream
+    in O(chunk); forced 64KB chunks must be byte-identical to the
+    oracle (and hence to the whole-file walk)."""
+    import io
+    import random
+    import subprocess
+
+    from agrep_tpu.api import fileagrep
+    from agrep_tpu.ops import scan as scan_ops
+    from tests.oracle import ORACLE
+
+    rnd = random.Random(9)
+    words = ["kernel", "device", "zebra", "words", "filler", "alpha"]
+    out = []
+    for _ in range(8000):
+        out.append(" ".join(rnd.choice(words)
+                            for _ in range(rnd.randint(2, 6))))
+    data = "\n".join(out).encode()          # no trailing newline
+    p = tmp_path / "c.txt"
+    p.write_bytes(data)
+    monkeypatch.setenv("AGREP_TPU_STREAM_MB", "0")
+    monkeypatch.setattr(scan_ops, "STREAM_CHUNK", 1 << 16)
+    for pat in ("kernel;device", "kernel,zebra",
+                "{kernel;device},zebra", "~kernel;zebra"):
+        for flags in ([], ["-c"]):
+            args = flags + [pat, str(p)]
+            ref = subprocess.run([ORACLE] + args,
+                                 capture_output=True).stdout
+            buf = io.BytesIO()
+            fileagrep(args, output=buf)
+            assert buf.getvalue() == ref, (pat, flags)
+
+
+def test_no_rescan_final_byte_record(tmp_path, monkeypatch):
+    """N % 32768 == 1 without a trailing newline: the EOF rescan (and
+    its appended newline) never runs, so the final record stops
+    BEFORE the last byte -- pinned for both the streamed and the
+    whole-file mgrep print paths."""
+    import io
+    import subprocess
+
+    from agrep_tpu.api import fileagrep
+    from tests.oracle import ORACLE
+
+    body = bytearray()
+    while len(body) < 32780:
+        body += b"some words lines here\n"
+    data = bytes(body[:32760]) + b"\nkoala ab"
+    data = data[:32768] + b"x"
+    assert len(data) % 32768 == 1 and data[-1:] != b"\n"
+    p = tmp_path / "c.txt"
+    p.write_bytes(data)
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"words\nkoala\nq000\n"
+                   + b"".join(b"t%03d\n" % i for i in range(30)))
+    ref = subprocess.run([ORACLE, "-f", str(pf), str(p)],
+                         capture_output=True).stdout
+    for stream_mb in ("0", "99999"):
+        monkeypatch.setenv("AGREP_TPU_STREAM_MB", stream_mb)
+        buf = io.BytesIO()
+        fileagrep(["-f", str(pf), str(p)], output=buf)
+        assert buf.getvalue() == ref, stream_mb
+
+
+def test_streaming_rss_bounded(tmp_path):
+    """Large-file streaming print stays memory-bounded: peak RSS of a
+    subprocess scanning a 192MB corpus must stay well under the 2-3x
+    footprint the whole-file walk's stream copies would need."""
+    import subprocess
+    import sys
+
+    line = b"kernel words device filler zebra lines here\n"
+    p = tmp_path / "big.txt"
+    with open(p, "wb") as f:
+        blk = line * 40000
+        for _ in range(192 * 1024 * 1024 // len(blk) + 1):
+            f.write(blk)
+    size = p.stat().st_size
+    code = (
+        "import io, resource, sys\n"
+        "from agrep_tpu.api import fileagrep\n"
+        "class Null:\n"
+        "    def write(self, b): return len(b)\n"
+        "fileagrep(['kernel;device', %r], output=Null())\n"
+        "print(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)\n"
+        % str(p))
+    env = dict(__import__('os').environ)
+    env["AGREP_TPU_BACKEND"] = "numpy"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    import os as _os
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(
+        __file__)))
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, env=env, timeout=300,
+                       cwd=repo)
+    assert r.returncode == 0, r.stderr[-500:]
+    peak_kb = int(r.stdout.split()[-1])
+    # mmap'd corpus pages can be resident (~size); the bound catches
+    # the whole-file path's additional O(file) anonymous copies
+    assert peak_kb * 1024 < size + (350 << 20), peak_kb
