@@ -915,10 +915,15 @@ class SgrepEngine:
                         np_text[np.minimum(rel + 1,
                                            len(np_text) - 1)],
                         np.uint8(last_char & 0xFF))
+                    # the byte before the stream head is the spliced
+                    # -d delimiter tail (sgrep.c:400-402), else the
+                    # prefilled newline (sgrep.c:326)
+                    head_b = (q.delim[-1] if q.delimiter_opt
+                              else 0x0A)
                     before = np.where(
                         rel - m >= 0,
                         np_text[np.maximum(rel - m, 0)],
-                        np.uint8(0x0A))
+                        np.uint8(head_b))
                     from .mgrep import _ISALNUM_TAB as isaln
                     keep = ~isaln[after] & ~isaln[before]
                     # edge fix-ups (a handful per chunk): p+1 past the
@@ -930,7 +935,8 @@ class SgrepEngine:
                         p = int(pos[ii])
                         a_b = int(stream[p + 1]) if p + 1 < N \
                             else last_char
-                        b_b = int(stream[p - m]) if p - m >= 0 else 0x0A
+                        b_b = int(stream[p - m]) if p - m >= 0 \
+                            else head_b
                         keep[ii] = (not _isalnum(a_b)
                                     and not _isalnum(b_b))
                     pos = pos[keep]
@@ -1100,9 +1106,10 @@ class SgrepEngine:
                     pos + 1 < N,
                     np_text[np.minimum(rel + 1, len(np_text) - 1)],
                     np.uint8(last_char & 0xFF))
+                head_b = q.delim[-1] if q.delimiter_opt else 0x0A
                 before = np.where(
                     rel - m >= 0, np_text[np.maximum(rel - m, 0)],
-                    np.uint8(0x0A))
+                    np.uint8(head_b))
                 from .mgrep import _ISALNUM_TAB as isaln
                 keep = ~isaln[after] & ~isaln[before]
                 edge_a = (pos + 1 < N) & (rel + 1 >= len(np_text))
@@ -1111,7 +1118,8 @@ class SgrepEngine:
                     p_ = int(pos[ii])
                     a_b = int(stream[p_ + 1]) if p_ + 1 < N \
                         else last_char
-                    b_b = int(stream[p_ - m]) if p_ - m >= 0 else 0x0A
+                    b_b = int(stream[p_ - m]) if p_ - m >= 0 \
+                        else head_b
                     keep[ii] = (not _isalnum(a_b)
                                 and not _isalnum(b_b))
                 pos = pos[keep]
@@ -1407,10 +1415,13 @@ class SgrepEngine:
         if o.wordbound and D == 0:
             keep = []
             last_char = q.sg_pattern[-1] if q.sg_pattern else 0
+            head_b3 = (q.delim[-1]
+                       if (q.delimiter_opt and not memory_mode)
+                       else 0x0A)
             for p in pos:
                 p = int(p)
                 after = int(stream[p + 1]) if p + 1 < N else last_char
-                before = int(stream[p - m]) if p - m >= 0 else 0x0A
+                before = int(stream[p - m]) if p - m >= 0 else head_b3
                 if not _isalnum(after) and not _isalnum(before):
                     keep.append(p)
             pos = np.asarray(keep, dtype=np.int64)

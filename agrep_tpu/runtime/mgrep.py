@@ -704,7 +704,10 @@ class MgrepEngine:
         for s_d, tid, after in self._eof_subs:
             st = base + s_d
             a = st + m1
-            if (a >= bound if strict and has_rescan else a > bound):
+            # m_short probes its textend but ABORTS there before
+            # registration (newmgrep.c:1345) -- for p_size==1 the
+            # bound position itself never fires
+            if (a >= bound if strict else a > bound):
                 continue            # past the block call's textend
             if o.wordbound:
                 bp = st - 1
@@ -1783,8 +1786,18 @@ class MgrepEngine:
                                           else 0))
                     if ri0 < len(bounds):
                         te0 = bounds[ri0]
-                        e = min(e, te0 + (1 if int(stream[te0]) == 0x0A
-                                          else 0))
+                        if (self.p_size >= 2 and anchor == te0
+                                and int(stream[te0]) != 0x0A):
+                            # monkey1 probes its textend (text ==
+                            # textend passes the strict > check):
+                            # curtextend = text+1 starts past textend,
+                            # so the record ends one byte past the
+                            # region (newmgrep.c:880-882)
+                            e = min(e, te0 + 1)
+                        else:
+                            e = min(e, te0
+                                    + (1 if int(stream[te0]) == 0x0A
+                                       else 0))
                     elif (n0 % (2 * 16384) == 1 and n0 > 1
                           and int(stream[base + n0 - 1]) != 0x0A):
                         # 1-byte final read without a newline: residue
@@ -2579,12 +2592,20 @@ class MgrepEngine:
                 resume_at = s + tl - 1
                 pos += 1
         elif (not (is_and or is_complex) and not q.delimiter_opt
-              and n_occ and not bool((stream[occ_a] == 0x0A).any())):
+              and n_occ and not bool((stream[occ_a] == 0x0A).any())
+              and not (self.p_size >= 2 and not self._vmode
+                       and not memory_mode and bounds
+                       and bool(np.isin(occ_a, np.asarray(
+                           [mb for mb in bounds
+                            if int(stream[mb]) != 0x0A],
+                           dtype=np.int64)).any()))):
             # flat OR over newline records, no anchor ON a newline:
             # the greedy record jump selects exactly the first anchor
             # of each distinct line -- fully vectorized (an anchor on
             # a '\n' makes the record span TWO lines and the jump can
-            # hop the next line's anchors; that shape takes the
+            # hop the next line's anchors; so does a p>=2 anchor ON a
+            # non-newline trim, whose textend-probe record needs the
+            # advanced-textbegin sequential walk; both shapes take the
             # sequential loop below)
             line_id = np.searchsorted(nl, occ_a + 1, side="left")
             mkv_plain = None
@@ -2674,11 +2695,25 @@ class MgrepEngine:
         elif not (is_and or is_complex):
             # flat OR: first hit per record, then jump past the record
             pos = 0
+            tb_floor = -1          # monkey1's advancing textbegin:
+            tb_floor_reg = -1      # curtextend (-1 with OUTTAIL),
+                                   # per scan call (region)
             while pos < n_occ and not stop:
                 anchor = int(occ_a[pos])
                 idx = int(occ_i[pos])
                 cur_begin, cur_end, gbound = record_span(
                     anchor, int(occ_s[pos]), int(term_len[idx]))
+                if (self.p_size >= 2 and not memory_mode
+                        and not self._vmode and bounds):
+                    reg_f = _bisect.bisect_left(bounds, anchor)
+                    if reg_f == tb_floor_reg and tb_floor > cur_begin:
+                        # a later record in the SAME call floors its
+                        # backward scan at the advanced textbegin
+                        # (monkey1:878 `curtextbegin > textbegin`)
+                        cur_begin = min(tb_floor, cur_end)
+                    tb_floor_reg = reg_f
+                    tb_floor = (cur_end - 1 if q.outtail
+                                else cur_end)
                 stop = do_output(idx, anchor, cur_begin, cur_end, True)
                 if self.p_size == 1:
                     short_drift[0] += 1

@@ -340,6 +340,7 @@ def test_streaming_rss_bounded(tmp_path):
                        cwd=repo)
     assert r.returncode == 0, r.stderr[-500:]
     peak_kb = int(r.stdout.split()[-1])
-    # mmap'd corpus pages can be resident (~size); the bound catches
-    # the whole-file path's additional O(file) anonymous copies
-    assert peak_kb * 1024 < size + (350 << 20), peak_kb
+    # mmap'd corpus pages can be resident (~size) and the jax import
+    # baseline is a few hundred MB; the bound still catches the
+    # whole-file path's additional 2x O(file) anonymous copies
+    assert peak_kb * 1024 < size + (550 << 20), peak_kb

@@ -656,3 +656,38 @@ def test_wordbound_at_nonnewline_trim_refire(tmp_path):
     pf.write_bytes(b"a\nxy\nzz\nq000\n")
     compare(["-w", "-f", str(pf), str(p)])
     compare(["-w", "-c", "-f", str(pf), str(p)])
+
+
+def test_sgrep_delim_head_wordbound_context(tmp_path):
+    """sgrep -d: the byte before the stream head is the spliced
+    delimiter tail (sgrep.c:400-402), so a -w match at offset 0 is
+    rejected when delim[-1] is alnum (round-5 seed 540255)."""
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"matching bravo\nmore matching words\n"
+                  b"other matching\n")
+    compare(["-d", "o", "-w", "matching", str(p)])
+    compare(["-d", "$$", "-w", "matching", str(p)])
+    compare(["-d", "o", "-w", "-c", "matching", str(p)])
+
+
+def test_textend_probe_record_at_dirty_trim(tmp_path):
+    """monkey1 probes its textend (text == textend passes the strict
+    > check): a p>=2 term anchored ON a non-newline trim fires with
+    curtextend = text+1 and curtextbegin floored at the previous
+    match's advanced textbegin (round-5 seed 540744: the 2-byte 'Ca'
+    record).  The stale-completed EOF candidate at the m_short
+    textend also never fires (seeds 540199/540366)."""
+    body = bytearray()
+    while len(body) < 32580:
+        body += b"filler words xx\n"
+    body = bytes(body[:32579]) + b"\n"
+    mid = (b"zz lorem ab koala " * 12)[:188]
+    data = body + mid + b"CaSe d$d a mat"[:14]
+    p = tmp_path / "c.txt"
+    p.write_bytes(data)
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"CaSe\nab\nxy\nzz\nd$d\nq000\n")
+    for flags in (["-b", "-t", "-i"], ["-b"], ["-c"], [],
+                  ["-D2", "-I2", "-S1", "-w", "-t", "-i", "-b",
+                   "-2"]):
+        compare(flags + ["-f", str(pf), str(p)])
