@@ -1840,6 +1840,14 @@ class MgrepEngine:
                     rend = mk[r] + base + (1 if nl_trim else 0)
                 else:
                     rend = N
+                    rawd = self._vmode_data
+                    if (rawd is not None and len(rawd) > 1
+                            and len(rawd) % (2 * 16384) == 1
+                            and int(rawd[len(rawd) - 1]) != 0x0A):
+                        # 1-byte final read, no newline: no EOF
+                        # rescan -- the final record stops before its
+                        # textend byte, no appended newline
+                        rend = base + n0 - 1
                 rbeg = (mk[r - 1] + 1 + base) if r > 0 else base
                 b, e = max(b, rbeg), min(e, rend)
                 # an anchor ON a dirty (non-newline) trim byte still
@@ -2661,9 +2669,18 @@ class MgrepEngine:
                     r = reg_all[first_idx]
                     mk_i = np.minimum(r, len(mkv) - 1)
                     is_nl = stream[mkv[mk_i]] == 0x0A
+                    fin_end = N
+                    rawd = self._vmode_data
+                    if (rawd is not None and len(rawd) > 1
+                            and len(rawd) % (2 * 16384) == 1
+                            and int(rawd[len(rawd) - 1]) != 0x0A):
+                        # 1-byte final read, no newline: no EOF
+                        # rescan -- the final record excludes its
+                        # textend byte and the appended newline
+                        fin_end = base + n0 - 1
                     rend = np.where(r < len(mkv),
                                     mkv[mk_i] + is_nl.astype(np.int64),
-                                    N)
+                                    fin_end)
                     rbeg = np.where(r > 0,
                                     mkv[np.maximum(r - 1, 0)] + 1,
                                     base)

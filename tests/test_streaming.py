@@ -307,9 +307,10 @@ def test_no_rescan_final_byte_record(tmp_path, monkeypatch):
 
 
 def test_streaming_rss_bounded(tmp_path):
-    """Large-file streaming print stays memory-bounded: peak RSS of a
-    subprocess scanning a 192MB corpus must stay well under the 2-3x
-    footprint the whole-file walk's stream copies would need."""
+    """Large-file streaming print stays memory-bounded: the streamed
+    run's subprocess peak RSS must undercut the forced whole-file
+    walk's by at least half the corpus (relative bound -- absolute
+    RSS drifts with the jax import baseline and machine load)."""
     import subprocess
     import sys
 
@@ -328,19 +329,22 @@ def test_streaming_rss_bounded(tmp_path):
         "fileagrep(['kernel;device', %r], output=Null())\n"
         "print(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)\n"
         % str(p))
-    env = dict(__import__('os').environ)
-    env["AGREP_TPU_BACKEND"] = "numpy"
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
     import os as _os
     repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(
         __file__)))
-    r = subprocess.run([sys.executable, "-c", code],
-                       capture_output=True, env=env, timeout=300,
-                       cwd=repo)
-    assert r.returncode == 0, r.stderr[-500:]
-    peak_kb = int(r.stdout.split()[-1])
-    # mmap'd corpus pages can be resident (~size) and the jax import
-    # baseline is a few hundred MB; the bound still catches the
-    # whole-file path's additional 2x O(file) anonymous copies
-    assert peak_kb * 1024 < size + (550 << 20), peak_kb
+
+    def peak(stream_mb):
+        env = dict(_os.environ)
+        env["AGREP_TPU_BACKEND"] = "numpy"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["AGREP_TPU_STREAM_MB"] = stream_mb
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, env=env, timeout=600,
+                           cwd=repo)
+        assert r.returncode == 0, r.stderr[-500:]
+        return int(r.stdout.split()[-1]) * 1024
+
+    streamed = peak("8")
+    whole = peak("999999")
+    assert streamed < whole - size // 2, (streamed, whole, size)

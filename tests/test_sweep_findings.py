@@ -691,3 +691,28 @@ def test_textend_probe_record_at_dirty_trim(tmp_path):
                   ["-D2", "-I2", "-S1", "-w", "-t", "-i", "-b",
                    "-2"]):
         compare(flags + ["-f", str(pf), str(p)])
+
+
+def test_vmode_no_rescan_final_record_cap(tmp_path):
+    """Clamped-residue (vmode) corpora with a 1-byte final read and
+    no trailing newline: the final scan call's record stops before
+    its textend byte with no appended newline -- same no-rescan rule
+    as the plain path (round-5 seed 550395).  (Match terms are kept
+    sparse: dense 1-char terms make the ORACLE quadratic on the
+    clamped 6KB line.)"""
+    body = bytearray()
+    while len(body) < 26658:
+        body += b"zz uvw lor xy wordss\n"
+    body = bytes(body[:26657]) + b"\n"
+    # 6110-byte newline-free run (residue > MAXLINE: clamp regime),
+    # one term inside the surviving 1023-byte carry window
+    tail = bytearray((b"bro kol mm xy " * 500)[:6110])
+    tail[943:948] = b"match"
+    data = body + bytes(tail) + b"h"
+    assert len(data) % 32768 == 1 and data[-1:] != b"\n"
+    p = tmp_path / "c.txt"
+    p.write_bytes(data)
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"j\nmatch\nq000\n")
+    for flags in (["-D1", "-I1", "-S2", "-t"], [], ["-c"]):
+        compare(flags + ["-f", str(pf), str(p)])
