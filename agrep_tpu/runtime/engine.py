@@ -2605,8 +2605,8 @@ class Executor:
         newmgrep.c:518,694).  total_line deltas are reconstructed
         from each process's own cumulative sequence."""
         q, o = self.q, self.q.opts
-        from ..parallel import multihost
-        nproc = __import__("jax").process_count()
+        import jax
+        nproc = jax.process_count()
         # per-process cumulative -> per-file deltas
         deltas = {}
         last_by_proc: dict = {}

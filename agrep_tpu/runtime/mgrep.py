@@ -1531,8 +1531,15 @@ class MgrepEngine:
         # bytes, so search over delim+stream and shift starts by -dl.
         occ_cols = None
         if q.delimiter_opt and not memory_mode:
-            occ_cols = self._first_per_anchor_cols(
-                stream, dl, o, delim_marks, virt_append)
+            if self._device_route(len(stream)):
+                # fast device link: the exact chain scan feeds the -d
+                # record machinery too (the legacy ext path's
+                # _all_occurrences takes the chain route) -- VERDICT
+                # r4 #7, record attribution from chain-kernel starts
+                occ_cols = None
+            else:
+                occ_cols = self._first_per_anchor_cols(
+                    stream, dl, o, delim_marks, virt_append)
             if occ_cols is None:
                 if virt_append:
                     # the fast path owned the virtual tail; the
