@@ -2251,13 +2251,20 @@ class MgrepEngine:
                     # SILENT: DO_OUTPUT's `return 0` exits the call
                     # BEFORE its INVERSE tail flush (newmgrep.c:912 vs
                     # :1024) -- a firing call prints no complement at
-                    # all; advance past this region without printing
+                    # all; advance past this region without printing.
+                    # The block loop's POST-CALL limit check
+                    # (newmgrep.c:562-565) still runs: a fired-silent
+                    # call that trips -L stops the whole scan
                     nonlocal r_cur, lastout
                     if o.invert and not o.count:
                         r_cur = r + 1
                         lastout = (_region_start(r + 1)
                                    if r + 1 <= len(bounds)
                                    else final_end)
+                    if _limits_reached_mg(o, sink):
+                        self._clamp_total_line(te, base, n0, stream,
+                                               memory_mode)
+                        return True
                     return False
 
                 nv = tb_region if short_mode else tb_region + m1w - 1
@@ -2608,6 +2615,7 @@ class MgrepEngine:
                 pos += 1
         elif (not (is_and or is_complex) and not q.delimiter_opt
               and n_occ and not bool((stream[occ_a] == 0x0A).any())
+              and not any(t and b"\n" in t for t in self.terms)
               and not (self.p_size >= 2 and not self._vmode
                        and not memory_mode and bounds
                        and bool(np.isin(occ_a, np.asarray(
@@ -2741,7 +2749,18 @@ class MgrepEngine:
                 stop = do_output(idx, anchor, cur_begin, cur_end, True)
                 if self.p_size == 1:
                     short_drift[0] += 1
-                nxt = max(int(np.searchsorted(occ_a, gbound,
+                if self.p_size >= 2:
+                    # scan resume = textbegin + shift (monkey1:1040):
+                    # textbegin is curtextend (-1 with OUTTAIL, :890),
+                    # shift = max(m1-1, 1) -- an event AT the record
+                    # end (the textend probe) is visited only when
+                    # OUTTAIL backs the pointer onto it (seed 560321
+                    # vs 540744)
+                    step = max(self.p_size - 2, 1)
+                    thr = gbound + step - (1 if q.outtail else 0)
+                else:
+                    thr = gbound      # m_short revisits cure (text--)
+                nxt = max(int(np.searchsorted(occ_a, thr,
                                               side="left")), pos + 1)
                 if (self.p_size == 1 and not q.delimiter_opt
                         and not self._vmode and not memory_mode

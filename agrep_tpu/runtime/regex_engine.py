@@ -45,8 +45,11 @@ class RegexEngine:
         # item: regex streaming under the jax backend)
         if o.count:
             return True
-        return (o.printrecord and not o.invert and not o.bytecount
-                and not o.printoffset and not o.linenum
+        # round 5: -n/-b/-q decorations stream too -- they are
+        # cumulative counters (line index, byte offset + the 49152
+        # glitch lag), and the precheck already routes every
+        # residue-clamp shape to the whole-file emulation
+        return (o.printrecord and not o.invert
                 and not o.printpattern and not o.fileout
                 and not getattr(o, "multi_output", False))
 
@@ -194,6 +197,8 @@ class RegexEngine:
         drop_first = bool(data[0] == 0x0A and int(mc["D"]) > 0)
         first_chunk = True
         fname = bool(getattr(sink, "fname", False))
+        deco = bool(o.linenum or o.bytecount or o.printoffset)
+        line_base = 0
         lo = 0
         while lo < N:
             hi = min(lo + chunk, N)
@@ -228,7 +233,32 @@ class RegexEngine:
                                   nls[np.maximum(k_idx - 1, 0)] + 1,
                                   np.int64(0))
                 sink.num_matched += len(ends)
-                if not fname:
+                if deco:
+                    # cumulative decorations (r_output: j-1 line
+                    # numbers; CBO at the line's newline with the
+                    # 49152 overrun lag and the D>0 pair parity)
+                    D_ = int(mc["D"])
+                    for t in range(len(ends)):
+                        gnl = lo + int(ends[t]) - 1   # '\n' data pos
+                        gb = lo + int(begins[t])
+                        sink.emit_fname_prefix()
+                        if o.linenum:
+                            sink.write_str(
+                                "%d: " % (line_base + int(k_idx[t])
+                                          + 1))
+                        glitch = 1 if (inj_g >= 0 and gnl >= BSR)                             else 0
+                        cbo = gnl + glitch
+                        if D_ > 0 and (gnl + glitch) % 2 == 0:
+                            cbo -= 1
+                        if o.bytecount:
+                            sink.write_str("%d= " % cbo)
+                        rec_len = gnl - gb
+                        if o.printoffset:
+                            sink.write_str("@%d{%d} " % (cbo - rec_len,
+                                                         rec_len))
+                        sink.write(bytes(bytearray(
+                            seg[int(begins[t]):int(ends[t])])))
+                elif not fname:
                     brk = np.flatnonzero(begins[1:] != ends[:-1])
                     seg_lo = np.concatenate([[0], brk + 1])
                     seg_hi = np.concatenate([brk, [len(ends) - 1]])
@@ -240,6 +270,7 @@ class RegexEngine:
                     for b_, e_ in zip(begins.tolist(), ends.tolist()):
                         sink.emit_fname_prefix()
                         sink.write(bytes(bytearray(seg[b_:e_])))
+            line_base += int(np.count_nonzero(seg == 0x0A))
             lo = cut
 
     def search_stream(self, data: np.ndarray, sink: Sink, D: int,

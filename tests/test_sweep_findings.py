@@ -716,3 +716,54 @@ def test_vmode_no_rescan_final_record_cap(tmp_path):
     pf.write_bytes(b"j\nmatch\nq000\n")
     for flags in (["-D1", "-I1", "-S2", "-t"], [], ["-c"]):
         compare(flags + ["-f", str(pf), str(p)])
+
+
+def test_textend_probe_needs_outtail_revisit(tmp_path):
+    """The scan resumes at textbegin+shift after an output
+    (newmgrep.c:890,1040): without -t the pointer lands PAST the
+    region's textend, so the anchor-on-trim probe fires only when
+    OUTTAIL backs textbegin onto it (round-5 seed 560321 vs 540744)."""
+    body = bytearray()
+    while len(body) < 32731:
+        body += b"xy lorem matching words here\n"
+    body = bytes(body[:32730]) + b"\n"
+    data = body + b"matching hello a lorem aba alpha a"
+    p = tmp_path / "c.txt"
+    p.write_bytes(data)
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"ab\nalpha\nxy\nq000\n")
+    for flags in (["-D3", "-I2", "-S2", "-c"], ["-c"], [],
+                  ["-t"], ["-t", "-c"]):
+        compare(flags + ["-f", str(pf), str(p)])
+
+
+def test_newline_anchored_terms_record_hop(tmp_path):
+    """'^'-converted terms start with '\\n': their records span the
+    FOLLOWING line and the jump hops alternate matches -- the flat
+    vectorized walk cannot model that, so newline-bearing terms take
+    the sequential walk (pre-existing gap found round 5)."""
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"foo bar\nfoo baz\nother\nfoo qux\n" * 3)
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"^foo\nqq\n")
+    compare(["-f", str(pf), str(p)])
+    compare(["-c", "-f", str(pf), str(p)])
+    pf2 = tmp_path / "p2.txt"
+    pf2.write_bytes(b"foo$\nqq\n")
+    compare(["-f", str(pf2), str(p)])
+    compare(["-c", "-f", str(pf2), str(p)])
+
+
+def test_silent_delim_limit_stops_block_loop(tmp_path):
+    """-s with -d and -L: a fired-silent call trips the post-call
+    limit check even on the delimiter walk (round-5 seed 560812)."""
+    body = bytearray()
+    while len(body) < 40000:
+        body += b"xy hello koala words lorem\n"
+    p = tmp_path / "c.txt"
+    p.write_bytes(bytes(body[:40000]))
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"xy\nhello\nq000\n")
+    compare(["-D1", "-I1", "-S2", "-d", "%%", "-t", "-s",
+             "-L", "5:1:1", "-f", str(pf), str(p)])
+    compare(["-d", "%%", "-s", "-L", "0:0:1", "-f", str(pf), str(p)])
