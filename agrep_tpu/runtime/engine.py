@@ -1603,6 +1603,8 @@ class SgrepEngine:
 
         appended_newline = False
         records_counted = 0
+        span_floor = 0          # textbegin chain within one region
+        span_floor_reg = -1     # (resets per scan call, sgrep.c:812)
         for ei, p in enumerate(pos):
             p = int(p)
             if walk_spans is not None:
@@ -1650,8 +1652,21 @@ class SgrepEngine:
                 continue
             if p < lastend:
                 continue
+            # the backward search's floor is textbegin, which every
+            # output advances to the previous record's END
+            # (sgrep.c:812 textbegin = curtextend, no OUTTAIL
+            # backoff): an overlapping delimiter occurrence starting
+            # below it is invisible, so the NEXT record begins AT the
+            # floor (round-5 seed 560314: '-d ll' over 'lll')
+            floor_eff = 0
+            if q.delimiter_opt and not memory_mode:
+                regf = (bisect.bisect_left(sg_trims, p)
+                        if sg_trims else 0)
+                if regf == span_floor_reg:
+                    floor_eff = span_floor
             begin, end = self._record_span(stream, nl, delim_ends, p, D,
-                                           sg_trims)
+                                           sg_trims,
+                                           floor=floor_eff)
             amk_blo = None
             amk_snap = None
             if amk_bounds is not None:
@@ -1735,6 +1750,10 @@ class SgrepEngine:
                 sink.write_str("%s\n" % sink.current_filename)
                 return
             lastend = end
+            span_floor = end
+            span_floor_reg = (bisect.bisect_left(sg_trims, p)
+                              if (q.delimiter_opt and sg_trims)
+                              else 0)
             if not o.count:
                 if o.invert:
                     sink.write(bytes(bytearray(stream[lastout:begin])))
@@ -2248,7 +2267,8 @@ class SgrepEngine:
             q.sg_sub, bool(q.opts.wordbound))
         return pos if fires else pos[:-1]
 
-    def _record_span(self, stream, nl, delim_ends, p, D, trims=None):
+    def _record_span(self, stream, nl, delim_ends, p, D, trims=None,
+                     floor=0):
         """Record boundaries around a match ending at p (sgrep.c
         bm:775-789 for D==0, s_output:1304-1313 for D>0).
 
@@ -2289,6 +2309,7 @@ class SgrepEngine:
                     lo = trims[ki - 1] + 1
             else:                        # EOF residue rescan
                 lo = trims[-1] + 1
+        lo = max(lo, floor)
         i = int(np.searchsorted(delim_ends, p, side="left")) - 1
         begin = lo
         while i >= 0:

@@ -767,3 +767,28 @@ def test_silent_delim_limit_stops_block_loop(tmp_path):
     compare(["-D1", "-I1", "-S2", "-d", "%%", "-t", "-s",
              "-L", "5:1:1", "-f", str(pf), str(p)])
     compare(["-d", "%%", "-s", "-L", "0:0:1", "-f", str(pf), str(p)])
+
+
+def test_sgrep_delim_overlap_textbegin_floor(tmp_path):
+    """sgrep -d: every output advances textbegin to the record's END
+    (sgrep.c:812, no OUTTAIL backoff), and the next backward
+    delimiter search floors there -- an overlapping occurrence
+    ('ll' over 'lll') starting below the floor is invisible, so the
+    next record begins AT the floor (round-5 seeds 560314/560273)."""
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"xy aaall" + b"bravo\nxyxyxylll"
+                  + b"orem\naaaa\nxy end mm\n")
+    compare(["-d", "ll", "-t", "xy", str(p)])
+    compare(["-d", "ll", "xy", str(p)])
+    # the 560314 shape: the record before the lll ends exactly after
+    # the first ll, flooring the next search past the overlap
+    body = bytearray()
+    while len(body) < 660:
+        body += b"words filler lines\n"
+    data = (bytes(body[:660]) + b"koalakoalall"
+            + b"bravo\nxyxyxyxyxyxyxylll"
+            + b"oremlorem\naaaa$$zz\nxyxy mm hellohello end\n")
+    p2 = tmp_path / "c2.txt"
+    p2.write_bytes(data)
+    compare(["-d", "ll", "-t", "xy", str(p2)])
+    compare(["-d", "ll", "-t", "-c", "xy", str(p2)])
