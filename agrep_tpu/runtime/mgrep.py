@@ -115,6 +115,7 @@ class MgrepEngine:
         # pages; offsets past 2*BLOCKSIZE are never written.
         self._stale = np.zeros(2 * 16384 + 300, dtype=np.uint8)
         self._eof_win = None         # current file's post-EOF bytes
+        self._stale_upto = None      # early-return stop: blocks READ
         self._eof_subs = []          # stale-completed term candidates
         self._eof_wb_risky = False
         self._vmode_marks = None
@@ -426,6 +427,7 @@ class MgrepEngine:
         self._eof_win = None
         self._eof_subs = []
         self._eof_wb_risky = False
+        self._stale_upto = None
         if N == 0:
             return
         r = N % BLK2
@@ -469,6 +471,11 @@ class MgrepEngine:
 
     def _commit_stale(self, darr: np.ndarray) -> None:
         BLK2 = 2 * 16384
+        if self._stale_upto is not None:
+            # -l / -L early returns exit the block loop mid-file: the
+            # reused buffer holds only the blocks actually read
+            darr = darr[:min(self._stale_upto, len(darr))]
+            self._stale_upto = None
         N = len(darr)
         if N == 0:
             return
@@ -485,13 +492,19 @@ class MgrepEngine:
         """A -L limit stop exits the block loop mid-file
         (newmgrep.c:562-565): countline never sees the unread blocks,
         so the INVERSE -c line total drops the newlines past the
-        stopping block's end (round-5 seeds 520011/520311)."""
+        stopping block's end (round-5 seeds 520011/520311) -- and the
+        reused-buffer stale model must only advance through the blocks
+        actually READ (the -l early return has the same effect,
+        seed 570891)."""
         o, q = self.q.opts, self.q
-        if not (o.invert and o.count) or memory_mode or self._vmode:
+        if memory_mode or self._vmode:
             return
         B2L = 2 * 16384
         d_off = max(anchor - base, 0)
         bend = min((d_off // B2L + 1) * B2L, n0)
+        self._stale_upto = bend
+        if not (o.invert and o.count):
+            return
         if bend >= n0:
             return
         src = np.asarray(stream[base + bend:base + n0])
@@ -1714,7 +1727,7 @@ class MgrepEngine:
             n_occ = len(occ_a)
         final_abort = False
         if (self.p_size == 1 and not memory_mode
-                and not q.delimiter_opt and n_occ):
+                and not q.delimiter_opt):
             # m_short's `if(text >= textend) return 0`
             # (newmgrep.c:1345): a term matching AT the final scan
             # call's last byte aborts before registration -- the
@@ -1725,13 +1738,24 @@ class MgrepEngine:
                       + (1 if (len(data) and data[-1] != 0x0A
                                and len(data) % (2 * 16384) != 1)
                          else 0)) - 1
-            keep_f = occ_a != te_fin
-            if not keep_f.all():
-                occ_a, occ_i, occ_s = (occ_a[keep_f], occ_i[keep_f],
-                                       occ_s[keep_f])
-                n_occ = len(occ_a)
-                final_abort = True       # the return 0 also skips the
+            if n_occ:
+                keep_f = occ_a != te_fin
+                if not keep_f.all():
+                    occ_a, occ_i, occ_s = (occ_a[keep_f],
+                                           occ_i[keep_f],
+                                           occ_s[keep_f])
+                    n_occ = len(occ_a)
+                    final_abort = True   # the return 0 also skips the
                                          # final call's INVERSE tail
+            if not final_abort and not self._vmode:
+                # a STALE-completed candidate at the same position
+                # (previous file's buffer bytes finish the term,
+                # _prep_eof_stale) aborts identically without ever
+                # producing an event (round-5 seed 570891)
+                for s_d, _tid, _aft in self._eof_subs:
+                    if base + s_d == te_fin:
+                        final_abort = True
+                        break
 
         # -d record spans never consult the newline index
         nl = (np.flatnonzero(stream == 0x0A) if not q.delimiter_opt
@@ -1887,6 +1911,8 @@ class MgrepEngine:
                             inv_advance(_bisect.bisect_left(bounds,
                                                             anchor))
                     sink.write_str("%s\n" % sink.current_filename)
+                    self._clamp_total_line(anchor, base, n0, stream,
+                                           memory_mode)
                     return True
                 # SILENT: DO_OUTPUT's `return 0` exits only the
                 # CURRENT scan call (newmgrep.c:912) -- the block loop

@@ -348,3 +348,38 @@ def test_streaming_rss_bounded(tmp_path):
     streamed = peak("8")
     whole = peak("999999")
     assert streamed < whole - size // 2, (streamed, whole, size)
+
+
+def test_regex_decorated_streaming(tmp_path, monkeypatch):
+    """Round 5: -n/-b/-q regex record print streams -- decorations
+    are cumulative counters (line index; byte offset with the 49152
+    glitch lag and the D>0 pair parity), and the precheck already
+    routes residue-clamp shapes whole-file."""
+    import io
+    import random
+    import subprocess
+
+    from agrep_tpu.api import fileagrep
+    from tests.oracle import ORACLE
+
+    rnd = random.Random(5)
+    words = ["working", "wotking", "worming", "lorem", "hello"]
+    out = []
+    for _ in range(18000):
+        out.append(" ".join(rnd.choice(words)
+                            for _ in range(rnd.randint(2, 6))))
+    data = ("\n".join(out) + "\n").encode()
+    assert len(data) > 3 * 49152       # several glitch boundaries
+    p = tmp_path / "c.txt"
+    p.write_bytes(data)
+    monkeypatch.setenv("AGREP_TPU_STREAM_MB", "0")
+    monkeypatch.setattr(scan_ops, "STREAM_CHUNK", 1 << 16)
+    for args in (["-n", "wo(r|t)king"], ["-b", "wo(r|t)king"],
+                 ["-n", "-b", "wo(r|t)king"], ["-q", "wo(r|t)king"],
+                 ["-1", "-n", "w[aeiou]rking"],
+                 ["-2", "-b", "wo(r|t)king"]):
+        ref = subprocess.run([ORACLE] + args + [str(p)],
+                             capture_output=True).stdout
+        buf = io.BytesIO()
+        fileagrep(args + [str(p)], output=buf)
+        assert buf.getvalue() == ref, args

@@ -792,3 +792,23 @@ def test_sgrep_delim_overlap_textbegin_floor(tmp_path):
     p2.write_bytes(data)
     compare(["-d", "ll", "-t", "xy", str(p2)])
     compare(["-d", "ll", "-t", "-c", "xy", str(p2)])
+
+
+def test_filenameonly_early_return_freezes_stale(tmp_path):
+    """-l returns from mgrep after the FIRST firing block
+    (newmgrep.c:531-545): later blocks are never read, so the reused
+    buffer keeps the EARLIER blocks' bytes -- the next (1-byte) file's
+    candidate completes against those, m_short aborts at textend, and
+    its INVERSE tail never prints (round-5 seed 570891)."""
+    body = bytearray(b"koala CaSe words a lorem\n")
+    while len(body) < 32792:
+        body += b"filler a words lines here\n"
+    p1 = tmp_path / "c.txt"
+    p1.write_bytes(bytes(body[:32792]))
+    p2 = tmp_path / "k.txt"
+    p2.write_bytes(b"k")
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"a\nkoala\nq000\n")
+    compare(["-v", "-t", "-l", "-f", str(pf), str(p1), str(p2)])
+    compare(["-D3", "-I1", "-S2", "-v", "-t", "-l", "-f", str(pf),
+             str(p1), str(p2)])
