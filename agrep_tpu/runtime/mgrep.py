@@ -1683,6 +1683,23 @@ class MgrepEngine:
                     anchor = anchor[keep2v]
                     if not len(starts):
                         continue
+                if self.p_size == 1 and len(starts):
+                    # m_short ABORTS a call whose candidate sits at
+                    # textend (newmgrep.c:1345): an event ON a mark
+                    # never fires in its own region.  V carries the
+                    # dup trim byte again at mk+1 (the rescan copy),
+                    # so the refire is already a separate occurrence
+                    # there -- the on-mark row is a phantom (its tail
+                    # bytes read region r+1's mangled copy, which the
+                    # aborted call never scanned).  The skipped
+                    # INVERSE tail flush is modeled by tail_ok on the
+                    # raw bytes (round-5 seed 580808).
+                    on_mk = np.isin(anchor, mkv_)
+                    if on_mk.any():
+                        starts = starts[~on_mk]
+                        anchor = anchor[~on_mk]
+                        if not len(starts):
+                            continue
             if len(starts):
                 a_parts.append(anchor)
                 i_parts.append(np.full(len(starts), idx, dtype=np.int64))

@@ -812,3 +812,24 @@ def test_filenameonly_early_return_freezes_stale(tmp_path):
     compare(["-v", "-t", "-l", "-f", str(pf), str(p1), str(p2)])
     compare(["-D3", "-I1", "-S2", "-v", "-t", "-l", "-f", str(pf),
              str(p1), str(p2)])
+
+
+def test_vmode_phantom_match_on_dup_mark(tmp_path):
+    """NUL corpus, no trailing newline, p_size==1, -v: the virtual
+    stream embeds the dup trim byte twice, so a term spanning the seam
+    ('zz' over dup-'z'+rescan-'z') scans as a match that NEITHER
+    reference call sees -- m_short aborts on the candidate AT textend
+    (newmgrep.c:1345) and the rescan call starts past it.  The phantom
+    row must be dropped or it rewinds the inverse lastout over the
+    (abort-suppressed) dup byte and double-counts (round-5 seed
+    580808)."""
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"a\nzz\n")
+    for body in (b"zz\x00qq", b"z\x00qq", b"qq\x00zz", b"zz\x00",
+                 b"aa\x00qq", b"zz\x00qq\x00rr"):
+        p = tmp_path / "c.txt"
+        p.write_bytes(body)
+        compare(["-v", "-f", str(pf), str(p)])
+        compare(["-v", "-n", "-f", str(pf), str(p)])
+        compare(["-f", str(pf), str(p)])
+        compare(["-c", "-f", str(pf), str(p)])
