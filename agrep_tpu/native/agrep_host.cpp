@@ -27,11 +27,65 @@ extern "C" {
 // Record/delimiter scanning
 // ---------------------------------------------------------------
 
+#if defined(__x86_64__)
+// Two-byte-anchored candidate scan: 32-wide compare of delim[0] at i
+// and delim[1] at i+1 (the AND kills almost every false candidate for
+// multi-byte delimiters), emit from the movemask bits.  The memchr /
+// memmem restart loop pays ~40-160ns per HIT, which dominates on
+// delimiter-dense record corpora ('\n' every ~70 bytes, '$$' every
+// ~200); this runs at memory speed regardless of hit density.
+__attribute__((target("avx2")))
+static int64_t find_delims_avx2(const uint8_t* buf, int64_t n,
+                                const uint8_t* delim, int64_t dl,
+                                int64_t* out, int64_t cap) {
+    int64_t cnt = 0;
+    int64_t lim = n - dl;            // last candidate start, inclusive
+    if (lim < 0) return 0;
+    __m256i v0 = _mm256_set1_epi8((char)delim[0]);
+    __m256i v1 = _mm256_set1_epi8((char)delim[dl >= 2 ? 1 : 0]);
+    int64_t i = 0;
+    for (; i + 33 <= n; i += 32) {
+        __m256i a = _mm256_loadu_si256((const __m256i*)(buf + i));
+        __m256i hit = _mm256_cmpeq_epi8(a, v0);
+        if (dl >= 2) {
+            __m256i b = _mm256_loadu_si256(
+                (const __m256i*)(buf + i + 1));
+            hit = _mm256_and_si256(hit, _mm256_cmpeq_epi8(b, v1));
+        }
+        uint32_t m = (uint32_t)_mm256_movemask_epi8(hit);
+        while (m) {
+            int64_t s = i + __builtin_ctz(m);
+            m &= m - 1;
+            if (s > lim) break;
+            bool ok = true;
+            for (int64_t k = 2; k < dl; k++)
+                if (buf[s + k] != delim[k]) { ok = false; break; }
+            if (!ok) continue;
+            if (cnt < cap) out[cnt] = s + dl - 1;
+            if (++cnt >= cap) return cnt;
+        }
+    }
+    for (int64_t s = i; s <= lim; s++) {
+        bool ok = true;
+        for (int64_t k = 0; k < dl; k++)
+            if (buf[s + k] != delim[k]) { ok = false; break; }
+        if (!ok) continue;
+        if (cnt < cap) out[cnt] = s + dl - 1;
+        if (++cnt >= cap) return cnt;
+    }
+    return cnt;
+}
+#endif
+
 // Find all occurrences of delim in buf; writes end positions (index of
 // the delimiter's LAST byte).  Returns count (capped at cap).
 int64_t find_delims(const uint8_t* buf, int64_t n, const uint8_t* delim,
                     int64_t dl, int64_t* out, int64_t cap) {
     int64_t cnt = 0;
+#if defined(__x86_64__)
+    if (__builtin_cpu_supports("avx2"))
+        return find_delims_avx2(buf, n, delim, dl, out, cap);
+#endif
     if (dl == 1) {
         const uint8_t* p = buf;
         const uint8_t* e = buf + n;

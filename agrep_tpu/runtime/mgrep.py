@@ -1424,7 +1424,12 @@ class MgrepEngine:
                 # delimiter appended (:573-575) only when >1 byte, so
                 # anchors past the final trim are seen only by that
                 # rescan.
-                if _delim_clamp_hit(data, q.delim, q.outtail):
+                # one raw delimiter index feeds both the clamp probe
+                # and the block walk (each needed the identical
+                # full-file scan -- 23% of the -d count wall)
+                raw_dends_idx = _find_delims_arr(data, q.delim)
+                if _delim_clamp_hit(data, q.delim, q.outtail,
+                                    dends=raw_dends_idx):
                     # clamped residues (start<0, newmgrep.c:557-559):
                     # the stitched scan regions are NOT contiguous
                     # data -- bytes drop, the head splice lands inside
@@ -1456,7 +1461,8 @@ class MgrepEngine:
                     clamped = True
                 else:
                     ow, delim_marks, trim_end, live_append, raw_dends = \
-                        _mgrep_blocks_delim(data, q.delim, q.outtail)
+                        _mgrep_blocks_delim(data, q.delim, q.outtail,
+                                            dends=raw_dends_idx)
                     # the non-clamp path guarantees start > dl+2 (the
                     # clamp-hit margin), so every seam's context bytes
                     # are the spliced delimiter's tail
@@ -3157,7 +3163,7 @@ def _mgrep_block_ends(data: np.ndarray) -> list:
     return marks
 
 
-def _delim_clamp_hit(data, delim, outtail) -> bool:
+def _delim_clamp_hit(data, delim, outtail, dends=None) -> bool:
     """True when any -d block residue exceeds MAXLINE=1024, i.e. the
     `start = MAXLINE - residue` computation goes negative and the
     reference clamps it to 1 (newmgrep.c:557-559), losing residue
@@ -3167,7 +3173,8 @@ def _delim_clamp_hit(data, delim, outtail) -> bool:
     BLK = 2 * 16384
     dl = len(delim)
     N = len(data)
-    all_dends = _find_delims_arr(data, delim)
+    all_dends = (dends if dends is not None
+                 else _find_delims_arr(data, delim))
     starts = np.arange(0, N, BLK, dtype=np.int64)
     ends_in = np.minimum(starts + BLK, N) - 1
     if len(all_dends):
@@ -3279,7 +3286,7 @@ def _mgrep_delim_clamp_sim(data, delim, outtail):
     return V, marks, trim_end, live_append, nl_count, ctx_map
 
 
-def _mgrep_blocks_delim(data, delim, outtail):
+def _mgrep_blocks_delim(data, delim, outtail, dends=None):
     """The -d block walk (newmgrep.c:480-567, :568-585): returns
     (overwrites, marks, final_trim, live_append, raw_delim_ends).
 
@@ -3301,7 +3308,8 @@ def _mgrep_blocks_delim(data, delim, outtail):
     # skip-straddling-delimiters decrement loop == "largest end in
     # [pos+dl-1, pos+num_read-1]" (a straddler has end < pos+dl-1;
     # anything smaller than pos breaks the loop empty-handed)
-    all_dends = _find_delims_arr(data, delim)
+    all_dends = (dends if dends is not None
+                 else _find_delims_arr(data, delim))
     if N == 0:
         return [], [], None, False, all_dends
     starts = np.arange(0, N, BLK, dtype=np.int64)
