@@ -792,6 +792,42 @@ def _bitap_record_lane_events(q, stream: np.ndarray, D: int) -> np.ndarray:
 class SgrepEngine:
     def __init__(self, q):
         self.q = q
+        # cross-file reused-buffer model: sgrep() re-mallocs the same
+        # chunk per file (sgrep.c:327, io.c:38), so file K's scan runs
+        # over file K-1's leftovers.  Files already scanned (or skipped
+        # by a multihost partition) queue here; the buffer state is
+        # materialized lazily the first time a replay path consults it.
+        self._sg_pending: list = []
+        self._sg_buf = None
+
+    def _sg_note_file(self, data=None, path: str | None = None) -> None:
+        """Record a file whose bytes passed through the reference's
+        reused scan buffer before the next file's scan."""
+        self._sg_pending.append(data if data is not None else path)
+
+    def _sg_init_buf(self):
+        """Materialize the reused buffer's pre-file state: walk every
+        pending file's block loop (buffer writes only).  Returns the
+        evolved buffer, or None when no prior file exists (zero-filled
+        fresh-process state)."""
+        if not self._sg_pending:
+            return self._sg_buf
+        from . import sgrep_sim
+        q = self.q
+        for item in self._sg_pending:
+            if isinstance(item, str):
+                try:
+                    item = open_bytes(item)
+                except (OSError, IOError):
+                    continue
+            vb = sgrep_sim.VirtualSgrepBuffer(
+                np.asarray(item), q.sg_pattern, q.delimiter_opt,
+                q.delim, q.outtail, init_buf=self._sg_buf)
+            for _ in vb.blocks():
+                pass
+            self._sg_buf = vb.buf
+        self._sg_pending = []
+        return self._sg_buf
 
     def supports_streaming(self) -> bool:
         """The -c fast paths stream, and so does the default record
@@ -863,7 +899,8 @@ class SgrepEngine:
                         self.search_stream(np.asarray(data), sink, D)
                         return
             from .sgrep_sim import AgrepCountWalker
-            walker = AgrepCountWalker(data, q.sg_pattern, D)
+            walker = AgrepCountWalker(data, q.sg_pattern, D,
+                                      init_buf=self._sg_init_buf())
         pend = np.empty(0, dtype=np.int64)  # events awaiting record end
         lines_counted = 0
         last_line = -1
@@ -1336,7 +1373,8 @@ class SgrepEngine:
             scanf = (sgrep_sim.a_monkey_scan if q.sg_sub == "a_monkey"
                      else sgrep_sim.monkey4_scan)
             mpb, blocks, _ = scanf(
-                data, q.sg_pattern, D, q.delimiter_opt, q.delim)
+                data, q.sg_pattern, D, q.delimiter_opt, q.delim,
+                init_buf=self._sg_init_buf())
             plist = []
             for bm_list, (bstart, bend, gstart) in zip(mpb, blocks):
                 for bp in bm_list:
@@ -1357,7 +1395,7 @@ class SgrepEngine:
                 amk_bufs = {}
                 vb2 = sgrep_sim.VirtualSgrepBuffer(
                     data, q.sg_pattern, q.delimiter_opt, q.delim,
-                    q.outtail)
+                    q.outtail, init_buf=self._sg_init_buf())
                 for bi2, (s2, e2, g2) in enumerate(vb2.blocks()):
                     if bi2 < len(mpb) and len(mpb[bi2]):
                         amk_bufs[g2 + base] = np.asarray(
@@ -1477,10 +1515,12 @@ class SgrepEngine:
                 # complements straight from the exact replay's
                 # s_output events and spans
                 from . import sgrep_sim
-                c_t, walk_pos, walk_spans, _r, walk_blk =                     sgrep_sim.agrep_exact(
+                c_t, walk_pos, walk_spans, _r, walk_blk = \
+                    sgrep_sim.agrep_exact(
                         data, q.sg_pattern, D, q.sg_mask,
                         q.sg_consts["endpos"], q.delimiter_opt,
-                        q.delim, q.outtail, o.silent)
+                        q.delim, q.outtail, o.silent,
+                        init_buf=self._sg_init_buf())
                 self._inverse_delim_replay(data, c_t, walk_pos,
                                            walk_spans, walk_blk, sink)
                 return
@@ -1576,7 +1616,8 @@ class SgrepEngine:
                     sgrep_sim.agrep_exact(
                         data, q.sg_pattern, D, q.sg_mask,
                         q.sg_consts["endpos"], q.delimiter_opt, q.delim,
-                        q.outtail, o.silent)
+                        q.outtail, o.silent,
+                        init_buf=self._sg_init_buf())
                 pos = walk_pos + base
             else:
                 c_count = sgrep_sim.agrep_c_count(
@@ -1628,7 +1669,8 @@ class SgrepEngine:
                         first_blk = int(walk_blk[0])
                         vbf = _sgs.VirtualSgrepBuffer(
                             data, q.sg_pattern, q.delimiter_opt,
-                            q.delim, q.outtail)
+                            q.delim, q.outtail,
+                            init_buf=self._sg_init_buf())
                         for fb_i, (fs, fe, fg) in enumerate(
                                 vbf.blocks()):
                             if fb_i >= first_blk:
@@ -1800,6 +1842,47 @@ class SgrepEngine:
         if c_count is not None:
             sink.num_matched += c_count - records_counted
 
+    def _wild_inverse_write(self, vb, p_buf: int, sink) -> None:
+        """s_output INVERSE with curtextbegin BELOW lastout: fwrite
+        gets a NEGATIVE length cast to size_t (sgrep.c:1355
+        `fwrite(*lastout, 1, curtextbegin-*lastout, ...)`).  glibc's
+        xsputn memcpys `buf_end - write_ptr` bytes from the wild
+        pointer into the stdout stdio buffer, flushes, then the huge
+        direct write(2) EFAULTs and emits nothing more -- so the
+        reference prints up to 4096 bytes starting AT lastout.  With
+        no prior output the stream has no buffer yet and nothing at
+        all is emitted.  The source window runs off the text buffer's
+        tail into adjacent heap: 16 bytes of malloc chunk metadata
+        (the freed text chunk's size lingering in prev_size once a
+        previous file cycled alloc_buf/free_buf, and the stdio
+        chunk's size|PREV_INUSE), then the stdio buffer itself --
+        lingering bytes of our OWN earlier output -- then untouched
+        top-chunk zeros.  Verified against the oracle with an
+        LD_PRELOAD fwrite logger (fuzz seed 810111)."""
+        import struct
+        had_buf = sink._vs_alloc
+        # even an emitting-nothing attempt ALLOCATES the stream buffer
+        # (glibc xsputn -> _IO_OVERFLOW -> _IO_doallocbuf): a later
+        # wild write in the same run then has 4096 bytes of space
+        sink._vs_alloc = True
+        if not had_buf:
+            return
+        avail = 4096 - sink._vs_pos
+        if avail <= 0:
+            sink._vs_pos = 0          # overflow flush; EFAULT after
+            return
+        from . import sgrep_sim as _ss
+        user = 2 * _ss.BLOCKSIZE + 2 * _ss.MAXLINE + _ss.MAXPATT
+        tail = (bytes(bytearray(vb.buf[p_buf:user]))
+                if p_buf < user else b"")
+        prior = self._sg_buf is not None or bool(self._sg_pending)
+        hdr = struct.pack("<QQ", user + 16 if prior else 0,
+                          4096 + 16 + 1)
+        img = bytes(sink._vs_img)
+        sink.write((tail + hdr + img + b"\x00" * 4096)[:avail])
+        sink._vs_pos = 0              # the reference's copy fills the
+        #                               buffer exactly; OVERFLOW flushes
+
     def _inverse_delim_replay(self, data, c_total, pos, spans, blks,
                               sink) -> None:
         """INVERSE -d complements for the D>0 partition engine, driven
@@ -1811,7 +1894,8 @@ class SgrepEngine:
         from . import sgrep_sim
         q, o = self.q, self.q.opts
         vb = sgrep_sim.VirtualSgrepBuffer(
-            data, q.sg_pattern, q.delimiter_opt, q.delim, q.outtail)
+            data, q.sg_pattern, q.delimiter_opt, q.delim, q.outtail,
+            init_buf=self._sg_init_buf())
         k = 0
         for bi, (start, end, gstart) in enumerate(vb.blocks()):
             g_end = gstart + (end - start)
@@ -1834,7 +1918,13 @@ class SgrepEngine:
                     sink.write_str("%s\n" % sink.current_filename)
                     return
                 sb = int(spans[k, 0])
-                sink.write(bslice(lastout, sb))
+                if sb < lastout:
+                    # curtextbegin resolved BELOW lastout: the
+                    # negative-length fwrite (see _wild_inverse_write)
+                    self._wild_inverse_write(
+                        vb, start + (lastout - gstart), sink)
+                else:
+                    sink.write(bslice(lastout, sb))
                 lastout = int(spans[k, 1])
                 k += 1
             if lastout <= g_end:
@@ -1848,7 +1938,8 @@ class SgrepEngine:
         q, o = self.q, self.q.opts
         dl = len(q.delim)
         vb = sgrep_sim.VirtualSgrepBuffer(
-            data, q.sg_pattern, True, q.delim, q.outtail)
+            data, q.sg_pattern, True, q.delim, q.outtail,
+            init_buf=self._sg_init_buf())
         ev_g = pos  # stream == data for -d (base 0)
         for (start, end, gstart) in vb.blocks():
             g_end = gstart + (end - start)
@@ -1958,7 +2049,8 @@ class SgrepEngine:
         # a write actually happens (an early-returning first call
         # prints nothing at all)
         pending_sentinel = bool(o.wholeline)
-        vb = sgrep_sim.VirtualSgrepBuffer(data, q.sg_pattern, False)
+        vb = sgrep_sim.VirtualSgrepBuffer(data, q.sg_pattern, False,
+                                          init_buf=self._sg_init_buf())
         ev_g = pos - base        # match-end events in data coords
         nl_g = nl - base
         N = len(data)
@@ -2436,6 +2528,9 @@ class Executor:
                     # process's stale model matches the global sequence
                     for gj in range(mh_last_gi + 1, gi):
                         commit_stale_path(self.engine, all_files[gj])
+                elif hasattr(self.engine, "_sg_note_file"):
+                    for gj in range(mh_last_gi + 1, gi):
+                        self.engine._sg_note_file(path=all_files[gj])
                 mh_last_gi = gi
             sink.prev_num_matched = sink.num_matched
             sink.current_filename = (str(gi) if o.printfilenumber
@@ -2464,6 +2559,11 @@ class Executor:
                 else:
                     self._scan_with_requeue(data, sink, size,
                                             stream_min)
+                    if hasattr(self.engine, "_sg_note_file"):
+                        # this file's bytes now sit in the reference's
+                        # reused scan buffer (consulted lazily by the
+                        # next file's replay paths)
+                        self.engine._sg_note_file(data=data)
             nfile = sink.num_matched - sink.prev_num_matched
             if _mh is not None and "file_counts" in _mh:
                 _mh["file_counts"].append(
@@ -2491,6 +2591,7 @@ class Executor:
                     self._emit_count_line(nfile)
             if o.fileout and nfile:
                 self._file_out(path)
+            sink.vs_flush()           # fflush per file (agrep.c:3570)
             if (o.limit_output > 0 and sink.num_matched >= o.limit_output) \
                     or (o.limit_total_file > 0
                         and sink.files_matched >= o.limit_total_file):

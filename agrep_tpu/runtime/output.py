@@ -32,14 +32,52 @@ class Sink:
         self.current_filename = ""
         self.truncate = False
         self.bytes_written = 0        # high-water mark (file requeue)
+        # virtual image of the reference's stdout stdio buffer: the
+        # negative-length s_output fwrite (sgrep.c:1355, curtextbegin
+        # below lastout) makes glibc memcpy `buf_end - write_ptr`
+        # bytes from the wild pointer into this buffer before the
+        # direct write EFAULTs -- what it emits depends on whether the
+        # buffer exists yet (any prior output), its fill level, and
+        # its CONTENT (the wild source window overlaps it in the
+        # heap).  Model glibc _IO_file_xsputn over every byte we emit.
+        self._vs_alloc = False
+        self._vs_pos = 0
+        self._vs_img = bytearray(4096)
+
+    def _vs_feed(self, b: bytes) -> None:
+        if not b:
+            return
+        self._vs_alloc = True
+        L = len(b)
+        take = min(L, 4096 - self._vs_pos)
+        if take:
+            self._vs_img[self._vs_pos:self._vs_pos + take] = b[:take]
+            self._vs_pos += take
+        rest = L - take
+        if rest > 0:
+            # overflow: flush, then whole blocks bypass the buffer,
+            # the remainder lands at its base (glibc fileops.c xsputn)
+            self._vs_pos = 0
+            r = rest % 4096
+            if r:
+                self._vs_img[0:r] = b[L - r:]
+                self._vs_pos = r
+
+    def vs_flush(self) -> None:
+        """The reference fflushes after every file (agrep.c:3570):
+        write_ptr returns to base, the content lingers."""
+        self._vs_pos = 0
 
     def write(self, data: bytes):
         self.bytes_written += len(data)
+        self._vs_feed(data)
         self._write(data)
 
     def write_str(self, s: str):
         self.bytes_written += len(s)
-        self._write(s.encode("latin-1"))
+        b = s.encode("latin-1")
+        self._vs_feed(b)
+        self._write(b)
 
     # -- shared decoration helpers ------------------------------------
 

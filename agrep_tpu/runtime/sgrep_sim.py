@@ -43,12 +43,25 @@ class VirtualSgrepBuffer:
     with the evolving virtual buffer accessible as .buf."""
 
     def __init__(self, data: np.ndarray, pat: bytes, delimiter: bool,
-                 d_pattern: bytes = b"\n", outtail: bool = False):
+                 d_pattern: bytes = b"\n", outtail: bool = False,
+                 init_buf: np.ndarray | None = None):
         self.data = data
         self.pat = pat
         self.m = len(pat)
-        self.buf = np.zeros(2 * BLOCKSIZE + 2 * MAXLINE + MAXPATT + 64,
-                            dtype=np.uint8)
+        size = 2 * BLOCKSIZE + 2 * MAXLINE + MAXPATT + 64
+        if init_buf is not None and len(init_buf) == size:
+            # cross-file persistence: sgrep() re-mallocs the same-size
+            # buffer per file and glibc hands back the same chunk with
+            # its CONTENT preserved (sgrep.c:327 alloc_buf ->
+            # io.c:38 malloc); the previous file's bytes are the
+            # stale background the new scan's excursions read
+            self.buf = init_buf.copy()
+        else:
+            self.buf = np.zeros(size, dtype=np.uint8)
+        # per-call writes (sgrep.c:328-330): the 1024-byte "security
+        # zone" is re-zeroed every file -- which also erases the
+        # malloc bin pointers glibc wrote into the first bytes
+        self.buf[:MAXLINE] = 0
         self.buf[OFFSET - 1] = 0x0A
         self.delimiter = delimiter
         self.d_pattern = d_pattern
@@ -466,7 +479,8 @@ def _agrep_rounds_py(buf, tb, te, cands, mask, endpos, D, delim,
 def agrep_exact(data: np.ndarray, pat: bytes, D: int, mask: np.ndarray,
                 endpos: int, delimiter: bool = False,
                 d_pattern: bytes = b"\n", outtail: bool = False,
-                silent: bool = False):
+                silent: bool = False,
+                init_buf: np.ndarray | None = None):
     """Exact replay of agrep()'s candidate rounds + s_output jumps over
     the virtual buffer (sgrep.c:1123-1238, 1275-1345).  Used for
     degenerate fragment lengths (m - D <= 2) where the event-list proxy
@@ -479,7 +493,8 @@ def agrep_exact(data: np.ndarray, pat: bytes, D: int, mask: np.ndarray,
     data coords -- which can truncate at block boundaries and re-print
     from the residue rescan, unlike a whole-stream record lookup."""
     from .. import native
-    vb = VirtualSgrepBuffer(data, pat, delimiter, d_pattern, outtail)
+    vb = VirtualSgrepBuffer(data, pat, delimiter, d_pattern, outtail,
+                            init_buf=init_buf)
     shift_tab, d1, member, _m, _bs = build_agrep_tables(pat, D)
     delim_arg = d_pattern if delimiter else b""
     # our mask tables are active-high (bitword.sgrep_mask); the
@@ -765,12 +780,14 @@ class AgrepCountWalker:
     the block walk reads it sequentially in O(32KB) slices."""
 
     def __init__(self, data, pat: bytes, D: int, delimiter: bool = False,
-                 d_pattern: bytes = b"\n"):
+                 d_pattern: bytes = b"\n",
+                 init_buf: np.ndarray | None = None):
         self.data = data
         self.pat = pat
         self.D = D
         self.m_pat = len(pat)
-        self.vb = VirtualSgrepBuffer(data, pat, delimiter, d_pattern)
+        self.vb = VirtualSgrepBuffer(data, pat, delimiter, d_pattern,
+                                     init_buf=init_buf)
         self._blocks = self.vb.blocks()
         self._cur = next(self._blocks, None)
         self.count = 0
@@ -963,7 +980,8 @@ def verify_dp(m: int, n: int, D: int, pat: bytes, window) -> int:
 
 
 def a_monkey_scan(data: np.ndarray, pat: bytes, D: int,
-                  delimiter: bool = False, d_pattern: bytes = b"\n"):
+                  delimiter: bool = False, d_pattern: bytes = b"\n",
+                  init_buf: np.ndarray | None = None):
     """Faithful emulation of a_monkey (sgrep.c:1839-2068): backward
     q-gram chain filter + verify DP.  The filter can MISS real matches
     (pinned reference behaviour), so the dense event stream cannot
@@ -978,7 +996,8 @@ def a_monkey_scan(data: np.ndarray, pat: bytes, D: int,
         member[b] = 1
     for i in range(m - 1, 0, -1):
         member[((pat[i] << 8) + pat[i - 1]) & hashmask] = 1
-    vb = VirtualSgrepBuffer(data, pat, delimiter, d_pattern)
+    vb = VirtualSgrepBuffer(data, pat, delimiter, d_pattern,
+                            init_buf=init_buf)
     matches = []
     blocks = []
     from .. import native
@@ -1034,7 +1053,8 @@ def a_monkey_scan(data: np.ndarray, pat: bytes, D: int,
 
 
 def monkey4_scan(data: np.ndarray, pat: bytes, D: int,
-                 delimiter: bool = False, d_pattern: bytes = b"\n"):
+                 delimiter: bool = False, d_pattern: bytes = b"\n",
+                 init_buf: np.ndarray | None = None):
     """Faithful emulation of monkey4 (sgrep.c:2221-2480): the DNA
     2-bit q-gram backward filter + verify DP.  Same contract as
     a_monkey_scan.  prep4 quirks preserved: char_map folds only 'A'
@@ -1067,7 +1087,8 @@ def monkey4_scan(data: np.ndarray, pat: bytes, D: int,
             for k in range(j + 1):
                 h = (h << LOG_DNA) + int(char_map[pat[i - k]])
             member[h & hashmask] = 1
-    vb = VirtualSgrepBuffer(data, pat, delimiter, d_pattern)
+    vb = VirtualSgrepBuffer(data, pat, delimiter, d_pattern,
+                            init_buf=init_buf)
     matches = []
     blocks = []
     from .. import native
