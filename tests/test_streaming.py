@@ -345,8 +345,13 @@ def test_streaming_rss_bounded(tmp_path):
         assert r.returncode == 0, r.stderr[-500:]
         return int(r.stdout.split()[-1]) * 1024
 
-    streamed = peak("8")
-    whole = peak("999999")
+    # one retry: concurrent memory pressure (full-suite load) can
+    # reclaim the whole-file run's mmap pages and shrink the gap
+    for attempt in range(2):
+        streamed = peak("8")
+        whole = peak("999999")
+        if streamed < whole - size // 2:
+            break
     assert streamed < whole - size // 2, (streamed, whole, size)
 
 

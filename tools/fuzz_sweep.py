@@ -242,6 +242,24 @@ def run_case(i, seed, tmpdir, stratified=False):
             if cut != -1 and ours[:60].startswith(
                     p.stdout[:max(cut - 24, 1)][:40]):
                 return None
+        if ("-l" in args and "-d" in args and len(paths) > 1
+                and any(f in args for f in ("-1", "-2", "-3", "-4"))):
+            # asearch.c:237+264 (the -d FILENAMEONLY early return)
+            # frees the scan buffer TWICE; the stdio buffer is then
+            # carved from the freed chunk and freed again -- later
+            # files' -l lines, the exit status, or the whole process
+            # (SIGABRT under short argv paths) are heap-corruption
+            # fallout, layout-dependent.  Classify when the oracle's
+            # output is our filename-line prefix (or it aborted).
+            first = ours.split(b"\n", 1)[0] + b"\n"
+            o_clean = p.stdout.split(b"\x00")[0]
+            # 134 = shell-style SIGABRT; 250 = raw returncode -6 & 0xFF
+            if (p.returncode & 0xFF) in (134, 250) or (
+                    p.stdout.startswith(first)
+                    and ours.startswith(o_clean[:len(ours)])):
+                print("  (documented -l double-free fallout, seed %d)"
+                      % seed)
+                return None
         return (seed, args, corpus, p.stdout, p.returncode & 0xFF,
                 ours, rc)
     return None
