@@ -48,8 +48,11 @@ class RegexEngine:
         # round 5: -n/-b/-q decorations stream too -- they are
         # cumulative counters (line index, byte offset + the 49152
         # glitch lag), and the precheck already routes every
-        # residue-clamp shape to the whole-file emulation
-        return (o.printrecord and not o.invert
+        # residue-clamp shape to the whole-file emulation.  INVERSE
+        # streams the same way (round-5 continuation): the whole-file
+        # output pass is verdict-inversion followed by the identical
+        # r_output walk, so the chunked walk only flips the verdicts
+        return (o.printrecord
                 and not o.printpattern and not o.fileout
                 and not getattr(o, "multi_output", False))
 
@@ -220,7 +223,7 @@ class RegexEngine:
             if v is None:
                 self.search_stream(np.asarray(data), sink, 0)
                 return
-            hits = v != 0
+            hits = (v != 0) ^ o.invert
             if first_chunk and len(hits) and drop_first:
                 hits = hits.copy()
                 hits[0] = False

@@ -379,12 +379,19 @@ def test_regex_decorated_streaming(tmp_path, monkeypatch):
     p.write_bytes(data)
     monkeypatch.setenv("AGREP_TPU_STREAM_MB", "0")
     monkeypatch.setattr(scan_ops, "STREAM_CHUNK", 1 << 16)
+    p2 = tmp_path / "c2.txt"           # leading empty line + no final
+    p2.write_bytes(b"\n" + data[:-1])  # newline (appended-line guard)
     for args in (["-n", "wo(r|t)king"], ["-b", "wo(r|t)king"],
                  ["-n", "-b", "wo(r|t)king"], ["-q", "wo(r|t)king"],
                  ["-1", "-n", "w[aeiou]rking"],
-                 ["-2", "-b", "wo(r|t)king"]):
-        ref = subprocess.run([ORACLE] + args + [str(p)],
-                             capture_output=True).stdout
-        buf = io.BytesIO()
-        fileagrep(args + [str(p)], output=buf)
-        assert buf.getvalue() == ref, args
+                 ["-2", "-b", "wo(r|t)king"],
+                 # round-5 continuation: INVERSE streams too
+                 ["-v", "wo(r|t)king"], ["-v", "-n", "wo(r|t)king"],
+                 ["-v", "-b", "w[aeiou]rking"],
+                 ["-1", "-v", "-n", "-b", "wo(r|t)king"]):
+        for path in (p, p2):
+            ref = subprocess.run([ORACLE] + args + [str(path)],
+                                 capture_output=True).stdout
+            buf = io.BytesIO()
+            fileagrep(args + [str(path)], output=buf)
+            assert buf.getvalue() == ref, (args, path.name)
