@@ -1974,11 +1974,20 @@ class SgrepEngine:
                 e = int(e)
                 if e < lastend:
                     continue
-                # record span around e in data coords
+                # record span around e in data coords.  backward_
+                # delimiter floors at textbegin, which every output
+                # advances to the previous record's END (sgrep.c:812
+                # textbegin = curtextend): an overlapping delimiter
+                # occurrence STARTING below the floor is invisible and
+                # the complement resumes AT the floor (round-5 seed
+                # 850473: '-d ll -t' over an 'lll' chain)
                 i = int(np.searchsorted(dends + gstart, e, "left")) - 1
                 if i >= 0:
                     dstart = int(dends[i]) + gstart - dl + 1
-                    rbeg = dstart + dl if q.outtail else dstart
+                    if dstart < lastend:
+                        rbeg = lastend
+                    else:
+                        rbeg = dstart + dl if q.outtail else dstart
                 else:
                     rbeg = gstart
                 jdx = int(np.searchsorted(dends + gstart, e + dl, "left"))

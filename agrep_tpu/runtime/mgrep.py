@@ -114,6 +114,16 @@ class MgrepEngine:
         # (:875) read them.  Zeros model the first allocation's fresh
         # pages; offsets past 2*BLOCKSIZE are never written.
         self._stale = np.zeros(2 * 16384 + 300, dtype=np.uint8)
+        # The chunk is re-malloc'd per file; if the FIRST stdout bytes
+        # of the run are emitted between a file's free_buf and the
+        # next alloc_buf (-c count lines print in that gap), the stdio
+        # buffer (4096+16-byte chunk) is carved from the freed space
+        # and the next file's buffer lands 4112 bytes HIGHER -- its
+        # content is the old buffer SHIFTED by 4112 (seed 850115,
+        # confirmed with an LD_PRELOAD read() logger).  Exactly one
+        # shift per process; stdio exists thereafter.
+        self._stdio_at_commit = True
+        self._stale_shift_done = False
         self._eof_win = None         # current file's post-EOF bytes
         self._stale_upto = None      # early-return stop: blocks READ
         self._eof_subs = []          # stale-completed term candidates
@@ -180,6 +190,7 @@ class MgrepEngine:
         return True
 
     def search_stream_chunked(self, data, sink, D: int) -> None:
+        self._stale_shift_check(sink)
         self._prep_eof_stale(np.asarray(data))
         if self._eof_subs or not self._stream_precheck(data):
             # stale-completed tail candidates need the full-table
@@ -191,7 +202,7 @@ class MgrepEngine:
                 return self._bool_stream_chunked(data, sink)
             return self._print_stream_chunked(data, sink)
         finally:
-            self._commit_stale(np.asarray(data))
+            self._commit_stale(np.asarray(data), sink)
 
     def _print_stream_chunked(self, data, sink) -> None:
         """Streaming flat-OR record print: per chunk, find every term
@@ -469,7 +480,22 @@ class MgrepEngine:
         self._eof_subs = subs
         self._eof_wb_risky = wb_risk and _ISALNUM_TAB[int(win[0])]
 
-    def _commit_stale(self, darr: np.ndarray) -> None:
+    def _stale_shift_check(self, sink) -> None:
+        """Apply the one-time +4112 stdio-carve shift (see __init__)
+        when the run's first output fell between the previous file's
+        free_buf and this file's alloc_buf."""
+        if (not self._stale_shift_done and not self._stdio_at_commit
+                and getattr(sink, "_vs_alloc", True)):
+            SH = 4096 + 16
+            st = self._stale
+            st[:len(st) - SH] = st[SH:].copy()
+            st[len(st) - SH:] = 0
+            self._stale_shift_done = True
+
+    def _commit_stale(self, darr: np.ndarray, sink=None) -> None:
+        if sink is not None:
+            self._stdio_at_commit = bool(
+                getattr(sink, "_vs_alloc", True))
         BLK2 = 2 * 16384
         if self._stale_upto is not None:
             # -l / -L early returns exit the block loop mid-file: the
@@ -497,9 +523,34 @@ class MgrepEngine:
         actually READ (the -l early return has the same effect,
         seed 570891)."""
         o, q = self.q.opts, self.q
-        if memory_mode or self._vmode:
+        if memory_mode:
             return
         B2L = 2 * 16384
+        if self._vmode:
+            # V coords: the stopping scan call is the region holding
+            # the anchor; its fill_buf block ends at the block of that
+            # region's trim byte (round-5 seed 850457: the clamp must
+            # consult the RAW file, not the stitched stream)
+            raw = self._vmode_data
+            if raw is None or not (o.invert and o.count):
+                return
+            mks = self._vmode_marks or []
+            dmk = self._vmode_dmarks or []
+            r = int(np.searchsorted(
+                np.asarray(mks, dtype=np.int64),
+                max(anchor - base, 0), side="left"))
+            n_raw = len(raw)
+            if r >= len(dmk):
+                return               # final region/EOF rescan: no cut
+            bend = min((int(dmk[r]) // B2L + 1) * B2L, n_raw)
+            self._stale_upto = bend
+            if bend >= n_raw:
+                return
+            beyond = int(np.count_nonzero(
+                np.asarray(raw[bend:]) == 0x0A))
+            if beyond:
+                self.total_line -= beyond
+            return
         d_off = max(anchor - base, 0)
         bend = min((d_off // B2L + 1) * B2L, n0)
         self._stale_upto = bend
@@ -1273,12 +1324,13 @@ class MgrepEngine:
                       memory_mode: bool = False) -> None:
         fresh = not memory_mode and not self._vmode
         if fresh:
+            self._stale_shift_check(sink)
             self._prep_eof_stale(np.asarray(data))
         try:
             return self._search_stream_impl(data, sink, D, memory_mode)
         finally:
             if fresh:
-                self._commit_stale(np.asarray(data))
+                self._commit_stale(np.asarray(data), sink)
 
     def _search_stream_impl(self, data: np.ndarray, sink: Sink, D: int,
                             memory_mode: bool = False) -> None:
@@ -2036,12 +2088,17 @@ class MgrepEngine:
             # record ends, and the INVERSE tail flush all stop there,
             # while occurrences still verify into the raw tail
             final_end = mem_scan_end + 1
+        raw_nr = (self._vmode_data if self._vmode else data)
         if not memory_mode and not q.delimiter_opt and len(data) \
                 and data[-1] != 0x0A \
-                and len(data) % (2 * 16384) != 1:
+                and (len(raw_nr) % (2 * 16384) != 1
+                     if raw_nr is not None
+                     else len(data) % (2 * 16384) != 1):
             # appended newline (newmgrep.c:570) -- visible only when
             # the EOF rescan runs: a 1-byte final read with no newline
-            # leaves residue == 1 and the rescan is skipped (:577)
+            # leaves residue == 1 and the rescan is skipped (:577).
+            # In vmode the 1-byte-read test consults the RAW file (V's
+            # length says nothing about the final fill_buf size)
             final_end += 1
         elif not memory_mode and q.delimiter_opt \
                 and trim_end is not None:
@@ -2086,11 +2143,14 @@ class MgrepEngine:
         # its last scanned byte (`if(text >= textend) return 0`,
         # newmgrep.c:1345): the call's INVERSE tail is never printed
         # and the match itself is neither counted nor output.  The
-        # forward compare reads the buffer's RAW bytes past the trim.
+        # forward compare reads the buffer's RAW bytes past the trim,
+        # and the abort check PRECEDES the WORDBOUND test -- a raw
+        # verify hit at textend aborts even when -w would reject it
+        # (round-5 seed 850121: -d o -w -v, term 'a' at the trim).
+        # Applies to -d regions too (the trim byte is the scan end).
         tail_ok = None
         if (o.invert and not o.count and self.p_size == 1
-                and not memory_mode and not q.delimiter_opt
-                and cbo_marks):
+                and not memory_mode and cbo_marks):
             dmk = (self._vmode_dmarks if self._vmode else cbo_marks)
             raw = (self._vmode_data if self._vmode else data)
             tail_ok = []
@@ -2601,7 +2661,22 @@ class MgrepEngine:
                     re_x -= 1
                 k0 = int(np.searchsorted(occ_a, rs, side="left"))
                 k1 = int(np.searchsorted(occ_a, re_x, side="left"))
-                if k0 >= k1:
+                n_fire = k1 - k0
+                if (n_fire and r == len(bounds) and bounds
+                        and not self._vmode and not memory_mode
+                        and not q.delimiter_opt and self.p_size > 1
+                        and self._plain_dirty):
+                    # EOF rescan after a NON-newline final trim: the
+                    # rescan buffer holds only the residue
+                    # (data[mark..]), so an occurrence whose START
+                    # precedes the mark cannot re-fire there -- its
+                    # head bytes were left behind (round-5 seed
+                    # 850258: a term straddling the final 32KB
+                    # boundary fires the final-block call via the
+                    # forward verify, not the rescan)
+                    n_fire = int(np.count_nonzero(
+                        occ_s[k0:k1] >= bounds[-1]))
+                if not n_fire:
                     _inv_flush(r, rs)
                     continue
                 if not (is_and or is_complex):
