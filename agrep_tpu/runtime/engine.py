@@ -799,17 +799,41 @@ class SgrepEngine:
         # materialized lazily the first time a replay path consults it.
         self._sg_pending: list = []
         self._sg_buf = None
+        # one-time +4112 layout shift: if the run's FIRST stdout bytes
+        # fall between a file's free_buf and the next alloc_buf (-c
+        # count lines print in that gap), the stdio chunk is carved
+        # from the freed space and the next buffer lands 4112 higher
+        # (same mechanism as the mgrep model, seed 850115)
+        self._sg_stdio_at_note = True
+        self._sg_shift_done = False
 
-    def _sg_note_file(self, data=None, path: str | None = None) -> None:
+    def _sg_note_file(self, data=None, path: str | None = None,
+                      sink=None) -> None:
         """Record a file whose bytes passed through the reference's
         reused scan buffer before the next file's scan."""
         self._sg_pending.append(data if data is not None else path)
+        if sink is not None:
+            self._sg_stdio_at_note = bool(
+                getattr(sink, "_vs_alloc", True))
 
-    def _sg_init_buf(self):
+    def _sg_init_buf(self, sink=None):
         """Materialize the reused buffer's pre-file state: walk every
         pending file's block loop (buffer writes only).  Returns the
         evolved buffer, or None when no prior file exists (zero-filled
         fresh-process state)."""
+        if (sink is not None and not self._sg_shift_done
+                and not self._sg_stdio_at_note
+                and getattr(sink, "_vs_alloc", True)
+                and (self._sg_pending or self._sg_buf is not None)):
+            # the stdio carve happened in the gap before THIS file's
+            # alloc: materialize what came before, then shift
+            buf = self._sg_init_buf()
+            if buf is not None:
+                SH = 4096 + 16
+                buf[:len(buf) - SH] = buf[SH:].copy()
+                buf[len(buf) - SH:] = 0
+            self._sg_shift_done = True
+            return buf
         if not self._sg_pending:
             return self._sg_buf
         from . import sgrep_sim
@@ -900,7 +924,7 @@ class SgrepEngine:
                         return
             from .sgrep_sim import AgrepCountWalker
             walker = AgrepCountWalker(data, q.sg_pattern, D,
-                                      init_buf=self._sg_init_buf())
+                                      init_buf=self._sg_init_buf(sink))
         pend = np.empty(0, dtype=np.int64)  # events awaiting record end
         lines_counted = 0
         last_line = -1
@@ -1374,7 +1398,7 @@ class SgrepEngine:
                      else sgrep_sim.monkey4_scan)
             mpb, blocks, _ = scanf(
                 data, q.sg_pattern, D, q.delimiter_opt, q.delim,
-                init_buf=self._sg_init_buf())
+                init_buf=self._sg_init_buf(sink))
             plist = []
             for bm_list, (bstart, bend, gstart) in zip(mpb, blocks):
                 for bp in bm_list:
@@ -1395,7 +1419,7 @@ class SgrepEngine:
                 amk_bufs = {}
                 vb2 = sgrep_sim.VirtualSgrepBuffer(
                     data, q.sg_pattern, q.delimiter_opt, q.delim,
-                    q.outtail, init_buf=self._sg_init_buf())
+                    q.outtail, init_buf=self._sg_init_buf(sink))
                 for bi2, (s2, e2, g2) in enumerate(vb2.blocks()):
                     if bi2 < len(mpb) and len(mpb[bi2]):
                         amk_bufs[g2 + base] = np.asarray(
@@ -1520,7 +1544,7 @@ class SgrepEngine:
                         data, q.sg_pattern, D, q.sg_mask,
                         q.sg_consts["endpos"], q.delimiter_opt,
                         q.delim, q.outtail, o.silent,
-                        init_buf=self._sg_init_buf())
+                        init_buf=self._sg_init_buf(sink))
                 self._inverse_delim_replay(data, c_t, walk_pos,
                                            walk_spans, walk_blk, sink)
                 return
@@ -1617,7 +1641,7 @@ class SgrepEngine:
                         data, q.sg_pattern, D, q.sg_mask,
                         q.sg_consts["endpos"], q.delimiter_opt, q.delim,
                         q.outtail, o.silent,
-                        init_buf=self._sg_init_buf())
+                        init_buf=self._sg_init_buf(sink))
                 pos = walk_pos + base
             else:
                 c_count = sgrep_sim.agrep_c_count(
@@ -1670,7 +1694,7 @@ class SgrepEngine:
                         vbf = _sgs.VirtualSgrepBuffer(
                             data, q.sg_pattern, q.delimiter_opt,
                             q.delim, q.outtail,
-                            init_buf=self._sg_init_buf())
+                            init_buf=self._sg_init_buf(sink))
                         for fb_i, (fs, fe, fg) in enumerate(
                                 vbf.blocks()):
                             if fb_i >= first_blk:
@@ -1895,7 +1919,7 @@ class SgrepEngine:
         q, o = self.q, self.q.opts
         vb = sgrep_sim.VirtualSgrepBuffer(
             data, q.sg_pattern, q.delimiter_opt, q.delim, q.outtail,
-            init_buf=self._sg_init_buf())
+            init_buf=self._sg_init_buf(sink))
         k = 0
         for bi, (start, end, gstart) in enumerate(vb.blocks()):
             g_end = gstart + (end - start)
@@ -1939,7 +1963,7 @@ class SgrepEngine:
         dl = len(q.delim)
         vb = sgrep_sim.VirtualSgrepBuffer(
             data, q.sg_pattern, True, q.delim, q.outtail,
-            init_buf=self._sg_init_buf())
+            init_buf=self._sg_init_buf(sink))
         ev_g = pos  # stream == data for -d (base 0)
         for (start, end, gstart) in vb.blocks():
             g_end = gstart + (end - start)
@@ -2059,7 +2083,7 @@ class SgrepEngine:
         # prints nothing at all)
         pending_sentinel = bool(o.wholeline)
         vb = sgrep_sim.VirtualSgrepBuffer(data, q.sg_pattern, False,
-                                          init_buf=self._sg_init_buf())
+                                          init_buf=self._sg_init_buf(sink))
         ev_g = pos - base        # match-end events in data coords
         nl_g = nl - base
         N = len(data)
@@ -2572,7 +2596,7 @@ class Executor:
                         # this file's bytes now sit in the reference's
                         # reused scan buffer (consulted lazily by the
                         # next file's replay paths)
-                        self.engine._sg_note_file(data=data)
+                        self.engine._sg_note_file(data=data, sink=sink)
             nfile = sink.num_matched - sink.prev_num_matched
             if _mh is not None and "file_counts" in _mh:
                 _mh["file_counts"].append(
