@@ -462,8 +462,11 @@ class RegexEngine:
         if extra0:
             # the virtual leading line: counted; r_output emits its
             # DECORATIONS (line number 0, -b offset) but the record
-            # span is empty so no bytes or newline follow (observed:
-            # memdrv -v prints nothing, -v -n prints "0: ")
+            # span is empty so NO bytes or newline follow -- in plain
+            # print mode the whole first line stays unprinted
+            # (memdrv probes: -v prints nothing, -v -n prints "0: ",
+            # plain print skips the record; round-5 seeds
+            # 870054/870057)
             sink.num_matched += 1
             if o.filename_only:
                 sink.write_str("%s\n" % sink.current_filename)
@@ -479,8 +482,6 @@ class RegexEngine:
                 sink.write_str("%d= " % cbo0)
             if o.printoffset:
                 sink.write_str("@%d{%d} " % (cbo0 - p0, p0))
-            if o.printrecord and p0 > 0:
-                sink.write(bytes(bytearray(stream[:p0 + 1])))
         BSR = 49152                            # BlockSize (agrep.h:48)
         for k in np.flatnonzero(hit).tolist():
             p = int(nl[k + 1])                 # stream pos of the '\n'
