@@ -1695,6 +1695,20 @@ class MgrepEngine:
                     if at_mk.any():
                         before = before.copy()
                         before[at_mk] = 0x0A
+                elif (not memory_mode and self._vmode
+                      and self._vmode_marks):
+                    # vmode: region r's scan START in V is mark+1 (V
+                    # embeds the dup trim byte), and the byte before
+                    # the reference's scan start is the written
+                    # newline (newmgrep.c:500/:571), not region r-1's
+                    # V byte (round-5 seed 860332: 'alpha' opening
+                    # the EOF rescan after a clamped block)
+                    mkv_w = np.asarray(self._vmode_marks,
+                                       dtype=np.int64) + base + 1
+                    at_mk = np.isin(starts, mkv_w)
+                    if at_mk.any():
+                        before = before.copy()
+                        before[at_mk] = 0x0A
                 keep = ~isaln[after] & ~isaln[before]
                 starts = starts[keep]
                 if not len(starts):

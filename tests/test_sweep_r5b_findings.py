@@ -122,3 +122,19 @@ def test_dtrim_abort_precedes_wordbound(tmp_path):
     compare(["-d", "o", "-v", "-f", str(pf), str(p)])
     compare(["-d", "o", "-w", "-v", "-s", "-c", "-f", str(pf),
              str(p)])
+
+
+def test_vmode_rescan_start_wordbound(tmp_path):
+    # seed 860332: a clamped block (residue > 1024) followed by a
+    # tiny final read whose term OPENS the EOF rescan -- the byte
+    # before the rescan's scan start is the written newline
+    # (newmgrep.c:571), so -w must not read region r-1's V byte
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"koala words here\n" * 1654 + b"x" * 4650
+                  + b"alpha ")
+    assert p.stat().st_size % 32768 > 1 and p.stat().st_size > 32768
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"alpha\nkoala\nq000\n")
+    compare(["-w", "-i", "-c", "-f", str(pf), str(p)])
+    compare(["-w", "-t", "-i", "-f", str(pf), str(p)])
+    compare(["-w", "-v", "-c", "-f", str(pf), str(p)])
