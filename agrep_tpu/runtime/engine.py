@@ -2595,8 +2595,9 @@ class Executor:
                     if hasattr(self.engine, "_sg_note_file"):
                         # this file's bytes now sit in the reference's
                         # reused scan buffer (consulted lazily by the
-                        # next file's replay paths)
-                        self.engine._sg_note_file(data=data, sink=sink)
+                        # next file's replay paths); note the PATH so
+                        # a many-file run doesn't pin every array
+                        self.engine._sg_note_file(path=path, sink=sink)
             nfile = sink.num_matched - sink.prev_num_matched
             if _mh is not None and "file_counts" in _mh:
                 _mh["file_counts"].append(
