@@ -2882,20 +2882,24 @@ class MgrepEngine:
                         # (monkey1:878 `curtextbegin > textbegin`)
                         cur_begin = min(tb_floor, cur_end)
                     tb_floor_reg = reg_f
-                    tb_floor = (cur_end - 1 if q.outtail
+                    tb_floor = (cur_end - 1
+                                if q.outtail and not o.invert
                                 else cur_end)
                 stop = do_output(idx, anchor, cur_begin, cur_end, True)
                 if self.p_size == 1:
                     short_drift[0] += 1
                 if self.p_size >= 2:
                     # scan resume = textbegin + shift (monkey1:1040):
-                    # textbegin is curtextend (-1 with OUTTAIL, :890),
-                    # shift = max(m1-1, 1) -- an event AT the record
-                    # end (the textend probe) is visited only when
-                    # OUTTAIL backs the pointer onto it (seed 560321
-                    # vs 540744)
+                    # textbegin is curtextend (-1 with OUTTAIL, :890)
+                    # -- but INVERSE keeps curtextend regardless
+                    # (monkey1:889 `if (!OUTTAIL || INVERSE)`, round-5
+                    # seed 880159); shift = max(m1-1, 1) -- an event
+                    # AT the record end (the textend probe) is visited
+                    # only when OUTTAIL backs the pointer onto it
+                    # (seed 560321 vs 540744)
                     step = max(self.p_size - 2, 1)
-                    thr = gbound + step - (1 if q.outtail else 0)
+                    thr = gbound + step - (1 if q.outtail
+                                           and not o.invert else 0)
                 else:
                     thr = gbound      # m_short revisits cure (text--)
                 nxt = max(int(np.searchsorted(occ_a, thr,

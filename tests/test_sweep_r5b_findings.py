@@ -138,3 +138,28 @@ def test_vmode_rescan_start_wordbound(tmp_path):
     compare(["-w", "-i", "-c", "-f", str(pf), str(p)])
     compare(["-w", "-t", "-i", "-f", str(pf), str(p)])
     compare(["-w", "-v", "-c", "-f", str(pf), str(p)])
+
+
+def test_inverse_outtail_no_jump_backoff(tmp_path):
+    # seed 880159: INVERSE keeps textbegin = curtextend regardless of
+    # OUTTAIL (monkey1:889) -- with -t the non-inverse backoff was
+    # re-visiting an anchor ON the final non-newline trim, double
+    # counting the record and skipping the call-end flush byte
+    p = tmp_path / "c.txt"
+    body = bytearray(b"." * 32792)
+    body[32298] = 0x0A
+    body[32322:32327] = b"hello"
+    body[32767:32769] = b"zz"
+    p.write_bytes(bytes(body))
+    pf = tmp_path / "p.txt"
+    pf.write_bytes(b"hello\nzz\nq000\n")
+    compare(["-w", "-v", "-t", "-f", str(pf), str(p)])
+    compare(["-v", "-t", "-f", str(pf), str(p)])
+    compare(["-v", "-f", str(pf), str(p)])
+    # zz fully inside the final read / fully inside the carry
+    for lo in (32769, 32700):
+        b2 = bytearray(body)
+        b2[32767:32769] = b".."
+        b2[lo:lo + 2] = b"zz"
+        p.write_bytes(bytes(b2))
+        compare(["-w", "-v", "-t", "-f", str(pf), str(p)])
