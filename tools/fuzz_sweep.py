@@ -6,6 +6,7 @@ a regression test.
 
   python tools/fuzz_sweep.py [n_cases] [seed0]
   python tools/fuzz_sweep.py --stratified [n_cases] [seed0]
+  python tools/fuzz_sweep.py --regex [n_cases] [seed0]
 
 Stratified mode de-biases the grid (round-4 verdict: the uniform grid
 samples rare flag intersections like -f+costs+-d+-w with ~0.5% joint
@@ -138,6 +139,48 @@ def make_corpus_straddle(r: random.Random) -> bytes:
 
 STRATA = ("f", "costs", "d", "w", "v", "t")
 
+REGEX_POOL = [
+    "a(b|c)x", "ab#yz", "[a-h]ello", "wo.ds", "x*y", "<al>pha",
+    "h[^e]llo", "(al|br)a", "ko#la", "a[l-p]pha", "he(l|r)*o",
+    "[abx]y[abx]", "al.ha", "b.a?o", "<he>(ll|xx)o",
+]
+
+
+def make_args_regex(r: random.Random):
+    """Regex pattern x >=2 of {-d, costs, -w, -v, -t, -x, -B}: the
+    intersections both existing modes sample at <1% joint probability
+    (regex kind is 1/7 of uniform and absent from stratified)."""
+    pool = ("d", "costs", "w", "v", "t", "x", "B")
+    picks = r.sample(pool, r.choice([2, 2, 2, 3, 3]))
+    flags = []
+    if "costs" in picks:
+        flags += ["-%d" % r.randint(1, 2)]
+        if r.random() < 0.5:
+            flags += ["-D%d" % r.choice([1, 2]),
+                      "-I%d" % r.choice([1, 2]),
+                      "-S%d" % r.choice([1, 2])]
+    if "d" in picks:
+        flags += ["-d", r.choice(["$$", "o", "ll", "%%", "\\n"])]
+    if "w" in picks:
+        flags.append("-w")
+    if "v" in picks:
+        flags.append("-v")
+    if "t" in picks:
+        flags.append("-t")
+    if "x" in picks and "d" not in picks:
+        flags.append("-x")
+    if "B" in picks:
+        flags = ["-B", "-y"] + flags
+    for f, p in (("-c", .45), ("-i", .2), ("-n", .1), ("-b", .1),
+                 ("-l", .05), ("-s", .08), ("-q", .08), ("-h", .08),
+                 ("-u", .05), ("-k", .08)):
+        if r.random() < p:
+            flags.append(f)
+    if r.random() < 0.06:
+        flags += ["-L", r.choice(["3:0:0", "0:2:0", "5:1:1"])]
+    pat = r.choice(REGEX_POOL)
+    return flags, pat
+
 
 def make_args_stratified(r: random.Random):
     """At least two of {-f, costs, -d, -w, -v, -t} per case."""
@@ -169,9 +212,14 @@ def make_args_stratified(r: random.Random):
     return flags, pat, use_f
 
 
-def run_case(i, seed, tmpdir, stratified=False):
+def run_case(i, seed, tmpdir, stratified=False, regex=False):
     r = random.Random(seed)
-    if stratified:
+    if regex:
+        corpus = (make_corpus_straddle(r) if r.random() < 0.6
+                  else make_corpus(r))
+        flags, pat = make_args_regex(r)
+        force_f = False
+    elif stratified:
         corpus = make_corpus_straddle(r)
         flags, pat, force_f = make_args_stratified(r)
     else:
@@ -188,7 +236,7 @@ def run_case(i, seed, tmpdir, stratified=False):
         with open(path2, "wb") as f:
             f.write(make_corpus(r))
         paths.append(path2)
-    if force_f or r.random() < 0.15:
+    if (force_f or r.random() < 0.15) and not regex:
         # -f pattern file instead of a single pattern
         npat = r.choice([2, 5, 30, 120])
         pats = [r.choice(WORDS).decode("latin-1")
@@ -268,7 +316,8 @@ def run_case(i, seed, tmpdir, stratified=False):
 def main():
     argv = sys.argv[1:]
     stratified = "--stratified" in argv
-    argv = [a for a in argv if a != "--stratified"]
+    regex = "--regex" in argv
+    argv = [a for a in argv if a not in ("--stratified", "--regex")]
     n = int(argv[0]) if len(argv) > 0 else 500
     seed0 = int(argv[1]) if len(argv) > 1 else 1000
     import tempfile
@@ -276,7 +325,7 @@ def main():
     bad = 0
     for i in range(n):
         try:
-            res = run_case(i, seed0 + i, tmpdir, stratified)
+            res = run_case(i, seed0 + i, tmpdir, stratified, regex)
         except subprocess.TimeoutExpired:
             continue
         except Exception as e:      # noqa: BLE001 -- report and go on
