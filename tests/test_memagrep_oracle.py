@@ -153,3 +153,47 @@ def test_memagrep_fuzz():
         if rnd.random() < .25:
             flags += ["-d", rnd.choice(["$$", "o"])]
         compare_mem(flags + [pat], data)
+
+
+def test_memagrep_fuzz_wide():
+    """Broadened grid (round-5 continuation): boolean trees, classes,
+    `~` negation, -t/-x/-k/-l/-s, non-uniform costs, multi-char and
+    subsequence-prone delimiters, 32KB/64KB seam-straddling buffers.
+    400 fresh-seed cases (951000-951399) ran clean before pinning."""
+    words = [b"alpha", b"hello", b"matching", b"zz", b"koala",
+             b"d$d", b"bravo", b"CaSe"]
+    pats = ["hello", "koala", "alpha", "nosuch", "hel*o", "h#o",
+            "hello;zz", "al(p|f)ha", "alpha;koala;zz", "hello,zz",
+            "br#vo", "[a-h]ello", "~hello", "{alpha;bravo},koala"]
+    for case in range(120):
+        seed = 951000 + case
+        rnd = random.Random(seed)
+        out = bytearray(b"\n")
+        size = rnd.choice([3, 30, 300, 3000, 20000, 33000, 65600])
+        style = rnd.randrange(3)
+        while len(out) < size:
+            if style == 0:
+                out += b" ".join(rnd.choice(words)
+                                 for _ in range(rnd.randint(1, 6)))
+                out += rnd.choice([b"\n", b"$$", b""])
+            elif style == 1:
+                out += rnd.choice(words) * rnd.randint(1, 9)
+                out += rnd.choice([b"\n", b" ", b"o", b"ll"])
+            else:
+                out += bytes(rnd.choice(b"ab\nxyo$")
+                             for _ in range(64))
+        data = bytes(out[:size]) + rnd.choice(
+            [b"\n", b"\n", b"", b" tail no newline"])
+        flags = []
+        for f, p in (("-c", .4), ("-n", .2), ("-v", .2), ("-i", .2),
+                     ("-b", .1), ("-w", .15), ("-t", .1), ("-l", .05),
+                     ("-s", .05), ("-x", .05), ("-k", .05)):
+            if rnd.random() < p:
+                flags.append(f)
+        if rnd.random() < .3:
+            flags.append("-%d" % rnd.randint(1, 3))
+        if rnd.random() < .25:
+            flags += ["-d", rnd.choice(["$$", "o", "ll"])]
+        if rnd.random() < .1:
+            flags += ["-D2", "-I1", "-S1"]
+        compare_mem(flags + [rnd.choice(pats)], data)
