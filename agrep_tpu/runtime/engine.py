@@ -856,13 +856,17 @@ class SgrepEngine:
     def supports_streaming(self) -> bool:
         """The -c fast paths stream, and so does the default record
         PRINT mode of the D==0 bm/monkey engines (the most common
-        invocation on large files).  Inverse/-l/-d/limit modes still
-        take the whole-file path (their block-quirk emulations walk
-        the full virtual buffer)."""
+        invocation on large files).  Inverse PRINT/-l/-d/limit modes
+        still take the whole-file path (their block-quirk emulations
+        walk the full virtual buffer) -- but -c -v streams: sgrep's
+        COUNT branch ignores INVERSE and counts matched records
+        (sgrep.c:808-817), so the inverse count IS the plain count."""
         q, o = self.q, self.q.opts
-        if (q.delimiter_opt or o.invert or o.filename_only
+        if (q.delimiter_opt or o.filename_only
                 or o.limit_output or o.limit_per_file
                 or getattr(o, "limit_total_file", 0)):
+            return False
+        if o.invert and not o.count:
             return False
         if q.D == 0:
             if not (q.sg_sub in ("bm", "monkey")

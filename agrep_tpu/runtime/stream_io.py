@@ -16,11 +16,49 @@ The chunked scan itself lives in ops.scan.scan_event_list: each chunk
 is scanned with a W-byte halo of real preceding bytes (the same
 tile+halo restart argument as in-chunk tiling, applied at chunk
 granularity), so carried machine state never crosses a chunk host-side.
+
+Bulk reads from memmap segments go through os.pread rather than the
+page-fault path: on hosts with weak fault readahead (or an actively
+trimmed page cache) faulting a cold mapping sustains ~20 MB/s while a
+positioned read of the same range runs at disk speed -- measured 50x
+on the round-5 bench VM.  The mapping itself is kept for cheap random
+single-byte access and as the zero-copy ndarray the whole-file walks
+expect (open_bytes additionally madvises WILLNEED to pre-fault those).
 """
 
 from __future__ import annotations
 
+import mmap
+import os
+
 import numpy as np
+
+_PREAD_CHUNK = 2 << 20
+
+
+def _file_window(seg):
+    """(filename, file_offset_of_seg0) for a contiguous uint8 view
+    backed by an np.memmap, or None when it cannot be derived (then
+    reads fall back to the mapping)."""
+    if not isinstance(seg, np.memmap):
+        return None
+    mm = getattr(seg, "_mmap", None)
+    fn = getattr(seg, "filename", None)
+    if (mm is None or fn is None or seg.dtype != np.uint8
+            or seg.ndim != 1 or not seg.flags["C_CONTIGUOUS"]):
+        return None
+    try:
+        base = np.frombuffer(mm, dtype=np.uint8)
+        d0 = base.__array_interface__["data"][0]
+        s0 = seg.__array_interface__["data"][0]
+        # np.memmap(offset=k) maps from the granularity-aligned floor
+        # of k; the mapping's first byte is file offset k - k%gran
+        aligned = (int(getattr(seg, "offset", 0))
+                   // mmap.ALLOCATIONGRANULARITY
+                   * mmap.ALLOCATIONGRANULARITY)
+        return os.fspath(fn), aligned + (s0 - d0)
+    except (TypeError, ValueError, AttributeError):
+        return None
 
 
 class ByteStream:
@@ -28,7 +66,7 @@ class ByteStream:
 
     Supports len(), integer indexing, step-1 slicing, and bulk read();
     every access materializes only the requested range (memmap segments
-    fault in O(range) pages)."""
+    are pread() from the file in O(range))."""
 
     def __init__(self, segments):
         self.segs = []
@@ -45,6 +83,32 @@ class ByteStream:
             self.segs = [np.zeros(0, dtype=np.uint8)]
         self.offs = np.asarray(offs, dtype=np.int64)
         self.n = int(self.offs[-1])
+        # per-segment (fd, base_file_offset) for memmap-backed
+        # segments; fds are owned by this stream and closed on GC
+        self._wins = []
+        self._fds = {}
+        for s in self.segs:
+            w = _file_window(s)
+            if w is None:
+                self._wins.append(None)
+                continue
+            fn, off0 = w
+            fd = self._fds.get(fn)
+            if fd is None:
+                try:
+                    fd = os.open(fn, os.O_RDONLY)
+                except OSError:
+                    self._wins.append(None)
+                    continue
+                self._fds[fn] = fd
+            self._wins.append((fd, off0))
+
+    def __del__(self):
+        for fd in getattr(self, "_fds", {}).values():
+            try:
+                os.close(fd)
+            except OSError:
+                pass
 
     def __len__(self) -> int:
         return self.n
@@ -60,7 +124,30 @@ class ByteStream:
             seg = self.segs[i]
             s0 = int(self.offs[i])
             take = min(hi, s0 + len(seg)) - pos
-            out[pos - lo:pos - lo + take] = seg[pos - s0:pos - s0 + take]
+            win = self._wins[i] if i < len(self._wins) else None
+            done = False
+            if win is not None:
+                fd, off0 = win
+                # 2MB pieces: a single huge pread serializes behind
+                # its own readahead; ~1-4MB sustains disk speed
+                done = True
+                got = 0
+                while got < take:
+                    piece = min(take - got, _PREAD_CHUNK)
+                    try:
+                        b = os.pread(fd, piece,
+                                     off0 + (pos - s0) + got)
+                    except OSError:
+                        b = b""
+                    if len(b) != piece:
+                        done = False
+                        break
+                    out[pos - lo + got:pos - lo + got + piece] = \
+                        np.frombuffer(b, dtype=np.uint8)
+                    got += piece
+            if not done:
+                out[pos - lo:pos - lo + take] = \
+                    seg[pos - s0:pos - s0 + take]
             pos += take
             i += 1
         return out
@@ -82,8 +169,9 @@ class ByteStream:
 
 def open_bytes(path: str) -> np.ndarray:
     """Read-only byte view of a file: memmap when possible (O(1)
-    memory), tiny array for empty files."""
-    import os
+    memory), tiny array for empty files.  (No blanket MADV_WILLNEED:
+    it schedules a whole-file readahead through the slow fault path
+    that then races the preads the streaming engines actually use.)"""
     if os.path.getsize(path) == 0:
         return np.zeros(0, dtype=np.uint8)
     return np.memmap(path, dtype=np.uint8, mode="r")
