@@ -1321,6 +1321,21 @@ def _folded_ends(buf: np.ndarray, lo: int, hi: int,
     return np.flatnonzero(hit).astype(np.int64) + lo
 
 
+def _delim_occ(buf, lo: int, hi: int, dp: bytes) -> np.ndarray:
+    """Start indices of dp occurrences with cb in [lo, hi-dl]
+    (vectorized rolling AND -- the Python byte walks made every
+    delimiter-free 32KB block cost ~10ms in the -d replay)."""
+    dl = len(dp)
+    k = (hi - lo) - dl + 1
+    if k <= 0:
+        return np.empty(0, dtype=np.int64)
+    seg = np.asarray(buf[lo:hi])
+    hit = seg[:k] == dp[0]
+    for j in range(1, dl):
+        hit &= seg[j:j + k] == dp[j]
+    return np.flatnonzero(hit).astype(np.int64) + lo
+
+
 def _bwd_delim(buf, e, b, dp: bytes, outtail: bool) -> int:
     """backward_delimiter (delim.c:75-100) over the buffer: search
     [b, e) for the last delim occurrence."""
@@ -1328,18 +1343,17 @@ def _bwd_delim(buf, e, b, dp: bytes, outtail: bool) -> int:
     if e - dl < b:
         return b
     if dl == 1 and dp == b"\n":
-        e -= 1
-        while e > b and buf[e] != 0x0A:
-            e -= 1
-        if outtail and buf[e] == 0x0A:
-            e += 1
-        return e
-    d0 = dp[0]
-    cb = e - dl
-    while cb >= b:
-        if buf[cb] == d0 and bytes(bytearray(buf[cb:cb + dl])) == dp:
-            return cb + dl if outtail else cb
-        cb -= 1
+        # while(e > b && buf[e] != nl) e--: largest index in
+        # [b+1, e-1] holding a newline, else b (buf[b] untested)
+        occ = _delim_occ(buf, b + 1, e, b"\n")
+        r = int(occ[-1]) if len(occ) else b
+        if outtail and buf[r] == 0x0A:
+            r += 1
+        return r
+    occ = _delim_occ(buf, b, e, dp)
+    if len(occ):
+        cb = int(occ[-1])
+        return cb + dl if outtail else cb
     return b
 
 
@@ -1349,18 +1363,17 @@ def _fwd_delim(buf, b, e, dp: bytes, outtail: bool) -> int:
     if b + dl > e:
         return e + 1
     if dl == 1 and dp == b"\n":
-        b += 1
-        while b < e and buf[b] != 0x0A:
-            b += 1
-        if outtail and buf[b] == 0x0A:
-            b += 1
-        return b
-    d0 = dp[0]
-    cb = b
-    while cb + dl <= e:
-        if buf[cb] == d0 and bytes(bytearray(buf[cb:cb + dl])) == dp:
-            return cb + dl if outtail else cb
-        cb += 1
+        # b++; while(b < e && buf[b] != nl) b++: first newline in
+        # [b+1, e-1], else e (then OUTTAIL may read buf[e])
+        occ = _delim_occ(buf, b + 1, e, b"\n")
+        r = int(occ[0]) if len(occ) else e
+        if outtail and buf[r] == 0x0A:
+            r += 1
+        return r
+    occ = _delim_occ(buf, b, e, dp)
+    if len(occ):
+        cb = int(occ[0])
+        return cb + dl if outtail else cb
     return e + 1
 
 
