@@ -862,12 +862,23 @@ class SgrepEngine:
         COUNT branch ignores INVERSE and counts matched records
         (sgrep.c:808-817), so the inverse count IS the plain count."""
         q, o = self.q, self.q.opts
-        if (q.delimiter_opt or o.filename_only
+        if (q.delimiter_opt
                 or o.limit_output or o.limit_per_file
                 or getattr(o, "limit_total_file", 0)):
             return False
         if o.invert and not o.count:
             return False
+        if o.filename_only:
+            # -l early-returns at the first match (sgrep.c:745): the
+            # streamed walk stops at the first surviving event.  Only
+            # for the run's LAST file (Executor hint): an early stop
+            # leaves the reference's reused scan buffer holding just
+            # the blocks read, and the cross-file stale model replays
+            # full files -- the last file has no stale consumer.
+            return (q.D == 0 and q.sg_sub in ("bm", "monkey")
+                    and b"\n" not in q.sg_pattern
+                    and not o.invert and not o.count
+                    and getattr(self, "_sg_more_files", True) is False)
         if q.D == 0:
             if not (q.sg_sub in ("bm", "monkey")
                     and b"\n" not in q.sg_pattern):
@@ -885,7 +896,7 @@ class SgrepEngine:
         jump to the record end after each count, sgrep.c:815); D>0
         replays agrep()'s overcount walk with streamed events."""
         q, o = self.q, self.q.opts
-        if D == 0 and not o.count:
+        if D == 0 and not o.count and not o.filename_only:
             return self._print_stream_chunked(data, sink)
         stream = ByteStream([b"\n", data])
         N = len(stream)
@@ -1050,6 +1061,12 @@ class SgrepEngine:
                         takeover = (trim - 1, rb - 1)
                         pos = pos[pos <= trim]
                 if len(pos):
+                    if o.filename_only:
+                        # first surviving event: bm/monkey -l returns
+                        # from inside the scan (sgrep.c:745/:1581)
+                        sink.num_matched += 1
+                        sink.write_str("%s\n" % sink.current_filename)
+                        return
                     ids = nl_before + np.searchsorted(nl, pos, "left")
                     ids = np.unique(ids)
                     lines_counted += int((ids > last_line).sum())
@@ -1057,10 +1074,12 @@ class SgrepEngine:
                 if takeover is not None:
                     from . import sgrep_sim
                     sink.num_matched += lines_counted
-                    sgrep_sim.sgrep_block_replay(
+                    rc_t = sgrep_sim.sgrep_block_replay(
                         lambda lo, hi: np.asarray(data[lo:hi],
                                                   dtype=np.uint8),
                         len(data), q, sink, resume=takeover)
+                    if rc_t == 'fname':
+                        sink.write_str("%s\n" % sink.current_filename)
                     return
                 if len(nl):
                     last_nl = int(nl[-1])
@@ -2573,6 +2592,10 @@ class Executor:
             sink.current_filename = (str(gi) if o.printfilenumber
                                      else path)
             sink.new_file = True
+            # -l early-exit gate: only the run's last file may stop
+            # scanning at the first match (no later file consults the
+            # reused-buffer stale model); multihost stays conservative
+            self.engine._sg_more_files = bool(_mh) or i < len(files) - 1
             try:
                 size = os.path.getsize(path)
                 if size > (4 << 20):
