@@ -107,6 +107,11 @@ STREAM_CASES = [
     ["-i", "HELLO,koala"],                  # ... case fold
     ["hel*o"],                              # regex record PRINT stream
     ["-2", "mat.hing"],                     # ... with errors
+    ["-c", "-v", "hello"],                  # inverse count == count
+    ["-c", "-v", "-w", "matching"],         # ... wordbound
+    ["-2", "-c", "-v", "koala"],            # ... approx (round 5b)
+    ["-l", "hello"],                        # -l last-file early exit
+    ["-l", "-w", "matching"],               # ... wordbound gate
 ]
 
 
